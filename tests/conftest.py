@@ -1,0 +1,36 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (the driver separately dry-runs TPU).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def testdata_dir():
+    return "/root/reference/testdata"
+
+
+def random_dna(rng, n):
+    return "".join(np.array(list("ACGT"))[rng.integers(0, 4, n)])
+
+
+@pytest.fixture(scope="session")
+def small_genome(rng):
+    """A 60 kb two-contig genome for index/pipeline tests."""
+    return {
+        "c1": random_dna(rng, 40_000),
+        "c2": random_dna(rng, 20_000),
+    }

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from vacmap_tpu.seq import encode, decode, revcomp, kmer_codes, rc_kmer
+from vacmap_tpu.index import ReferenceIndex, minimizers
+from tests.conftest import random_dna
+
+
+def test_encode_decode_roundtrip():
+    s = "ACGTNACGT"
+    assert decode(encode(s)) == s
+
+
+def test_revcomp():
+    assert revcomp("ACGTN") == "NACGT"
+    assert revcomp(revcomp("GATTACA")) == "GATTACA"
+
+
+def test_kmer_codes_match_manual():
+    codes = encode("ACGTA")
+    kmers, valid = kmer_codes(codes, 3)
+    # ACG = 0b000110 = 6; CGT = 0b011011 = 27; GTA = 0b101100 = 44
+    assert list(kmers) == [6, 27, 44]
+    assert valid.all()
+
+
+def test_kmer_codes_ambiguous():
+    codes = encode("ACNTA")
+    _, valid = kmer_codes(codes, 3)
+    assert list(valid) == [False, False, False]
+
+
+def test_rc_kmer_involution():
+    codes = encode("ACGTACGTGG")
+    kmers, _ = kmer_codes(codes, 5)
+    assert np.array_equal(rc_kmer(rc_kmer(kmers, 5), 5), kmers)
+
+
+def test_minimizers_strand_symmetry(rng):
+    s = random_dna(rng, 2000)
+    h1, p1, _ = minimizers(encode(s), 15, 10)
+    h2, p2, _ = minimizers(encode(revcomp(s)), 15, 10)
+    # canonical hashing: the sketch of the reverse complement selects the
+    # same k-mers (positions mirrored)
+    assert sorted(h1) == sorted(h2)
+    mirrored = sorted(len(s) - 15 - p2)
+    assert sorted(p1) == mirrored
+
+
+def test_index_build_and_seeds_forward(small_genome):
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    read = small_genome["c1"][5000:8000]
+    anchors = idx.seeds(read, check_num=100)
+    plus = anchors[anchors[:, 2] == 1]
+    diag = plus[:, 1] - plus[:, 0]
+    on_diag = plus[diag == 5000]
+    # merged anchors on the true diagonal should cover nearly the whole read
+    assert on_diag[:, 3].sum() > 2500
+    unmerged = idx.seeds(read, check_num=100, merge=False)
+    assert len(unmerged) > 50
+
+
+def test_index_seeds_reverse(small_genome):
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    read = revcomp(small_genome["c2"][2000:5000])
+    anchors = idx.seeds(read, check_num=100)
+    minus = anchors[anchors[:, 2] == -1]
+    assert minus[:, 3].sum() > 2500
+    c2_start = idx.start_of("c2")
+    # anti-diagonal readpos+refpos+len should concentrate at one value
+    anti = minus[:, 0] + minus[:, 1] + minus[:, 3]
+    vals, counts = np.unique(anti, return_counts=True)
+    top = vals[np.argmax(counts)]
+    assert abs(top - (c2_start + 5000)) < 3
+
+
+def test_index_save_load(tmp_path, small_genome):
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    path = str(tmp_path / "ref.vmi.npz")
+    idx.save(path)
+    idx2 = ReferenceIndex.load(path)
+    assert idx2.contig_names == idx.contig_names
+    assert np.array_equal(idx2.mm_hash, idx.mm_hash)
+    r = small_genome["c1"][100:1100]
+    assert np.array_equal(idx.seeds(r), idx2.seeds(r))
+
+
+def test_contig_of(small_genome):
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    assert idx.contig_of(0) == "c1"
+    assert idx.contig_of(39_999) == "c1"
+    assert idx.contig_of(40_000) == "c2"

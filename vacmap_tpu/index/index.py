@@ -1,0 +1,292 @@
+"""Reference minimizer index: build, save/load (.vmi), anchor lookup.
+
+TPU-native replacement for the reference's ``mp.Aligner`` C extension
+(reference usage at ``vacmap:344,358-364`` and
+``mammap_clrnano.py:23985``).  The coordinate space is the same as the
+reference: all contigs concatenated, with ``contig2start`` giving each
+contig's global offset — this is what lets one chain jump across contigs
+(translocations).
+
+Anchors are rows ``(readpos, refpos_global, strand, length)`` (int64),
+read interval ``[readpos, readpos+len)``, ref interval
+``[refpos, refpos+len)`` with refpos the *leftmost* matched reference
+base on either strand — the convention the chaining recurrences assume
+(``mammap_clrnano.py:24955-24996``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..seq import encode, revcomp
+from .minimizer import minimizers
+
+log = logging.getLogger(__name__)
+
+VMI_MAGIC = "VACMAP_TPU_VMI_v1"
+
+
+@dataclasses.dataclass
+class ReferenceIndex:
+    k: int
+    w: int
+    contig_names: List[str]
+    contig_starts: np.ndarray  # int64, global offset per contig (sorted asc)
+    contig_lens: np.ndarray  # int64
+    seq_codes: np.ndarray  # uint8, concatenated 2-bit-able codes of ALL contigs
+    # minimizer table, sorted by hash then position
+    mm_hash: np.ndarray  # int64
+    mm_pos: np.ndarray  # int64 global position
+    mm_strand: np.ndarray  # int8
+    occ_cutoff: int  # auto occurrence filter (minimap2 mid_occ analogue)
+
+    # ---- construction ----------------------------------------------------
+    @classmethod
+    def build(cls, contigs: Dict[str, str], k: int = 15, w: int = 10,
+              occ_frac: float = 2e-4) -> "ReferenceIndex":
+        names, starts, lens, codes_parts = [], [], [], []
+        off = 0
+        for name, s in contigs.items():
+            names.append(name)
+            starts.append(off)
+            lens.append(len(s))
+            codes_parts.append(encode(s.upper()))
+            off += len(s)
+        seq_codes = (
+            np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
+        )
+        hs, ps, ss = [], [], []
+        for i, name in enumerate(names):
+            st, ln = starts[i], lens[i]
+            h, p, sd = minimizers(seq_codes[st : st + ln], k, w)
+            hs.append(h)
+            ps.append(p + st)
+            ss.append(sd)
+        mm_hash = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        mm_pos = np.concatenate(ps) if ps else np.empty(0, np.int64)
+        mm_strand = np.concatenate(ss) if ss else np.empty(0, np.int8)
+        order = np.lexsort((mm_pos, mm_hash))
+        mm_hash, mm_pos, mm_strand = mm_hash[order], mm_pos[order], mm_strand[order]
+        # occurrence cutoff: ignore the top occ_frac most frequent minimizers
+        occ_cutoff = 2**30
+        if len(mm_hash):
+            _, counts = np.unique(mm_hash, return_counts=True)
+            if len(counts):
+                q = np.quantile(counts, 1.0 - occ_frac)
+                occ_cutoff = int(max(10, q))
+        return cls(
+            k=k,
+            w=w,
+            contig_names=names,
+            contig_starts=np.asarray(starts, np.int64),
+            contig_lens=np.asarray(lens, np.int64),
+            seq_codes=seq_codes,
+            mm_hash=mm_hash,
+            mm_pos=mm_pos,
+            mm_strand=mm_strand,
+            occ_cutoff=occ_cutoff,
+        )
+
+    # ---- persistence -----------------------------------------------------
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            magic=np.array(VMI_MAGIC),
+            k=self.k,
+            w=self.w,
+            names=np.array(self.contig_names),
+            starts=self.contig_starts,
+            lens=self.contig_lens,
+            seq=self.seq_codes,
+            mm_hash=self.mm_hash,
+            mm_pos=self.mm_pos,
+            mm_strand=self.mm_strand,
+            occ_cutoff=self.occ_cutoff,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ReferenceIndex":
+        z = np.load(path, allow_pickle=False)
+        if str(z["magic"]) != VMI_MAGIC:
+            raise ValueError(f"not a {VMI_MAGIC} index: {path}")
+        return cls(
+            k=int(z["k"]),
+            w=int(z["w"]),
+            contig_names=[str(x) for x in z["names"]],
+            contig_starts=z["starts"],
+            contig_lens=z["lens"],
+            seq_codes=z["seq"],
+            mm_hash=z["mm_hash"],
+            mm_pos=z["mm_pos"],
+            mm_strand=z["mm_strand"],
+            occ_cutoff=int(z["occ_cutoff"]),
+        )
+
+    # ---- queries ---------------------------------------------------------
+    def contig_of(self, pos: int) -> str:
+        """Contig containing global position `pos` (reference pos2contig,
+        mammap_clrnano.py:51)."""
+        i = int(np.searchsorted(self.contig_starts, pos, side="right")) - 1
+        return self.contig_names[max(i, 0)]
+
+    def contig_index_of(self, pos: int) -> int:
+        return max(int(np.searchsorted(self.contig_starts, pos, side="right")) - 1, 0)
+
+    def start_of(self, name: str) -> int:
+        return int(self.contig_starts[self.contig_names.index(name)])
+
+    def len_of(self, name: str) -> int:
+        return int(self.contig_lens[self.contig_names.index(name)])
+
+    def fetch_codes(self, gstart: int, gend: int) -> np.ndarray:
+        """Encoded reference slice in global coordinates."""
+        return self.seq_codes[gstart:gend]
+
+    def contig2seq(self) -> Dict[str, str]:
+        from ..seq import decode
+
+        out = {}
+        for i, name in enumerate(self.contig_names):
+            st, ln = int(self.contig_starts[i]), int(self.contig_lens[i])
+            out[name] = decode(self.seq_codes[st : st + ln])
+        return out
+
+    # ---- seeding ---------------------------------------------------------
+    def seeds(
+        self,
+        read: str,
+        check_num: int = 100,
+        mid_occ: int = -1,
+        merge: bool = True,
+    ) -> np.ndarray:
+        """Anchor seeding: equivalent of ``index.map(seq, check_num,
+        mid_occ)`` (mammap_clrnano.py:23985).
+
+        Returns an (n, 4) int64 array of anchors sorted by read position.
+        ``mid_occ < 0`` uses the index's automatic occurrence cutoff.
+        ``check_num`` caps the number of candidate reference clusters kept
+        (top clusters by anchor count), bounding downstream chaining work
+        on repetitive reads; <= 0 disables the cap.
+        """
+        codes = encode(read.upper())
+        h, p, s = minimizers(codes, self.k, self.w)
+        if len(h) == 0:
+            return np.empty((0, 4), np.int64)
+        cutoff = self.occ_cutoff if mid_occ < 0 else mid_occ
+        lo = np.searchsorted(self.mm_hash, h, side="left")
+        hi = np.searchsorted(self.mm_hash, h, side="right")
+        occ = hi - lo
+        keep = (occ > 0) & (occ <= cutoff)
+        if not np.any(keep):
+            return np.empty((0, 4), np.int64)
+        lo, hi, p, s = lo[keep], hi[keep], p[keep], s[keep]
+        n_hits = (hi - lo).astype(np.int64)
+        total = int(n_hits.sum())
+        # expand hit ranges without a Python loop
+        out_read = np.repeat(p, n_hits)
+        out_qstrand = np.repeat(s, n_hits)
+        # ragged range expansion: offsets within each range
+        csum = np.concatenate(([0], np.cumsum(n_hits)))
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], n_hits)
+        idx = np.repeat(lo, n_hits) + within
+        out_ref = self.mm_pos[idx]
+        out_rstrand = self.mm_strand[idx]
+        strand = (out_qstrand * out_rstrand).astype(np.int64)
+        # For reverse-strand matches the minimizer position marks the
+        # forward k-mer start on both sides; the matched ref interval is
+        # [refpos, refpos+k) either way, which is already the leftmost
+        # convention the chain DP expects.
+        anchors = np.stack(
+            [out_read, out_ref, strand, np.full(total, self.k, np.int64)], axis=1
+        )
+        if check_num and check_num > 0:
+            anchors = self._cluster_cap(anchors, check_num)
+        if merge and len(anchors):
+            anchors = merge_colinear_anchors(anchors)
+        order = np.lexsort((anchors[:, 1], anchors[:, 0]))
+        return anchors[order]
+
+    @staticmethod
+    def _cluster_cap(anchors: np.ndarray, check_num: int) -> np.ndarray:
+        """Keep the top `check_num` reference clusters by anchor count.
+
+        Clusters are runs of ref-sorted anchors with gaps < 100 kb —
+        an explicit reimplementation of the reference's opaque C-side
+        candidate-cluster cap (CLI -c, vacmap:105).
+        """
+        if len(anchors) == 0:
+            return anchors
+        order = np.argsort(anchors[:, 1], kind="stable")
+        ref_sorted = anchors[order]
+        gaps = np.diff(ref_sorted[:, 1])
+        boundaries = np.flatnonzero(gaps > 100_000) + 1
+        cluster_id = np.zeros(len(ref_sorted), np.int64)
+        cluster_id[boundaries] = 1
+        cluster_id = np.cumsum(cluster_id)
+        n_clusters = int(cluster_id[-1]) + 1
+        if n_clusters <= check_num:
+            return anchors
+        counts = np.bincount(cluster_id)
+        keep_clusters = np.argsort(counts)[::-1][:check_num]
+        keep_mask = np.isin(cluster_id, keep_clusters)
+        return ref_sorted[keep_mask]
+
+
+def merge_colinear_anchors(anchors: np.ndarray, max_len: int = 250) -> np.ndarray:
+    """Merge overlapping/adjacent same-diagonal anchors into longer ones.
+
+    Mirrors what the reference's local harvester does with its per-diagonal
+    cache (``mammap_clrnano.py:23198-23344``) but vectorized: anchors are
+    grouped by strand-aware diagonal, and runs where each anchor starts at
+    or before the previous anchor's end are fused.  Long runs are capped at
+    `max_len` to keep DP bonuses bounded.
+    """
+    if len(anchors) == 0:
+        return anchors
+    readpos, refpos, strand, length = anchors.T
+    diag = np.where(strand == 1, refpos - readpos, -(refpos + readpos + length))
+    order = np.lexsort((readpos, diag, strand))
+    a = anchors[order]
+    d = diag[order]
+    # break when diagonal changes or read gap > 0 (not overlapping/adjacent)
+    prev_end = a[:-1, 0] + a[:-1, 3]
+    new_run = np.empty(len(a), bool)
+    new_run[0] = True
+    new_run[1:] = (d[1:] != d[:-1]) | (a[1:, 0] > prev_end)
+    run_id = np.cumsum(new_run) - 1
+    n_runs = run_id[-1] + 1
+    first = np.flatnonzero(new_run)
+    last = np.concatenate([first[1:] - 1, [len(a) - 1]])
+    r_start = a[first, 0]
+    r_end = a[last, 0] + a[last, 3]
+    lengths = r_end - r_start
+    strands = a[first, 2]
+    # refpos: +strand keeps first anchor's refpos; -strand leftmost ref is
+    # the LAST anchor's refpos (ref decreases as read increases)
+    refs = np.where(strands == 1, a[first, 1], a[last, 1])
+    merged = np.stack([r_start, refs, strands, lengths], axis=1)
+    # split runs longer than max_len into chunks
+    too_long = lengths > max_len
+    if np.any(too_long):
+        parts = [merged[~too_long]]
+        for r, y, sd, ln in merged[too_long]:
+            n_chunks = int((ln + max_len - 1) // max_len)
+            for c in range(n_chunks):
+                off = c * max_len
+                cl = min(max_len, ln - off)
+                if sd == 1:
+                    parts.append(np.array([[r + off, y + off, sd, cl]], np.int64))
+                else:
+                    # leftmost ref of chunk: total span is [y, y+ln); chunk
+                    # covering read [r+off, r+off+cl) maps to ref
+                    # [y+ln-off-cl, y+ln-off)
+                    parts.append(
+                        np.array([[r + off, y + ln - off - cl, sd, cl]], np.int64)
+                    )
+        merged = np.concatenate(parts)
+    return merged
