@@ -1,0 +1,670 @@
+"""Chain-to-alignment refinement: segment splitting, divergence filter,
+edge extension, artifact dropping, merging, inversion fixing, and
+base-level CIGAR production.
+
+Equivalent of ``extend_func`` and its helpers
+(mammap_clrnano.py:19238-19303, :23437, :2302, :726, :16736, :24226,
+:21505, :20731).
+
+Anchor tuples are (readpos, refpos_global, strand, len); alignment
+segments are lists of anchors in ASCENDING read order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.affine_ref import AlignResult, align2p
+from ..ops.edit import divergence_exceeds
+from ..seq import revcomp_codes
+
+
+class RefView:
+    """Reference access helpers shared by the refinement passes."""
+
+    def __init__(self, ref_codes, contig_starts, contig_lens, contig_names):
+        self.codes = ref_codes
+        self.starts = np.asarray(contig_starts, np.int64)
+        self.lens = np.asarray(contig_lens, np.int64)
+        self.names = list(contig_names)
+
+    def contig_index(self, pos: int) -> int:
+        return max(int(np.searchsorted(self.starts, pos, side="right")) - 1, 0)
+
+    def contig_name(self, pos: int) -> str:
+        return self.names[self.contig_index(pos)]
+
+    def contig_start(self, pos: int) -> int:
+        return int(self.starts[self.contig_index(pos)])
+
+    def contig_end(self, pos: int) -> int:
+        ci = self.contig_index(pos)
+        return int(self.starts[ci] + self.lens[ci])
+
+    def fetch(self, gstart: int, gend: int) -> np.ndarray:
+        return self.codes[gstart:gend]
+
+
+# ---------------------------------------------------------------------------
+# segment splitting (rebuild_chain_break, mammap_clrnano.py:23437-23484)
+# ---------------------------------------------------------------------------
+
+
+def rebuild_chain_break(
+    path: List[tuple], ref: RefView, large_cost: int,
+    small_alignment: int = 50,
+) -> List[List[tuple]]:
+    """Split a chained path (ascending read order) into colinear segments
+    at breaks; drop one-anchor and sub-50bp segments; tolerate small
+    duplication overlaps (refgap<0 with readgap<=20 skips the anchor)."""
+    if not path:
+        return []
+    pre = path[0]
+    segs: List[List[tuple]] = [[pre]]
+    for now in path[1:]:
+        if pre[2] == now[2]:
+            readgap = now[0] - pre[0] - pre[3]
+            if pre[2] == 1:
+                refgap = now[1] - pre[1] - pre[3]
+            else:
+                refgap = pre[1] - now[1] - now[3]
+            if (
+                abs(readgap - refgap) <= large_cost
+                and refgap >= -20
+                and readgap < 100
+                and ref.contig_index(pre[1]) == ref.contig_index(now[1])
+            ):
+                if refgap >= 0:
+                    segs[-1].append(now)
+                    pre = now
+                    continue
+                elif readgap <= 20:
+                    # small duplication overlap: skip the anchor entirely
+                    continue
+                else:
+                    segs[-1].append(now)
+                    pre = now
+                    continue
+        if len(segs[-1]) == 1:
+            segs.pop()
+        if segs and (segs[-1][-1][0] + segs[-1][-1][3] - segs[-1][0][0]) < small_alignment:
+            segs.pop()
+        segs.append([now])
+        pre = now
+    if segs and len(segs[-1]) == 1:
+        segs.pop()
+    if segs and (segs[-1][-1][0] + segs[-1][-1][3] - segs[-1][0][0]) < small_alignment:
+        segs.pop()
+    return segs
+
+
+# ---------------------------------------------------------------------------
+# per-segment sequence extraction (get_query_target_for_cigar,
+# mammap_clrnano.py:5802-5818)
+# ---------------------------------------------------------------------------
+
+
+def query_target_between(pre, now, read_codes, rc_read_codes, read_len, ref: RefView):
+    """Sequences between anchor `pre` and anchor `now` (ascending read
+    order) on pre's strand; query in read orientation matching target."""
+    if pre[2] == 1:
+        target = ref.fetch(pre[1], now[1])
+        query = read_codes[pre[0] : now[0]]
+    else:
+        target = ref.fetch(now[1] + now[3], pre[1] + pre[3])
+        query = rc_read_codes[read_len - now[0] : read_len - pre[0]]
+    return target, query
+
+
+# ---------------------------------------------------------------------------
+# divergence filter (extend_func, mammap_clrnano.py:19247-19253)
+# ---------------------------------------------------------------------------
+
+
+def divergence_filter(
+    segs: List[List[tuple]],
+    read_codes,
+    rc_read_codes,
+    read_len: int,
+    ref: RefView,
+    max_ratio: float,
+) -> List[List[tuple]]:
+    out = []
+    for seg in segs:
+        t, q = query_target_between(
+            seg[0], seg[-1], read_codes, rc_read_codes, read_len, ref
+        )
+        if len(t) == 0 or len(q) == 0:
+            out.append(seg)
+            continue
+        if not divergence_exceeds(t, q, max_ratio):
+            out.append(seg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# edge extension (extend_edge_test, mammap_clrnano.py:2302-2526)
+# ---------------------------------------------------------------------------
+
+MAX_EXTEND = 20_000
+_EXT_KW = dict(
+    match=2, mismatch=-4, gap_open_1=4, gap_extend_1=4,
+    gap_open_2=4, gap_extend_2=4, bw=100, zdrop=50,
+)
+
+
+def extend_edges(
+    segs: List[List[tuple]],
+    read_codes,
+    read_len: int,
+    ref: RefView,
+    san: int = 1,
+    aligner: Optional[Callable] = None,
+) -> None:
+    """Extend each segment's both ends toward the read ends / neighbouring
+    segments with banded zdrop extension alignment; the end anchors are
+    replaced by zero-length anchors at the extended positions."""
+    ext = aligner or (lambda t, q: align2p(t, q, **_EXT_KW))
+    idx = -1
+    while True:
+        idx += 1
+        if idx >= len(segs):
+            break
+        seg = segs[idx]
+        # --- left/start edge ------------------------------------------
+        if seg[0][0] > 0:
+            pre_idx = max(idx - san, 0)
+            if idx == 0 or idx - san < 0:
+                looksize = seg[0][0]
+            else:
+                p = segs[pre_idx][-1]
+                looksize = seg[0][0] - (p[0] + p[3])
+            item = seg[0]
+            if item[2] == 1:
+                target_st = item[1]
+                query_st = item[0]
+                looksize = min(looksize, target_st - ref.contig_start(item[1]))
+                looksize = min(looksize, MAX_EXTEND)
+                if looksize > 0:
+                    q = read_codes[max(query_st - looksize, 0) : query_st][::-1]
+                    t = ref.fetch(target_st - len(q), target_st)[::-1]
+                    r = ext(t, q)
+                    seg[0] = (query_st - r.q_end, target_st - r.t_end, 1, 0)
+            else:
+                target_en = item[1] + item[3]
+                query_st = item[0]
+                looksize = min(looksize, ref.contig_end(item[1]) - (target_en - 1))
+                looksize = min(looksize, MAX_EXTEND)
+                if looksize > 0:
+                    q = read_codes[max(query_st - looksize, 0) : query_st][::-1]
+                    t = revcomp_codes(ref.fetch(target_en, target_en + len(q)))[::-1]
+                    r = ext(t, q)
+                    seg[0] = (query_st - r.q_end, target_en + r.t_end, -1, 0)
+        else:
+            item = seg[0]
+            if item[2] == 1:
+                seg[0] = (item[0], item[1], 1, 0)
+            else:
+                seg[0] = (item[0], item[1] + item[3], -1, 0)
+
+        # --- right/end edge -------------------------------------------
+        if seg[-1][0] + seg[-1][3] < read_len:
+            nxt_idx = min(idx + san, len(segs))
+            if nxt_idx == len(segs):
+                looksize = read_len - (seg[-1][0] + seg[-1][3])
+            else:
+                looksize = segs[nxt_idx][0][0] - (seg[-1][0] + seg[-1][3])
+            item = seg[-1]
+            if item[2] == 1:
+                target_en = item[1] + item[3]
+                query_en = item[0] + item[3]
+                looksize = min(looksize, ref.contig_end(item[1]) - (target_en - 1))
+                looksize = min(looksize, MAX_EXTEND)
+                if looksize > 0:
+                    q = read_codes[query_en : query_en + looksize]
+                    t = ref.fetch(target_en, target_en + len(q))
+                    r = ext(t, q)
+                    seg[-1] = (query_en + r.q_end, target_en + r.t_end, 1, 0)
+            else:
+                target_st = item[1]
+                query_en = item[0] + item[3]
+                looksize = min(looksize, target_st - ref.contig_start(item[1]))
+                looksize = min(looksize, MAX_EXTEND)
+                if looksize > 0:
+                    q = read_codes[query_en : query_en + looksize]
+                    t = revcomp_codes(ref.fetch(target_st - len(q), target_st))
+                    r = ext(t, q)
+                    seg[-1] = (query_en + r.q_end, target_st - r.t_end, -1, 0)
+        else:
+            item = seg[-1]
+            if item[2] == 1:
+                seg[-1] = (item[0] + item[3], item[1] + item[3], 1, 0)
+            else:
+                seg[-1] = (item[0] + item[3], item[1], -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# misplaced-segment drop (drop_misplaced_alignment_test,
+# mammap_clrnano.py:726-786)
+# ---------------------------------------------------------------------------
+
+
+def _junction_gaps(a_end, b_start):
+    readgap = b_start[0] - a_end[0] - a_end[3]
+    if a_end[2] == 1:
+        refgap = b_start[1] - a_end[1] - a_end[3]
+    else:
+        refgap = a_end[1] - b_start[1] - b_start[3]
+    return readgap, refgap
+
+
+def drop_misplaced(segs: List[List[tuple]], iloc: int) -> bool:
+    """Remove a short middle segment whose flanking junctions form one
+    INS plus one DEL of similar magnitude (a misplaced-alignment
+    artifact)."""
+    a, b, c = segs[iloc], segs[iloc + 1], segs[iloc + 2]
+    if not (a[0][2] == b[0][2] == c[0][2]):
+        return False
+    midsize = b[-1][0] + b[-1][3] - b[0][0]
+    if midsize > 1000:
+        return False
+    readgap, refgap = _junction_gaps(a[-1], b[0])
+    if abs(refgap) >= 100_000:
+        return False
+    DEL = INS = 0
+    d = readgap - refgap
+    if d < -30:
+        DEL += 1
+    elif d > 30:
+        INS += 1
+    else:
+        return False
+    gap_1 = abs(d)
+    readgap, refgap = _junction_gaps(b[-1], c[0])
+    if abs(refgap) >= 100_000:
+        return False
+    d = readgap - refgap
+    if d < -30:
+        DEL += 1
+    elif d > 30:
+        INS += 1
+    else:
+        return False
+    gap_2 = abs(d)
+    if DEL == 1 and INS == 1 and (midsize < 500 or max(gap_1, gap_2) / midsize > 0.5):
+        segs.pop(iloc + 1)
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# adjacent-segment merge (merge_conjacent_alignment + getdupiloc,
+# mammap_clrnano.py:16736-16780, :16680-16734)
+# ---------------------------------------------------------------------------
+
+
+def _dup_ilocs(segs) -> set:
+    dup = set()
+    if len(segs) < 2:
+        return dup
+    iloc = 0
+    while iloc + 1 < len(segs):
+        last = segs[iloc][-1]
+        readpos_1 = last[0] + last[3]
+        if last[2] == 1:
+            refpos_1, strand_1 = last[1] + last[3], 1
+        else:
+            refpos_1, strand_1 = last[1], -1
+        jloc = iloc
+        hit = False
+        dupsize = 0
+        new_iloc = iloc
+        readpos_2 = 0
+        while jloc + 1 < len(segs):
+            jloc += 1
+            first = segs[jloc][0]
+            lastj = segs[jloc][-1]
+            if lastj[2] == 1:
+                refpos_2, strand_2 = first[1], 1
+            else:
+                # NOTE: the reference reads first[1] + first[2] here
+                # (mammap_asm-independent quirk at :16706) — index 2 is the
+                # strand, so this is first[1] - 1; we reproduce it.
+                refpos_2, strand_2 = first[1] + first[2], -1
+            if strand_1 != strand_2:
+                continue
+            if strand_1 == 1:
+                if refpos_2 - refpos_1 < 50:
+                    new_iloc, dupsize, readpos_2, hit = (
+                        jloc, refpos_2 - refpos_1, first[0], True,
+                    )
+            else:
+                if refpos_1 - refpos_2 < 50:
+                    new_iloc, dupsize, readpos_2, hit = (
+                        jloc, refpos_1 - refpos_2, first[0], True,
+                    )
+        if hit:
+            readgap = readpos_2 - readpos_1
+            if (iloc + 1 < new_iloc) or ((dupsize - readgap) < -30 and readgap < 30):
+                for s in range(iloc, new_iloc):
+                    dup.add(s)
+            iloc = new_iloc
+        else:
+            iloc += 1
+    return dup
+
+
+def merge_adjacent(segs: List[List[tuple]], ref: RefView) -> None:
+    """Merge adjacent same-strand same-contig segments with small read/ref
+    junction gaps, skipping duplication-overlap segments."""
+    if len(segs) < 2:
+        return
+    dup = _dup_ilocs(segs)
+    iloc = 0
+    while iloc + 1 < len(segs):
+        if iloc in dup:
+            iloc += 1
+            continue
+        pre, now = segs[iloc][-1], segs[iloc + 1][0]
+        if pre[2] != now[2] or ref.contig_index(pre[1]) != ref.contig_index(now[1]):
+            iloc += 1
+            continue
+        readgap, refgap = _junction_gaps(pre, now)
+        if refgap < 0:
+            iloc += 1
+            continue
+        if min(readgap, refgap) < 50 and abs(readgap - refgap) < 10_000:
+            segs[iloc] = segs[iloc] + segs[iloc + 1]
+            segs.pop(iloc + 1)
+        else:
+            iloc += 1
+
+
+# ---------------------------------------------------------------------------
+# simple inversion fix (fix_simple_inv, mammap_clrnano.py:24226-24313)
+# ---------------------------------------------------------------------------
+
+
+def fix_simple_inv(segs: List[List[tuple]], read_codes, ref: RefView) -> None:
+    """Detect +/-/+ segment triplets forming a perfectly balanced simple
+    inversion and re-anchor the middle segment's boundary."""
+    if len(segs) <= 2:
+        return
+    iloc = 0
+    while iloc + 2 < len(segs):
+        a, b, c = segs[iloc], segs[iloc + 1], segs[iloc + 2]
+        if a[0][2] == c[0][2] and a[0][2] != b[0][2] and a[0][2] == 1:
+            bias0 = ref.contig_start(a[0][1])
+            refen_0 = a[-1][1] + a[-1][3] - bias0
+            readen_0 = a[-1][0] + a[-1][3]
+            refst_1 = b[-1][1] - bias0
+            readst_1 = b[0][0]
+            refen_1 = b[0][1] + b[0][3] - bias0
+            readen_1 = b[-1][0] + b[-1][3]
+            refst_2 = c[0][1] - bias0
+            readst_2 = c[0][0]
+            if (
+                refst_2 - refen_0 == refen_1 - refst_1
+                and readst_1 - readen_0 + readst_2 - readen_1 == 0
+            ):
+                if refst_1 - refen_0 != 0 and refst_1 - refen_0 + refst_2 - refen_1 == 0:
+                    if refen_0 > refst_1:
+                        tempref = revcomp_codes(
+                            ref.fetch(bias0 + refen_1, bias0 + refen_1 + refen_0 - refst_1)
+                        )
+                        tempquery = read_codes[readen_0 - refen_0 + refst_1 : readen_0]
+                        if len(tempref) == len(tempquery) and np.array_equal(
+                            tempref, tempquery
+                        ):
+                            bias = refen_0 - refst_1
+                            c[0] = (readst_2 - bias, bias0 + refst_2 - bias, 1, 0)
+                            insertitem = (readst_2 - bias, bias0 + refen_0, -1, 0)
+                            while b and insertitem[0] <= (b[-1][0] + b[-1][3]):
+                                b.pop()
+                            if b:
+                                b.append(insertitem)
+                    else:
+                        tempref = ref.fetch(bias0 + refen_0, bias0 + refst_1)
+                        tempquery = read_codes[readen_0 : readen_0 - refen_0 + refst_1]
+                        if len(tempref) == len(tempquery) and np.array_equal(
+                            tempref, tempquery
+                        ):
+                            a[-1] = (
+                                readen_0 - refen_0 + refst_1,
+                                bias0 + refst_1,
+                                1,
+                                0,
+                            )
+                            insertitem = (
+                                readen_0 - refen_0 + refst_1,
+                                bias0 + refen_1 + refen_0 - refst_1,
+                                -1,
+                                0,
+                            )
+                            while b and insertitem[0] >= b[0][0]:
+                                b.pop(0)
+                            if b:
+                                b.insert(0, insertitem)
+        iloc += 1
+
+
+# ---------------------------------------------------------------------------
+# base-level CIGAR (split_alignment_test, mammap_clrnano.py:21505-21617)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_KW = dict(
+    match=2, mismatch=-4, gap_open_1=4, gap_extend_1=2,
+    gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1,
+)
+MIN_GAP_FOR_CIGAR = 200
+
+
+def segment_cigar(
+    seg: List[tuple],
+    read_codes,
+    rc_read_codes,
+    read_len: int,
+    ref: RefView,
+    eqx: bool = False,
+    aligner: Optional[Callable] = None,
+) -> Tuple[List[tuple], List[str]]:
+    """Base-level CIGAR for one segment: walk anchor pairs, batch small
+    gaps (anchor len < 19 or gap < 200 skipped unless last), align each
+    inter-anchor stretch globally, concatenate.
+
+    Returns (kept_anchors, cigar_pieces); kept_anchors[0] and [-1] are the
+    zero-length edge anchors."""
+    gl = aligner or (lambda t, q: align2p(t, q, eqx=eqx, **_GLOBAL_KW))
+    seg = list(seg)
+    if seg[0][2] == 1:
+        if seg[-1][3] != 0:
+            seg[-1] = (seg[-1][0] + seg[-1][3], seg[-1][1] + seg[-1][3], 1, 0)
+        walk = seg
+    else:
+        if seg[0][3] != 0:
+            seg[0] = (seg[0][0], seg[0][1] + seg[0][3], -1, 0)
+        if seg[-1][3] != 0:
+            seg[-1] = (seg[-1][0] + seg[-1][3], seg[-1][1], -1, 0)
+        walk = seg[::-1]
+
+    kept = [walk[0]]
+    cig: List[str] = []
+    pre = walk[0]
+    i = 1
+    minus = seg[0][2] != 1
+    while i < len(walk):
+        now = walk[i]
+        if minus:
+            readgap = pre[0] - now[0] - now[3]
+            refgap = now[1] - pre[1] - pre[3]
+        else:
+            readgap = now[0] - pre[0] - pre[3]
+            refgap = now[1] - pre[1] - pre[3]
+        if (now[3] < 19) or min(readgap, refgap) < MIN_GAP_FOR_CIGAR:
+            if i + 1 != len(walk):
+                i += 1
+                continue
+        if minus:
+            t, q = query_target_between(
+                now, pre, read_codes, rc_read_codes, read_len, ref
+            )
+        else:
+            t, q = query_target_between(
+                pre, now, read_codes, rc_read_codes, read_len, ref
+            )
+        if len(t) == 0 or len(q) == 0:
+            raise RuntimeError("Failed to compute CIGAR: empty gap sequences")
+        r = gl(t, q)
+        kept.append(now)
+        cig.append(r.cigar)
+        pre = now
+        i += 1
+    if not cig:
+        raise RuntimeError("Failed to compute CIGAR: no aligned pieces")
+    return kept, cig
+
+
+# ---------------------------------------------------------------------------
+# record assembly (get_onemapinfolist, mammap_clrnano.py:20731-20838)
+# ---------------------------------------------------------------------------
+
+
+def records_from_segments(
+    seg_anchor_lists: List[List[tuple]],
+    cigar_lists: List[List[str]],
+    readid: str,
+    mapq: int,
+    read_len: int,
+    ref: RefView,
+    need_reverse: bool,
+    use_hardclip: bool,
+) -> List[list]:
+    """Assemble (readid, contig, strand, q_st, q_en, r_st, r_en, mapq,
+    cigar) records with soft/hard clips.  When the read was
+    strand-normalized (need_reverse), emitted strands are swapped and the
+    record order reversed."""
+    clip = "H" if use_hardclip else "S"
+    out = []
+    for anchors, cigs in zip(seg_anchor_lists, cigar_lists):
+        contig = ref.contig_name(anchors[0][1])
+        bias = ref.contig_start(anchors[0][1])
+        body = "".join(cigs)
+        if anchors[0][2] == 1:
+            q_st = anchors[0][0]
+            q_en = anchors[-1][0] + anchors[-1][3]
+            r_st = anchors[0][1]
+            r_en = anchors[-1][1] + anchors[-1][3]
+            top = f"{q_st}{clip}" if q_st > 0 else ""
+            tail = f"{read_len - q_en}{clip}" if read_len - q_en > 0 else ""
+            if anchors[-1][3] > 0:
+                tail = f"{int(anchors[-1][3])}M" + tail
+            strand = "-" if need_reverse else "+"
+            out.append(
+                [readid, contig, strand, q_st, q_en, r_st - bias, r_en - bias,
+                 mapq, top + body + tail]
+            )
+        else:
+            q_st = read_len - anchors[0][0] - anchors[0][3]
+            q_en = read_len - anchors[-1][0]
+            r_st = anchors[0][1]
+            r_en = anchors[-1][1] + anchors[-1][3]
+            top = f"{q_st}{clip}" if q_st > 0 else ""
+            tail = f"{read_len - q_en}{clip}" if read_len - q_en > 0 else ""
+            strand = "+" if need_reverse else "-"
+            out.append(
+                [readid, contig, strand, q_st, q_en, r_st - bias, r_en - bias,
+                 mapq, top + body + tail]
+            )
+    if need_reverse:
+        out = out[::-1]
+    # CIGAR length sanity (reference asserts, :20784-20795)
+    for rec in out:
+        span = _cigar_query_span(rec[8], with_clips=not use_hardclip)
+        expect = read_len if not use_hardclip else rec[4] - rec[3]
+        if span != expect:
+            raise RuntimeError(
+                f"CIGAR length {span} != expected {expect} for {readid}"
+            )
+    return out
+
+
+def _cigar_query_span(cigar: str, with_clips: bool) -> int:
+    import re
+
+    n = 0
+    for m in re.finditer(r"(\d+)([MIDNSHP=X])", cigar):
+        ln, op = int(m.group(1)), m.group(2)
+        if op in "MI=X":
+            n += ln
+        elif op in "SH" and with_clips:
+            n += ln
+    return n
+
+
+# ---------------------------------------------------------------------------
+# full refinement driver (extend_func, mammap_clrnano.py:19238-19303)
+# ---------------------------------------------------------------------------
+
+
+def refine_chain(
+    path_asc: List[tuple],
+    readid: str,
+    mapq: int,
+    read_codes,
+    rc_read_codes,
+    read_len: int,
+    ref: RefView,
+    maxdiff: int,
+    need_reverse: bool,
+    max_divergence: float,
+    use_hardclip: bool,
+    nofilter: bool,
+    eqx: bool,
+    extension_aligner: Optional[Callable] = None,
+    global_aligner: Optional[Callable] = None,
+) -> Tuple[List[List[tuple]], List[list], bool]:
+    """Chain path (ascending read order) -> SAM-ready records.
+
+    Returns (segments, records, filtered) where `filtered` reports whether
+    the misplaced-segment pass removed anything (drives the paired-indel
+    redo at mammap_clrnano.py:24079)."""
+    segs = rebuild_chain_break(path_asc, ref, large_cost=maxdiff)
+    if not segs:
+        return [], [], False
+    segs = divergence_filter(
+        segs, read_codes, rc_read_codes, read_len, ref, max_divergence
+    )
+    if not segs:
+        return [], [], False
+    extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
+
+    o_len = len(segs)
+    filtered = False
+    if len(segs) > 2 and not nofilter:
+        iloc = 0
+        while iloc < len(segs) - 2:
+            if not drop_misplaced(segs, iloc):
+                iloc += 1
+    if len(segs) < o_len:
+        filtered = True
+        extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
+
+    merge_adjacent(segs, ref)
+    fix_simple_inv(segs, read_codes, ref)
+
+    seg_anchor_lists, cigar_lists = [], []
+    for seg in segs:
+        kept, cigs = segment_cigar(
+            seg, read_codes, rc_read_codes, read_len, ref, eqx=eqx,
+            aligner=global_aligner,
+        )
+        seg_anchor_lists.append(kept)
+        cigar_lists.append(cigs)
+
+    records = records_from_segments(
+        seg_anchor_lists, cigar_lists, readid, mapq, read_len, ref,
+        need_reverse, use_hardclip,
+    )
+    return seg_anchor_lists, records, filtered

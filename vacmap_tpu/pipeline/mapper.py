@@ -1,0 +1,210 @@
+"""Per-read mapping driver: seed -> global chain -> local re-chain ->
+extend/CIGAR -> SAM.
+
+Equivalent of ``get_readmap_DP_test`` plus the worker formatting step
+(mammap_clrnano.py:24023-24084, :24086-24155).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import AlignerConfig
+from ..index.index import ReferenceIndex
+from ..seq import decode, encode, revcomp_codes
+from .chaining import chain_read
+from .extend import RefView, refine_chain
+from .local import local_rechain
+from .sam import paired_indel, records_to_sam
+
+log = logging.getLogger(__name__)
+
+
+class Mapper:
+    """Maps reads against a loaded ReferenceIndex under an AlignerConfig.
+
+    ``extension_aligner`` / ``global_aligner`` hooks allow the device
+    (JAX/Pallas) batched aligners to replace the host reference aligner.
+    """
+
+    def __init__(
+        self,
+        index: ReferenceIndex,
+        config: AlignerConfig,
+        extension_aligner=None,
+        global_aligner=None,
+        chain_backend=None,
+    ):
+        self.index = index
+        self.config = config
+        self.ref = RefView(
+            index.seq_codes, index.contig_starts, index.contig_lens,
+            index.contig_names,
+        )
+        self.extension_aligner = extension_aligner
+        self.global_aligner = global_aligner
+        self.chain_backend = chain_backend
+
+    # ------------------------------------------------------------------
+    def ref_fetch_str(self, contig: str, start: int, end: int) -> str:
+        g = self.index.start_of(contig)
+        return decode(self.index.seq_codes[g + start : g + end])
+
+    # ------------------------------------------------------------------
+    def map_read_records(self, name: str, seq: str):
+        """Run the mapping pipeline; returns (records, filtered_redo_used)
+        where records are (readid, contig, strand, q_st, q_en, r_st, r_en,
+        mapq, cigar) rows."""
+        cfg = self.config
+        p = cfg.preset
+        seq = seq.upper()
+        read_len = len(seq)
+        codes = encode(seq)
+        rc_codes = revcomp_codes(codes)
+
+        anchors = self.index.seeds(seq, check_num=cfg.check_num)
+        if len(anchors) <= 2:
+            return [], False
+
+        skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
+        gc = chain_read(
+            anchors,
+            read_len,
+            kmersize=self.index.k,
+            skipcost=skip_g,
+            maxdiff=maxdiff_g,
+            maxgap=maxgap_g,
+            accept_score=p.accept_score,
+            refund=p.refund_penalty,
+            chain_backend=self.chain_backend,
+        )
+        if gc is None:
+            return [], False
+
+        # local re-chain runs in the normalized orientation: when the read
+        # was strand-flipped, the "read" handed downstream is its reverse
+        # complement (mammap_clrnano.py:24056-24066)
+        if gc.need_reverse:
+            fwd_codes, rev_codes = rc_codes, codes
+        else:
+            fwd_codes, rev_codes = codes, rc_codes
+
+        skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
+        score, path_desc = local_rechain(
+            gc.paths,
+            fwd_codes,
+            rev_codes,
+            self.index.seq_codes,
+            self.index.contig_starts,
+            self.index.contig_lens,
+            kmersize=cfg.local_kmersize,
+            skipcost=skip_l,
+            maxdiff=maxdiff_l,
+            maxgap=maxgap_l,
+            guide_cap=p.guide_chain_cap,
+        )
+        if len(path_desc) <= 1:
+            return [], False
+
+        eqx_internal = cfg.resolved_eqx or cfg.md or cfg.cs
+        nodiscard = cfg.resolved_nodiscard
+        path_asc = path_desc[::-1]
+        segs, records, filtered = refine_chain(
+            path_asc,
+            name,
+            gc.mapq,
+            fwd_codes,
+            rev_codes,
+            read_len,
+            self.ref,
+            maxdiff=maxdiff_l,
+            need_reverse=gc.need_reverse,
+            max_divergence=cfg.resolved_max_divergence,
+            use_hardclip=cfg.hardclip,
+            nofilter=nodiscard,
+            eqx=eqx_internal,
+            extension_aligner=self.extension_aligner,
+            global_aligner=self.global_aligner,
+        )
+        if not records:
+            return [], False
+
+        # paired-indel redo without the misplaced-segment filter
+        # (mammap_clrnano.py:24079-24080)
+        redo = False
+        if not nodiscard and filtered and paired_indel([r[-1] for r in records]):
+            redo = True
+            segs, records, filtered = refine_chain(
+                path_asc,
+                name,
+                gc.mapq,
+                fwd_codes,
+                rev_codes,
+                read_len,
+                self.ref,
+                maxdiff=maxdiff_l,
+                need_reverse=gc.need_reverse,
+                max_divergence=cfg.resolved_max_divergence,
+                use_hardclip=cfg.hardclip,
+                nofilter=True,
+                eqx=eqx_internal,
+                extension_aligner=self.extension_aligner,
+                global_aligner=self.global_aligner,
+            )
+        return records, redo
+
+    # ------------------------------------------------------------------
+    def map_read(
+        self,
+        name: str,
+        seq: str,
+        qual: Optional[str] = None,
+        comment: Optional[str] = None,
+    ) -> List[str]:
+        """Map one read and return SAM text lines (no trailing newline)."""
+        cfg = self.config
+        try:
+            records, _ = self.map_read_records(name, seq)
+        except Exception as err:  # per-read isolation (mammap:24116-24125)
+            if cfg.debug:
+                log.error("read %s failed: %s", name, err)
+            return []
+        if not records:
+            return []
+        try:
+            return records_to_sam(
+                records,
+                seq.upper(),
+                None if cfg.ignore_quals else qual,
+                self.ref_fetch_str,
+                md=cfg.md,
+                cs=cfg.cs,
+                short_cs=cfg.shortcs,
+                cigar2cg=cfg.cigar2cg,
+                markunbalancetra=cfg.resolved_markunbalancetra,
+                hardclip=cfg.hardclip,
+                fakecigar=cfg.fakecigar,
+                rg_id=cfg.rg_id,
+                comment=comment if cfg.copycomments else None,
+                collapse_eqx=not cfg.resolved_eqx,
+            )
+        except Exception as err:
+            if cfg.debug:
+                log.error("read %s SAM emission failed: %s", name, err)
+            return []
+
+    # ------------------------------------------------------------------
+    def header_lines(self, cli: Optional[str] = None) -> List[str]:
+        lines = ["@HD\tVN:1.0"]
+        for name, ln in zip(self.index.contig_names, self.index.contig_lens):
+            lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
+        if self.config.rg_id is not None:
+            lines.append(f"@RG\tID:{self.config.rg_id}")
+        pg = "@PG\tID:vacmap-tpu\tPN:vacmap-tpu\tVN:0.1.0"
+        if cli:
+            pg += f"\tCL:{cli}"
+        lines.append(pg)
+        return lines
