@@ -1,0 +1,262 @@
+"""vacmap-tpu command line interface.
+
+Flag parity with the reference CLI (``src/vacmap/vacmap:75-152``), with a
+few TPU-era additions (--backend, --batch-reads).  The reference index is
+our own ``.vmi`` format (no external minimap2 needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import logging
+import multiprocessing as mp
+import os
+import sys
+import time
+from typing import List, Optional
+
+from .config import AlignerConfig
+from .index.index import ReferenceIndex
+from .io.fastx import fastx_read
+from .io.sam_writer import OutputWriter
+from .pipeline.mapper import Mapper
+
+log = logging.getLogger("vacmap_tpu")
+
+RG_TAGS = ["id", "sm", "lb", "pl", "ds", "dt", "pu", "pi", "pg", "cn", "fo", "ks", "pm", "bc"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vacmap-tpu",
+        description="vacmap-tpu — TPU-native long-read aligner for structural "
+        "variation discovery",
+        formatter_class=argparse.RawTextHelpFormatter,
+    )
+    req = p.add_argument_group("Required Arguments")
+    req.add_argument("-ref", required=True, help="Reference FASTA or .vmi index")
+    req.add_argument("-read", required=True, nargs="+", action="append",
+                     help="Read file(s); wildcards supported")
+    req.add_argument("-mode", required=True, choices=["H", "L", "S", "R", "asm"],
+                     help="H: noisy long reads (ONT/CLR)\nL: HiFi\nS: sensitive\n"
+                          "R: no-prefer-closer\nasm: assembly")
+    out = p.add_argument_group("Output Arguments")
+    out.add_argument("-o", default="-", help="Output (- | .sam | .bam | .sorted.bam)")
+    out.add_argument("--force", action="store_true")
+    out.add_argument("--nowriteindex", action="store_true")
+    par = p.add_argument_group("Alignment Parameters")
+    par.add_argument("-t", type=int, default=4, help="Threads (default 4)")
+    par.add_argument("-k", type=int, default=15)
+    par.add_argument("-w", type=int, default=10)
+    par.add_argument("-c", type=int, default=100, help="Top N clusters")
+    par.add_argument("-maxdivergence", type=float)
+    pen = p.add_argument_group("Penalties")
+    pen.add_argument("-globalpenalty", type=float)
+    pen.add_argument("-localpenalty", type=float)
+    pen.add_argument("-globalmaxdiff", type=int, default=50)
+    pen.add_argument("-localmaxdiff", type=int, default=30)
+    fl = p.add_argument_group("Flags")
+    fl.add_argument("--eqx", action="store_true")
+    fl.add_argument("--MD", action="store_true")
+    fl.add_argument("--cs", nargs="?", const="short", default=None)
+    fl.add_argument("--L", action="store_true", dest="cigar2cg")
+    fl.add_argument("--markunbalancetra", action="store_true", default=None)
+    fl.add_argument("--nodiscard", action="store_true", default=None)
+    fl.add_argument("--copycomments", action="store_true")
+    fl.add_argument("--H", action="store_true", dest="hardclip")
+    fl.add_argument("--fakecigar", action="store_true")
+    fl.add_argument("--Q", action="store_true", dest="ignore_quals")
+    fl.add_argument("--debug", action="store_true")
+    fl.add_argument("-workdir", help="Working directory (asm mode)")
+    fl.add_argument("--backend", choices=["auto", "jax", "numpy"], default="auto",
+                    help="Compute backend for the hot kernels")
+    fl.add_argument("--batch-reads", type=int, default=64)
+    rg = p.add_argument_group("Read-group (RG) metadata")
+    for tag in RG_TAGS:
+        rg.add_argument(f"--rg-{tag}", dest=f"rg_{tag}")
+    return p
+
+
+def config_from_args(args) -> AlignerConfig:
+    rg_extra = {t: getattr(args, f"rg_{t}") for t in RG_TAGS if getattr(args, f"rg_{t}", None)}
+    if rg_extra and "id" not in rg_extra:
+        raise ValueError("--rg-id is required when any other --rg-* option is supplied")
+    return AlignerConfig(
+        mode=args.mode,
+        kmersize=args.k,
+        window=args.w,
+        check_num=args.c,
+        global_maxdiff=args.globalmaxdiff,
+        local_maxdiff=args.localmaxdiff,
+        global_skipcost=args.globalpenalty,
+        local_skipcost=args.localpenalty,
+        max_divergence=args.maxdivergence,
+        markunbalancetra=args.markunbalancetra,
+        nodiscard=args.nodiscard,
+        eqx=args.eqx,
+        md=args.MD,
+        cs=args.cs is not None,
+        shortcs=args.cs != "long",
+        cigar2cg=args.cigar2cg,
+        hardclip=args.hardclip,
+        fakecigar=args.fakecigar,
+        copycomments=args.copycomments,
+        ignore_quals=args.ignore_quals,
+        rg_id=rg_extra.get("id", "1") if (rg_extra or True) else None,
+        threads=args.t,
+        batch_reads=args.batch_reads,
+        backend=args.backend,
+        debug=args.debug,
+        workdir=args.workdir,
+    )
+
+
+def expand_read_paths(read_args) -> List[str]:
+    raw = [x for sub in read_args for x in sub]
+    out = []
+    for s in raw:
+        if any(ch in s for ch in "*?[]"):
+            hits = globmod.glob(s)
+            out.extend(hits if hits else [s])
+        else:
+            out.append(s)
+    return out
+
+
+def load_or_build_index(refpath: str, k: int, w: int, write_index: bool) -> ReferenceIndex:
+    if refpath.endswith(".vmi.npz") or refpath.endswith(".vmi"):
+        return ReferenceIndex.load(refpath if refpath.endswith(".npz") else refpath + ".npz")
+    index_name = f"{refpath}.w{w}_k{k}.vmi.npz"
+    if os.path.isfile(index_name):
+        log.info("Loading index %s", index_name)
+        return ReferenceIndex.load(index_name)
+    log.info("Building index for %s (k=%d w=%d)", refpath, k, w)
+    contigs = {}
+    for rec in fastx_read(refpath):
+        contigs[rec[0]] = rec[1]
+    idx = ReferenceIndex.build(contigs, k=k, w=w)
+    if write_index:
+        idx.save(index_name)
+        log.info("Saved index to %s", index_name)
+    return idx
+
+
+def _worker(raw_q, cooked_q, index, cfg):
+    mapper = Mapper(index, cfg)
+    batch: List[str] = []
+    chars = 0
+    while True:
+        item = raw_q.get()
+        if isinstance(item, int):
+            break
+        name, seq, qual, comment = item
+        lines = mapper.map_read(name, seq, qual, comment)
+        for l in lines:
+            chars += len(l)
+        batch.extend(lines)
+        if chars > 2_000_000:
+            cooked_q.put(batch)
+            batch, chars = [], 0
+    if batch:
+        cooked_q.put(batch)
+    cooked_q.put(1)  # per-worker done sentinel
+
+
+def _writer(cooked_q, writer: OutputWriter, n_workers: int):
+    done = 0
+    while done < n_workers:
+        item = cooked_q.get()
+        if isinstance(item, int):
+            done += 1
+            continue
+        if item:
+            writer.write_lines(item)
+    writer.close()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(
+        format="%(levelname)s: %(asctime)s %(message)s",
+        datefmt="%m/%d/%Y %I:%M:%S %p",
+        level=logging.INFO,
+    )
+    args, _ = build_parser().parse_known_args(argv)
+    cfg = config_from_args(args)
+    read_paths = expand_read_paths(args.read)
+    for f in read_paths:
+        if not os.path.isfile(f):
+            log.error("Read file not found: %s", f)
+            return 1
+    if not os.path.isfile(args.ref):
+        log.error("Reference file not found: %s", args.ref)
+        return 1
+    if args.o != "-":
+        if not (args.o.endswith(".sam") or args.o.endswith(".bam")):
+            raise ValueError("Output must end with .sam/.bam/.sorted.bam or '-'")
+        if os.path.isfile(args.o) and not args.force:
+            raise ValueError("Output file exists; use --force to overwrite")
+
+    index = load_or_build_index(args.ref, args.k, args.w, not args.nowriteindex)
+    mapper0 = Mapper(index, cfg)
+    header = mapper0.header_lines(cli=" ".join(sys.argv))
+    writer = OutputWriter(args.o, header)
+
+    n_workers = max(cfg.threads, 1)
+    st = time.time()
+    count = 0
+    if n_workers == 1:
+        for path in read_paths:
+            log.info("Reading %s", path)
+            for rec in fastx_read(path, read_comment=cfg.copycomments):
+                name, seq = rec[0], rec[1]
+                qual = rec[2] if len(rec) > 2 else None
+                comment = rec[3] if len(rec) > 3 else None
+                lines = mapper0.map_read(name, seq, qual, comment)
+                if lines:
+                    writer.write_lines(lines)
+                count += 1
+        writer.close()
+    else:
+        ctx = mp.get_context("fork")
+        raw_q = ctx.Queue(maxsize=n_workers * 200)
+        cooked_q = ctx.Queue(maxsize=n_workers * 200)
+        workers = [
+            ctx.Process(target=_worker, args=(raw_q, cooked_q, index, cfg))
+            for _ in range(n_workers)
+        ]
+        for w in workers:
+            w.start()
+        wproc = ctx.Process(target=_writer, args=(cooked_q, writer, n_workers))
+        wproc.start()
+        seen = set()
+        for path in read_paths:
+            log.info("Reading %s", path)
+            for rec in fastx_read(path, read_comment=cfg.copycomments):
+                name, seq = rec[0], rec[1]
+                if hash(name) in seen:
+                    continue
+                seen.add(hash(name))
+                qual = rec[2] if len(rec) > 2 else None
+                comment = rec[3] if len(rec) > 3 else None
+                raw_q.put((name, seq, qual, comment))
+                count += 1
+                if count % 100_000 == 0:
+                    dt = max(time.time() - st, 1e-3)
+                    log.info("%d reads queued (%.0f/s)", count, count / dt)
+        for _ in workers:
+            raw_q.put(0)
+        for w in workers:
+            w.join()
+        wproc.join()
+
+    dt = max(time.time() - st, 1e-3)
+    log.info(
+        "Done: %d sequences in %dh%dm%ds (%.1f/s)",
+        count, int(dt // 3600), int(dt % 3600 // 60), int(dt % 60), count / dt,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

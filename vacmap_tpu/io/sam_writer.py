@@ -1,0 +1,246 @@
+"""Output writers: SAM text, BAM (native BGZF, no samtools dependency),
+and coordinate-sorted BAM.
+
+The reference pipes SAM text into external ``samtools view/sort``
+subprocesses (output_functions.py:172-293).  This environment has no
+samtools, so BAM encoding (BGZF blocks + binary records) is implemented
+natively; when samtools IS present it is still preferred for .sorted.bam
+(streaming external sort).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import struct
+import subprocess
+import sys
+import zlib
+from typing import Dict, List, Optional, TextIO
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+_CIGAR_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7, "X": 8}
+_SEQ_NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def bgzf_block(data: bytes) -> bytes:
+    """One BGZF block (gzip member with BC extra field)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = co.compress(data) + co.flush()
+    bsize = len(cdata) + 25 + 1
+    header = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<HBBHH", 6, 66, 67, 2, bsize - 1)
+    )
+    return header + cdata + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+
+
+class BgzfWriter:
+    def __init__(self, fh):
+        self.fh = fh
+        self.buf = bytearray()
+
+    def write(self, data: bytes):
+        self.buf += data
+        while len(self.buf) >= 60000:
+            self.fh.write(bgzf_block(bytes(self.buf[:60000])))
+            del self.buf[:60000]
+
+    def close(self):
+        if self.buf:
+            self.fh.write(bgzf_block(bytes(self.buf)))
+            self.buf = bytearray()
+        self.fh.write(BGZF_EOF)
+        self.fh.flush()
+
+
+def encode_bam_record(fields: List[str], ref_ids: Dict[str, int]) -> bytes:
+    """Encode one SAM text line's fields into a BAM alignment record."""
+    qname, flag, rname, pos, mapq, cigar = fields[:6]
+    seq, qual = fields[9], fields[10]
+    flag = int(flag)
+    refid = ref_ids.get(rname, -1)
+    pos0 = int(pos) - 1
+    cig = []
+    if cigar != "*":
+        for m in _CIGAR_RE.finditer(cigar):
+            cig.append((int(m.group(1)) << 4) | _CIGAR_OP[m.group(2)])
+    l_seq = 0 if seq == "*" else len(seq)
+    name_b = qname.encode() + b"\x00"
+    # bin: use reg2bin of the alignment interval
+    end = pos0
+    for m in _CIGAR_RE.finditer(cigar if cigar != "*" else ""):
+        if m.group(2) in "MDN=X":
+            end += int(m.group(1))
+    end = max(end, pos0 + 1)
+    bin_ = _reg2bin(pos0, end)
+    rec = struct.pack(
+        "<iiBBHHHiiii",
+        refid,
+        pos0,
+        len(name_b),
+        int(mapq),
+        bin_,
+        len(cig),
+        flag,
+        l_seq,
+        -1,
+        -1,
+        0,
+    )
+    rec += name_b
+    rec += struct.pack(f"<{len(cig)}I", *cig)
+    if l_seq:
+        nib = bytearray()
+        for i in range(0, l_seq, 2):
+            hi = _SEQ_NIBBLE.get(seq[i], 15) << 4
+            lo = _SEQ_NIBBLE.get(seq[i + 1], 15) if i + 1 < l_seq else 0
+            nib.append(hi | lo)
+        rec += bytes(nib)
+        if qual == "*":
+            rec += b"\xff" * l_seq
+        else:
+            rec += bytes((ord(c) - 33) & 0xFF for c in qual)
+    rec += _encode_tags(fields[11:])
+    return struct.pack("<i", len(rec)) + rec
+
+
+def _encode_tags(tags: List[str]) -> bytes:
+    out = bytearray()
+    for t in tags:
+        parts = t.split(":", 2)
+        if len(parts) != 3:
+            continue
+        tag, code, val = parts
+        out += tag.encode()[:2]
+        if code == "i":
+            out += b"i" + struct.pack("<i", int(val))
+        elif code == "f":
+            out += b"f" + struct.pack("<f", float(val))
+        else:
+            out += b"Z" + val.encode() + b"\x00"
+    return bytes(out)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class OutputWriter:
+    """Unified writer: '-' / .sam = text; .bam = native BGZF BAM;
+    .sorted.bam = coordinate-sorted BAM (samtools when available,
+    otherwise native in-memory sort)."""
+
+    def __init__(self, path: str, header_lines: List[str]):
+        self.path = path
+        self.header_lines = header_lines
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        for h in header_lines:
+            if h.startswith("@SQ"):
+                d = dict(f.split(":", 1) for f in h.split("\t")[1:])
+                self.ref_names.append(d["SN"])
+                self.ref_lens.append(int(d["LN"]))
+        self.ref_ids = {n: i for i, n in enumerate(self.ref_names)}
+        self.mode = self._mode(path)
+        self._pending: List[str] = []
+        self._proc = None
+        self._fh = None
+        self._bgzf = None
+        self._open()
+
+    @staticmethod
+    def _mode(path: str) -> str:
+        if path == "-" or path.endswith(".sam"):
+            return "sam"
+        if path.endswith(".sorted.bam"):
+            return "sorted.bam"
+        if path.endswith(".bam"):
+            return "bam"
+        raise ValueError(
+            "Output path must end with .sam, .bam, .sorted.bam, or be '-'"
+        )
+
+    def _open(self):
+        htext = "\n".join(self.header_lines) + "\n"
+        if self.mode == "sam":
+            self._fh = sys.stdout if self.path == "-" else open(self.path, "w")
+            self._fh.write(htext)
+        elif self.mode == "sorted.bam" and shutil.which("samtools"):
+            self._proc = subprocess.Popen(
+                ["samtools", "sort", "-@", "4", "--write-index", "-o", self.path, "-"],
+                stdin=subprocess.PIPE,
+                encoding="utf-8",
+            )
+            self._proc.stdin.write(htext)
+        else:  # native bam / native sorted bam
+            self._fh = open(self.path, "wb")
+            self._bgzf = BgzfWriter(self._fh)
+            if self.mode == "bam":
+                self._write_bam_header(htext)
+
+    def _write_bam_header(self, htext: str):
+        b = self._bgzf
+        b.write(b"BAM\x01")
+        hb = htext.encode()
+        b.write(struct.pack("<i", len(hb)) + hb)
+        b.write(struct.pack("<i", len(self.ref_names)))
+        for n, l in zip(self.ref_names, self.ref_lens):
+            nb = n.encode() + b"\x00"
+            b.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", l))
+
+    def write_lines(self, lines: List[str]):
+        if self.mode == "sam":
+            self._fh.write("\n".join(lines) + "\n")
+        elif self._proc is not None:
+            self._proc.stdin.write("\n".join(lines) + "\n")
+        elif self.mode == "bam":
+            for line in lines:
+                self._bgzf.write(
+                    encode_bam_record(line.rstrip("\n").split("\t"), self.ref_ids)
+                )
+        else:  # native sorted: buffer, sort at close
+            self._pending.extend(lines)
+
+    def close(self):
+        if self.mode == "sam":
+            if self.path != "-":
+                self._fh.close()
+            return
+        if self._proc is not None:
+            self._proc.stdin.close()
+            rc = self._proc.wait()
+            if rc != 0:
+                print(f"Error: samtools exited with code {rc}", file=sys.stderr)
+            return
+        if self.mode == "sorted.bam":
+            def key(line):
+                f = line.split("\t")
+                rid = self.ref_ids.get(f[2], 1 << 30)
+                return (rid, int(f[3]))
+
+            self._pending.sort(key=key)
+            htext = "\n".join(self.header_lines) + "\n"
+            self._write_bam_header(htext)
+            for line in self._pending:
+                self._bgzf.write(
+                    encode_bam_record(line.rstrip("\n").split("\t"), self.ref_ids)
+                )
+            self._pending = []
+        self._bgzf.close()
+        self._fh.close()
