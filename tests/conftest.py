@@ -2,12 +2,18 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs TPU).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment's sitecustomize pre-registers the 'axon' TPU backend and
+# pins jax_platforms, so override the config explicitly (env vars alone are
+# read too early/late to take effect here).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

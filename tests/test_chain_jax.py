@@ -62,7 +62,7 @@ def test_jax_backend_in_pipeline(rng):
     from vacmap_tpu.pipeline.chaining import chain_read
 
     a = chainy_anchors(rng, read_len=3000, noise=15)
-    backend = JaxChainBackend(kmersize=15, skipcost=40.0, maxdiff=50, maxgap=1000)
+    backend = JaxChainBackend()
     gc_dev = chain_read(
         a, 3000, kmersize=15, skipcost=40.0, maxdiff=50, accept_score=60.0,
         chain_backend=backend,

@@ -225,7 +225,9 @@ def prepare_batch(anchor_list, variant: str, skipcost: float, maxdiff: int):
     host (cheap O(n) bincounts)."""
     B = len(anchor_list)
     N = max((len(a) for a in anchor_list), default=1)
-    N = max(int(np.ceil(N / 128)) * 128, 128)
+    # bucket N to powers of two (>=128) so each (variant, N) pair compiles
+    # exactly once per process
+    N = max(128, 1 << int(np.ceil(np.log2(max(N, 1)))))
     anchors = np.zeros((B, N, 4), np.int32)
     n_valid = np.zeros(B, np.int32)
     skip_i = np.full((B, N), float(skipcost), np.float32)
@@ -243,29 +245,25 @@ def prepare_batch(anchor_list, variant: str, skipcost: float, maxdiff: int):
 
 
 class JaxChainBackend:
-    """chain_read-compatible backend: per-call batch of one (the batched
-    executor calls chain_scores_batch directly)."""
+    """chain_read/chain_local-compatible backend: per-call batch of one
+    (the batched executor calls chain_scores_batch directly)."""
 
-    def __init__(self, kmersize: int, skipcost: float, maxdiff: int, maxgap: int,
-                 max_anchors: int = 20000):
-        self.kmersize = kmersize
-        self.skipcost = skipcost
-        self.maxdiff = maxdiff
-        self.maxgap = maxgap
+    def __init__(self, max_anchors: int = 65536):
         self.max_anchors = max_anchors
 
-    def __call__(self, A: np.ndarray, variant: str):
+    def __call__(self, A: np.ndarray, variant: str, kmersize: int,
+                 skipcost: float, maxdiff: int, maxgap: int):
         from .chain_ref import ChainResult
 
         if len(A) > self.max_anchors:
             return None  # fall back to host fast path
         anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
-            [A], variant, self.skipcost, self.maxdiff
+            [A], variant, skipcost, maxdiff
         )
         S, P = chain_scores_batch(
             anchors, n_valid, skip_i, maxdiff_i,
-            kmersize=self.kmersize, maxdiff=self.maxdiff, maxgap=self.maxgap,
-            skipcost=self.skipcost, variant=variant,
+            kmersize=kmersize, maxdiff=maxdiff, maxgap=maxgap,
+            skipcost=skipcost, variant=variant,
         )
         n = len(A)
         S = np.asarray(S[0][:n], np.float64)

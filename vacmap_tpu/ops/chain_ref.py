@@ -496,6 +496,7 @@ def chain_local(
     maxdiff: int = 30,
     maxgap: int = 99,
     mismatch: bool = False,
+    chain_backend=None,
 ) -> Tuple[float, list]:
     """Local k=9 re-chain: returns (score, path) where path is the best
     chain in DESCENDING read-position order with overlapping anchors
@@ -505,14 +506,18 @@ def chain_local(
     Expects anchors sorted by readpos+len (mammap_clrnano.py:28585).
     """
     variant = "mismatch" if mismatch else "fine"
-    res = chain_dp(
-        anchors,
-        kmersize=kmersize,
-        skipcost=skipcost,
-        maxdiff=maxdiff,
-        maxgap=maxgap,
-        variant=variant,
-    )
+    res = None
+    if chain_backend is not None:
+        res = chain_backend(anchors, variant, kmersize, skipcost, maxdiff, maxgap)
+    if res is None:
+        res = chain_dp(
+            anchors,
+            kmersize=kmersize,
+            skipcost=skipcost,
+            maxdiff=maxdiff,
+            maxgap=maxgap,
+            variant=variant,
+        )
     if res.aborted:
         res = chain_dp_fast(
             anchors,

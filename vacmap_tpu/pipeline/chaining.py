@@ -171,7 +171,7 @@ def chain_read(
     res: Optional[ChainResult] = None
     if not dense:
         if chain_backend is not None:
-            res = chain_backend(A, variant)
+            res = chain_backend(A, variant, kmersize, skipcost, maxdiff, maxgap)
         if res is None:
             res = chain_dp(
                 A,

@@ -106,6 +106,7 @@ def local_rechain(
     maxdiff: int = 30,
     maxgap: int = 99,
     guide_cap: int = 5,
+    chain_backend=None,
 ) -> Tuple[float, list]:
     """Merge/filter guides, harvest, and run the fine-scale DP.
 
@@ -143,4 +144,5 @@ def local_rechain(
         maxdiff=maxdiff,
         maxgap=maxgap,
         mismatch=multi,
+        chain_backend=chain_backend,
     )

@@ -46,6 +46,13 @@ class Mapper:
         )
         self.extension_aligner = extension_aligner
         self.global_aligner = global_aligner
+        if chain_backend is None and config.backend in ("auto", "jax"):
+            try:
+                from ..ops.chain_jax import JaxChainBackend
+
+                chain_backend = JaxChainBackend()
+            except Exception:
+                chain_backend = None
         self.chain_backend = chain_backend
 
     # ------------------------------------------------------------------
@@ -105,6 +112,7 @@ class Mapper:
             maxdiff=maxdiff_l,
             maxgap=maxgap_l,
             guide_cap=p.guide_chain_cap,
+            chain_backend=self.chain_backend,
         )
         if len(path_desc) <= 1:
             return [], False
