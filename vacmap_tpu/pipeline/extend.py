@@ -155,6 +155,10 @@ _EXT_KW = dict(
 )
 
 
+def _host_ext_batch(pairs):
+    return [align2p(t, q, **_EXT_KW) for t, q in pairs]
+
+
 def extend_edges(
     segs: List[List[tuple]],
     read_codes,
@@ -165,51 +169,21 @@ def extend_edges(
 ) -> None:
     """Extend each segment's both ends toward the read ends / neighbouring
     segments with banded zdrop extension alignment; the end anchors are
-    replaced by zero-length anchors at the extended positions."""
-    ext = aligner or (lambda t, q: align2p(t, q, **_EXT_KW))
-    idx = -1
-    while True:
-        idx += 1
-        if idx >= len(segs):
-            break
-        seg = segs[idx]
-        # --- left/start edge ------------------------------------------
-        if seg[0][0] > 0:
-            pre_idx = max(idx - san, 0)
-            if idx == 0 or idx - san < 0:
-                looksize = seg[0][0]
-            else:
-                p = segs[pre_idx][-1]
-                looksize = seg[0][0] - (p[0] + p[3])
-            item = seg[0]
-            if item[2] == 1:
-                target_st = item[1]
-                query_st = item[0]
-                looksize = min(looksize, target_st - ref.contig_start(item[1]))
-                looksize = min(looksize, MAX_EXTEND)
-                if looksize > 0:
-                    q = read_codes[max(query_st - looksize, 0) : query_st][::-1]
-                    t = ref.fetch(target_st - len(q), target_st)[::-1]
-                    r = ext(t, q)
-                    seg[0] = (query_st - r.q_end, target_st - r.t_end, 1, 0)
-            else:
-                target_en = item[1] + item[3]
-                query_st = item[0]
-                looksize = min(looksize, ref.contig_end(item[1]) - (target_en - 1))
-                looksize = min(looksize, MAX_EXTEND)
-                if looksize > 0:
-                    q = read_codes[max(query_st - looksize, 0) : query_st][::-1]
-                    t = revcomp_codes(ref.fetch(target_en, target_en + len(q)))[::-1]
-                    r = ext(t, q)
-                    seg[0] = (query_st - r.q_end, target_en + r.t_end, -1, 0)
-        else:
-            item = seg[0]
-            if item[2] == 1:
-                seg[0] = (item[0], item[1], 1, 0)
-            else:
-                seg[0] = (item[0], item[1] + item[3], -1, 0)
+    replaced by zero-length anchors at the extended positions.
 
-        # --- right/end edge -------------------------------------------
+    Runs as two batched waves — all right/end edges first (they depend
+    only on the raw start of the following segment), then all left/start
+    edges (they depend on the previous segment's extended end) — which is
+    dependency-equivalent to the reference's interleaved sequential order
+    (mammap_clrnano.py:2321-2526) but lets all alignments in a wave run as
+    one device batch.  ``aligner`` is a batch callable: list of
+    (target_codes, query_codes) -> list of results with .q_end/.t_end.
+    """
+    batch_align = aligner or _host_ext_batch
+
+    # ---- wave 1: right/end edges -------------------------------------
+    jobs, meta = [], []
+    for idx, seg in enumerate(segs):
         if seg[-1][0] + seg[-1][3] < read_len:
             nxt_idx = min(idx + san, len(segs))
             if nxt_idx == len(segs):
@@ -225,8 +199,8 @@ def extend_edges(
                 if looksize > 0:
                     q = read_codes[query_en : query_en + looksize]
                     t = ref.fetch(target_en, target_en + len(q))
-                    r = ext(t, q)
-                    seg[-1] = (query_en + r.q_end, target_en + r.t_end, 1, 0)
+                    jobs.append((t, q))
+                    meta.append((idx, 1, query_en, target_en))
             else:
                 target_st = item[1]
                 query_en = item[0] + item[3]
@@ -235,14 +209,61 @@ def extend_edges(
                 if looksize > 0:
                     q = read_codes[query_en : query_en + looksize]
                     t = revcomp_codes(ref.fetch(target_st - len(q), target_st))
-                    r = ext(t, q)
-                    seg[-1] = (query_en + r.q_end, target_st - r.t_end, -1, 0)
+                    jobs.append((t, q))
+                    meta.append((idx, -1, query_en, target_st))
         else:
             item = seg[-1]
             if item[2] == 1:
                 seg[-1] = (item[0] + item[3], item[1] + item[3], 1, 0)
             else:
                 seg[-1] = (item[0] + item[3], item[1], -1, 0)
+    for (idx, strand, query_en, tpos), r in zip(meta, batch_align(jobs)):
+        if strand == 1:
+            segs[idx][-1] = (query_en + r.q_end, tpos + r.t_end, 1, 0)
+        else:
+            segs[idx][-1] = (query_en + r.q_end, tpos - r.t_end, -1, 0)
+
+    # ---- wave 2: left/start edges ------------------------------------
+    jobs, meta = [], []
+    for idx, seg in enumerate(segs):
+        if seg[0][0] > 0:
+            if idx == 0 or idx - san < 0:
+                looksize = seg[0][0]
+            else:
+                p = segs[max(idx - san, 0)][-1]
+                looksize = seg[0][0] - (p[0] + p[3])
+            item = seg[0]
+            if item[2] == 1:
+                target_st = item[1]
+                query_st = item[0]
+                looksize = min(looksize, target_st - ref.contig_start(item[1]))
+                looksize = min(looksize, MAX_EXTEND)
+                if looksize > 0:
+                    q = read_codes[max(query_st - looksize, 0) : query_st][::-1]
+                    t = ref.fetch(target_st - len(q), target_st)[::-1]
+                    jobs.append((t, q))
+                    meta.append((idx, 1, query_st, target_st))
+            else:
+                target_en = item[1] + item[3]
+                query_st = item[0]
+                looksize = min(looksize, ref.contig_end(item[1]) - (target_en - 1))
+                looksize = min(looksize, MAX_EXTEND)
+                if looksize > 0:
+                    q = read_codes[max(query_st - looksize, 0) : query_st][::-1]
+                    t = revcomp_codes(ref.fetch(target_en, target_en + len(q)))[::-1]
+                    jobs.append((t, q))
+                    meta.append((idx, -1, query_st, target_en))
+        else:
+            item = seg[0]
+            if item[2] == 1:
+                seg[0] = (item[0], item[1], 1, 0)
+            else:
+                seg[0] = (item[0], item[1] + item[3], -1, 0)
+    for (idx, strand, query_st, tpos), r in zip(meta, batch_align(jobs)):
+        if strand == 1:
+            segs[idx][0] = (query_st - r.q_end, tpos - r.t_end, 1, 0)
+        else:
+            segs[idx][0] = (query_st - r.q_end, tpos + r.t_end, -1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -461,22 +482,19 @@ _GLOBAL_KW = dict(
 MIN_GAP_FOR_CIGAR = 200
 
 
-def segment_cigar(
+def segment_cigar_jobs(
     seg: List[tuple],
     read_codes,
     rc_read_codes,
     read_len: int,
     ref: RefView,
-    eqx: bool = False,
-    aligner: Optional[Callable] = None,
-) -> Tuple[List[tuple], List[str]]:
-    """Base-level CIGAR for one segment: walk anchor pairs, batch small
-    gaps (anchor len < 19 or gap < 200 skipped unless last), align each
-    inter-anchor stretch globally, concatenate.
+) -> Tuple[List[tuple], List[Tuple[np.ndarray, np.ndarray]]]:
+    """Walk a segment's anchor pairs, batching small gaps (anchor len < 19
+    or gap < 200 skipped unless last), and emit the (target, query) pairs
+    whose global alignments, concatenated, form the segment CIGAR.
 
-    Returns (kept_anchors, cigar_pieces); kept_anchors[0] and [-1] are the
-    zero-length edge anchors."""
-    gl = aligner or (lambda t, q: align2p(t, q, eqx=eqx, **_GLOBAL_KW))
+    Returns (kept_anchors, pairs); pairs[i] spans kept[i] -> kept[i+1];
+    kept[0] and kept[-1] are the zero-length edge anchors."""
     seg = list(seg)
     if seg[0][2] == 1:
         if seg[-1][3] != 0:
@@ -490,7 +508,7 @@ def segment_cigar(
         walk = seg[::-1]
 
     kept = [walk[0]]
-    cig: List[str] = []
+    pairs: List[Tuple[np.ndarray, np.ndarray]] = []
     pre = walk[0]
     i = 1
     minus = seg[0][2] != 1
@@ -516,14 +534,17 @@ def segment_cigar(
             )
         if len(t) == 0 or len(q) == 0:
             raise RuntimeError("Failed to compute CIGAR: empty gap sequences")
-        r = gl(t, q)
         kept.append(now)
-        cig.append(r.cigar)
+        pairs.append((t, q))
         pre = now
         i += 1
-    if not cig:
+    if not pairs:
         raise RuntimeError("Failed to compute CIGAR: no aligned pieces")
-    return kept, cig
+    return kept, pairs
+
+
+def _host_global_batch(pairs, eqx):
+    return [align2p(t, q, eqx=eqx, **_GLOBAL_KW) for t, q in pairs]
 
 
 # ---------------------------------------------------------------------------
@@ -654,14 +675,24 @@ def refine_chain(
     merge_adjacent(segs, ref)
     fix_simple_inv(segs, read_codes, ref)
 
-    seg_anchor_lists, cigar_lists = [], []
+    # collect every inter-anchor gap of every segment and align them as
+    # ONE batch (the device aligner buckets by length internally)
+    gl_batch = global_aligner or _host_global_batch
+    seg_anchor_lists, seg_npairs = [], []
+    all_pairs = []
     for seg in segs:
-        kept, cigs = segment_cigar(
-            seg, read_codes, rc_read_codes, read_len, ref, eqx=eqx,
-            aligner=global_aligner,
+        kept, pairs = segment_cigar_jobs(
+            seg, read_codes, rc_read_codes, read_len, ref
         )
         seg_anchor_lists.append(kept)
-        cigar_lists.append(cigs)
+        seg_npairs.append(len(pairs))
+        all_pairs.extend(pairs)
+    all_results = gl_batch(all_pairs, eqx)
+    cigar_lists = []
+    off = 0
+    for n in seg_npairs:
+        cigar_lists.append([r.cigar for r in all_results[off : off + n]])
+        off += n
 
     records = records_from_segments(
         seg_anchor_lists, cigar_lists, readid, mapq, read_len, ref,

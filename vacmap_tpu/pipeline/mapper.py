@@ -46,13 +46,25 @@ class Mapper:
         )
         self.extension_aligner = extension_aligner
         self.global_aligner = global_aligner
-        if chain_backend is None and config.backend in ("auto", "jax"):
+        if config.backend in ("auto", "jax"):
             try:
+                from ..ops.affine_jax import BatchAligner
                 from ..ops.chain_jax import JaxChainBackend
 
-                chain_backend = JaxChainBackend()
+                if chain_backend is None:
+                    chain_backend = JaxChainBackend()
+                if extension_aligner is None:
+                    ext = BatchAligner(
+                        o1=4, e1=4, o2=4, e2=4, zdrop=50, glob=False
+                    )
+                    self.extension_aligner = ext.align_batch
+                if global_aligner is None:
+                    glb = BatchAligner(glob=True)
+                    self.global_aligner = lambda pairs, eqx: glb.align_batch(
+                        pairs, eqx=eqx
+                    )
             except Exception:
-                chain_backend = None
+                pass
         self.chain_backend = chain_backend
 
     # ------------------------------------------------------------------
