@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from vacmap_tpu import native
+from vacmap_tpu.ops.affine_ref import align2p
+from vacmap_tpu.ops.edit import edit_distance
+from vacmap_tpu.seq import encode
+from tests.conftest import random_dna
+from tests.test_affine import cigar_walk
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native lib unavailable"
+)
+
+
+def test_native_edit_distance_matches_python(rng):
+    for _ in range(30):
+        a = encode(random_dna(rng, int(rng.integers(1, 200))))
+        b = encode(random_dna(rng, int(rng.integers(1, 200))))
+        expect = edit_distance(a, b)
+        got = native.edit_distance_native(a, b)
+        assert got == expect, (len(a), len(b), got, expect)
+
+
+def test_native_edit_distance_long(rng):
+    s = random_dna(rng, 5000)
+    a = encode(s)
+    # 2% mutations
+    b = list(s)
+    for _ in range(100):
+        b[int(rng.integers(0, len(b)))] = "ACGT"[rng.integers(0, 4)]
+    b = encode("".join(b))
+    d = native.edit_distance_native(a, b)
+    assert 0 < d <= 100
+
+
+def test_native_edit_distance_cap():
+    a = encode("A" * 100)
+    b = encode("T" * 100)
+    assert native.edit_distance_native(a, b, cap=10) == 11
+
+
+def test_native_align_matches_host_score(rng):
+    from tests.test_affine import scalar_align_score
+
+    for seed in range(6):
+        r2 = np.random.default_rng(seed)
+        t = random_dna(r2, 120)
+        q = list(t)
+        for _ in range(10):
+            i = int(r2.integers(0, len(q)))
+            op = int(r2.integers(0, 3))
+            if op == 0:
+                q[i] = "ACGT"[r2.integers(0, 4)]
+            elif op == 1 and len(q) > 10:
+                del q[i]
+            else:
+                q.insert(i, "ACGT"[r2.integers(0, 4)])
+        q = "".join(q)
+        te, qe = encode(t), encode(q)
+        res = native.align2p_native(te, qe, bw=-1, zdrop=-1)
+        assert res is not None
+        ops, q_end, t_end, score, zd = res
+        expect = scalar_align_score(t, q)
+        assert score == expect
+        cig = native.ops_to_cigar(ops)
+        ti, qi, sc = cigar_walk(cig, t, q)
+        assert (ti, qi) == (len(t), len(q))
+        assert sc == expect
+
+
+def test_native_extension_mode(rng):
+    common = random_dna(rng, 400)
+    t = encode(common + random_dna(rng, 300))
+    q = encode(common + random_dna(rng, 300))
+    res = native.align2p_native(
+        t, q, o1=4, e1=4, o2=4, e2=4, bw=100, zdrop=50
+    )
+    ops, q_end, t_end, score, zd = res
+    assert zd
+    assert 350 <= q_end <= 450 and 350 <= t_end <= 450

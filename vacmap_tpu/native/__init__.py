@@ -1,0 +1,133 @@
+"""Native (C++) host kernels, bound via ctypes.
+
+The library is compiled on demand with g++ into this package directory;
+all callers degrade gracefully to the numpy implementations when neither
+a prebuilt .so nor a compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "vacmap_native.cpp")
+_SO = os.path.join(_DIR, "libvacmap_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # no compiler / failure -> numpy fallback
+        log.debug("native build failed: %s", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.myers_edit_distance.restype = ctypes.c_int64
+    lib.myers_edit_distance.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.align2p_native.restype = ctypes.c_int
+    lib.align2p_native.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def edit_distance_native(a: np.ndarray, b: np.ndarray, cap: int = -1) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    return int(
+        lib.myers_edit_distance(
+            a.ctypes.data, len(a), b.ctypes.data, len(b), cap
+        )
+    )
+
+
+_OPCHARS = "MID"
+
+
+def align2p_native(
+    target: np.ndarray,
+    query: np.ndarray,
+    match=2, mismatch=-4, o1=4, e1=2, o2=24, e2=1,
+    bw=-1, zdrop=-1,
+):
+    """Returns (ops ndarray (n,2) of (opcode, len), q_end, t_end, score,
+    zdropped) or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(target, np.uint8)
+    q = np.ascontiguousarray(query, np.uint8)
+    max_ops = 2 * (len(t) + len(q)) + 16
+    out = np.zeros((max_ops, 2), np.int32)
+    n_ops = ctypes.c_int64()
+    q_end = ctypes.c_int64()
+    t_end = ctypes.c_int64()
+    score = ctypes.c_int64()
+    zdropped = ctypes.c_int()
+    glob = 1 if bw < 0 else 0
+    rc = lib.align2p_native(
+        t.ctypes.data, len(t), q.ctypes.data, len(q),
+        match, mismatch, o1, e1, o2, e2, bw, zdrop, glob,
+        out.ctypes.data, max_ops, ctypes.byref(n_ops),
+        ctypes.byref(q_end), ctypes.byref(t_end), ctypes.byref(score),
+        ctypes.byref(zdropped),
+    )
+    if rc != 0:
+        return None
+    return (
+        out[: n_ops.value],
+        int(q_end.value),
+        int(t_end.value),
+        int(score.value),
+        bool(zdropped.value),
+    )
+
+
+def ops_to_cigar(ops: np.ndarray) -> str:
+    return "".join(f"{int(l)}{_OPCHARS[int(o)]}" for o, l in ops)

@@ -61,6 +61,45 @@ def align2p(
     zdrop: int = -1,
     eqx: bool = False,
 ) -> AlignResult:
+    """Dispatcher: native C++ kernel when available, numpy otherwise
+    (both implement the identical cost model and tie-breaks)."""
+    from .. import native
+
+    if native.available() and len(target) and len(query):
+        res = native.align2p_native(
+            target, query, match=match, mismatch=mismatch,
+            o1=gap_open_1, e1=gap_extend_1, o2=gap_open_2, e2=gap_extend_2,
+            bw=bw, zdrop=zdrop,
+        )
+        if res is not None:
+            ops, q_end, t_end, score, zdropped = res
+            cig = native.ops_to_cigar(ops)
+            n_del = int(sum(l for o, l in ops if o == 2))
+            n_ins = int(sum(l for o, l in ops if o == 1))
+            if eqx:
+                cig = _expand_eqx(cig, target, query, t_end, q_end)
+            return AlignResult(cig, zdropped, q_end, t_end, n_del, n_ins, score)
+    return align2p_numpy(
+        target, query, match=match, mismatch=mismatch,
+        gap_open_1=gap_open_1, gap_extend_1=gap_extend_1,
+        gap_open_2=gap_open_2, gap_extend_2=gap_extend_2,
+        bw=bw, zdrop=zdrop, eqx=eqx,
+    )
+
+
+def align2p_numpy(
+    target: np.ndarray,
+    query: np.ndarray,
+    match: int = 2,
+    mismatch: int = -4,
+    gap_open_1: int = 4,
+    gap_extend_1: int = 2,
+    gap_open_2: int = 24,
+    gap_extend_2: int = 1,
+    bw: int = -1,
+    zdrop: int = -1,
+    eqx: bool = False,
+) -> AlignResult:
     """Align query against target (both uint8 base codes).
 
     bw >= 0: banded extension; scores of all cells are tracked and the

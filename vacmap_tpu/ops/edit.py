@@ -62,9 +62,15 @@ def edit_distance(a: np.ndarray, b: np.ndarray, cap: int | None = None) -> int:
 
 def divergence_exceeds(a: np.ndarray, b: np.ndarray, max_ratio: float) -> bool:
     """True when editDistance(a, b)/min(len) > max_ratio (the drop rule at
-    mammap_clrnano.py:19251-19253)."""
+    mammap_clrnano.py:19251-19253).  Uses the native Myers bit-vector
+    kernel when available; numpy banded DP otherwise."""
     mn = min(len(a), len(b))
     if mn == 0:
         return True
     cap = int(max_ratio * mn)
-    return edit_distance(a, b, cap=cap) > cap
+    from .. import native
+
+    d = native.edit_distance_native(a, b, cap=cap) if native.available() else None
+    if d is None:
+        d = edit_distance(a, b, cap=cap)
+    return d > cap
