@@ -79,3 +79,19 @@ def test_native_extension_mode(rng):
     ops, q_end, t_end, score, zd = res
     assert zd
     assert 350 <= q_end <= 450 and 350 <= t_end <= 450
+
+
+@pytest.mark.parametrize("variant", ["global", "refund", "fine", "mismatch"])
+def test_native_chain_matches_numpy(rng, variant):
+    from vacmap_tpu.ops.chain_ref import chain_dp_numpy
+    from tests.test_chain import random_anchors, chainy_anchors
+
+    for maker in (lambda: random_anchors(rng, 70),
+                  lambda: chainy_anchors(rng, read_len=1500, noise=8)):
+        a = maker()
+        if variant in ("fine", "mismatch"):
+            a = a[np.argsort(a[:, 0] + a[:, 3], kind="stable")]
+        S, P, aborted = native.chain_dp_native(a, 15, 40.0, 50, 1000, variant)
+        ref = chain_dp_numpy(a, 15, 40.0, 50, 1000, variant)
+        np.testing.assert_allclose(S, ref.S, atol=1e-6)
+        np.testing.assert_array_equal(P, ref.P)

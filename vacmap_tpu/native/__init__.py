@@ -131,3 +131,42 @@ def align2p_native(
 
 def ops_to_cigar(ops: np.ndarray) -> str:
     return "".join(f"{int(l)}{_OPCHARS[int(o)]}" for o, l in ops)
+
+
+def _bind_chain(lib):
+    lib.chain_dp_native.restype = ctypes.c_int
+    lib.chain_dp_native.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+
+
+_VARIANT_CODE = {"global": 0, "refund": 1, "fine": 2, "mismatch": 3}
+
+
+def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,
+                    maxdiff: int, maxgap: int, variant: str,
+                    max_ops_per_anchor: int = 0):
+    """Exact chaining DP in C++; returns (S, P, aborted) or None when the
+    native lib is unavailable.  anchors must be barrier-sorted int64."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_bound"):
+        _bind_chain(lib)
+        lib._chain_bound = True
+    from ..ops.chain_ref import EXTRA
+
+    A = np.ascontiguousarray(anchors, np.int64)
+    n = len(A)
+    S = np.zeros(n, np.float64)
+    P = np.zeros(n, np.int64)
+    extra = np.ascontiguousarray(EXTRA, np.float32)
+    rc = lib.chain_dp_native(
+        A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
+        _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1,
+        S.ctypes.data, P.ctypes.data, max_ops_per_anchor,
+    )
+    return S, P, rc == 1

@@ -234,3 +234,178 @@ int align2p_native(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Non-linear chaining DP (exact), C++ host kernel.
+//
+// Same recurrence/tie-breaks as ops/chain_ref.chain_dp: for each anchor i,
+// candidates are all anchors with a strictly smaller barrier key, scanned
+// in descending (S, index) order with the lossless early break
+// S[j] <= running_max - len_i (the reference's S_arg scan,
+// mammap_clrnano.py:24828/24944).  variant: 0=global 1=refund 2=fine
+// 3=mismatch.  Anchors must be barrier-sorted (readpos, or readpos+len
+// for local variants).  extra[] table passed in from Python so the
+// surcharge matches bit-for-bit.
+// ---------------------------------------------------------------------------
+
+extern "C" int chain_dp_native(
+    const int64_t* anchors, int64_t n,  // rows of (readpos, refpos, strand, len)
+    int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
+    const float* extra, int64_t extra_size,  // extra table (len = extra_size+1)
+    double* S_out, int64_t* P_out, int64_t max_ops_per_anchor) {
+  if (n == 0) return 0;
+  const bool local = (variant == 2 || variant == 3);
+  const bool refund = (variant == 1);
+
+  // colinear gap-cost table
+  std::vector<double> gapcost_list(maxdiff + 1, 0.0);
+  for (int g = 1; g <= maxdiff; g++) {
+    double coef = (local && g > 10) ? 2.0 : 0.5;
+    gapcost_list[g] = 0.01 * kmersize * g + coef * std::log2((double)g);
+  }
+  // fine-variant colinear readgap cost (float32 table in the reference)
+  std::vector<double> readgapcost(100, 0.0);
+  for (int g = 1; g < 100; g++) readgapcost[g] = (float)(0.1 * std::log2(g + 1.0));
+  // mismatch-variant large readgap cost
+  std::vector<double> lrg(maxgap + 1, 0.0);
+  for (int g = 1; g <= maxgap; g++)
+    lrg[g] = (float)((g >= 30) ? 0.5 * g : 0.1 * std::log2(g + 1.0));
+
+  auto A = [&](int64_t i, int c) { return anchors[i * 4 + c]; };
+
+  // adaptive repeat penalties (global variant)
+  std::vector<double> skip_i(n, skipcost);
+  std::vector<int> maxdiff_i(n, maxdiff);
+  if (variant == 0) {
+    int64_t maxr = 0;
+    for (int64_t i = 0; i < n; i++) maxr = std::max(maxr, A(i, 0));
+    std::vector<int32_t> cov(maxr + 1, 0);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t r = A(i, 0);
+      if (cov[r] < 20) cov[r]++;
+    }
+    for (int64_t i = 0; i < n; i++) {
+      skip_i[i] = skipcost + cov[A(i, 0)];
+      maxdiff_i[i] = std::max(maxdiff - cov[A(i, 0)], 10);
+    }
+  }
+
+  std::vector<double> fixed_pen, pre_pen;
+  if (refund) { fixed_pen.assign(n, 0.0); pre_pen.assign(n, 0.0); }
+
+  std::vector<int64_t> barrier(n);
+  for (int64_t i = 0; i < n; i++)
+    barrier[i] = A(i, 0) + (local ? A(i, 3) : 0);
+
+  // sorted candidate order: ascending (S, index); binary insert per group
+  std::vector<int64_t> order;  // candidate indices sorted ascending by (S, idx)
+  order.reserve(n);
+  std::vector<double> S(n, 0.0);
+  std::vector<int64_t> P(n, -1);
+
+  S[0] = (double)A(0, 3);
+  int64_t inserted = 0;  // anchors currently in `order`
+  int64_t prebarrier = barrier[0];
+  int64_t opcount = 0;
+
+  auto insert_sorted = [&](int64_t k) {
+    double s = S[k];
+    int64_t lo = 0, hi = (int64_t)order.size();
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (S[order[mid]] < s || (S[order[mid]] == s && order[mid] < k)) lo = mid + 1;
+      else hi = mid;
+    }
+    order.insert(order.begin() + lo, k);
+  };
+
+  for (int64_t i = 0; i < n; i++) {
+    if (i > 0 && prebarrier < barrier[i]) {
+      while (inserted < i) insert_sorted(inserted++);
+      prebarrier = barrier[i];
+    }
+    const int64_t r_i = A(i, 0), y_i = A(i, 1), s_i = A(i, 2), l_i = A(i, 3);
+    double max_scores = (double)l_i;
+    int64_t pre_index = -1;
+    bool win_col = false;
+    int64_t win_bonus = 0;
+    // descending (S, idx) scan with early break
+    for (int64_t oi = (int64_t)order.size() - 1; oi >= 0; oi--) {
+      const int64_t j = order[oi];
+      if (barrier[j] >= barrier[i]) continue;  // safety (shouldn't happen)
+      if (!(S[j] > max_scores - (double)l_i)) break;
+      opcount++;
+      const int64_t r_j = A(j, 0), y_j = A(j, 1), s_j = A(j, 2), l_j = A(j, 3);
+      int64_t readgap = r_i - r_j - l_j;
+      int64_t bonus, refgap;
+      const bool same = (s_i == s_j);
+      if (readgap < 0) {
+        bonus = r_i + l_i - r_j - l_j;
+        if (local && bonus <= 0) continue;
+        const int64_t overlap = r_j + l_j - r_i;
+        readgap = 0;
+        if (same) {
+          refgap = (s_i == 1) ? (y_i + overlap - (y_j + l_j)) : (y_j - (y_i + bonus));
+        } else {
+          refgap = (s_j == -1) ? (y_i + overlap - y_j + 1)
+                               : (y_i + bonus - 1 - (y_j + l_j));
+        }
+      } else {
+        bonus = l_i;
+        if (same) {
+          refgap = (s_i == 1) ? (y_i - y_j - l_j) : (y_j - y_i - l_i);
+        } else {
+          refgap = (s_j == -1) ? (y_i - y_j + 1) : (y_i + l_i - 1 - y_j - l_j);
+        }
+      }
+      int64_t gapcost = std::llabs(readgap - refgap);
+      const bool colinear =
+          same && refgap >= 0 && readgap <= maxgap && gapcost <= maxdiff_i[i];
+      double ts;
+      if (colinear) {
+        ts = S[j] + bonus - gapcost_list[gapcost];
+        if (variant == 2) ts -= readgapcost[std::min<int64_t>(readgap, 99)];
+        else if (variant == 3) ts -= lrg[std::min<int64_t>(readgap, maxgap)];
+        else if (refund && fixed_pen[j] < 0 && fixed_pen[j] + bonus >= 0)
+          ts += pre_pen[j];
+      } else {
+        const int64_t gc = std::min(gapcost, extra_size);
+        if (variant == 0) ts = S[j] - skip_i[i] + bonus - (double)extra[gc];
+        else if (variant == 1) ts = S[j] + bonus - skip_i[i];
+        else if (variant == 2) {
+          const double pen = (same ? skipcost : std::min(50.0, skipcost)) +
+                             (double)extra[gc];
+          ts = S[j] + bonus - pen;
+        } else {
+          ts = S[j] + bonus -
+               (skipcost + (float)(0.5 * std::log2((double)std::min<int64_t>(
+                                        gapcost, 99999) + 1.0)));
+        }
+      }
+      if (ts > max_scores) {
+        max_scores = ts;
+        pre_index = j;
+        win_col = colinear;
+        win_bonus = bonus;
+      }
+    }
+    S[i] = max_scores;
+    P[i] = pre_index;
+    if (refund && pre_index >= 0) {
+      const int64_t j = pre_index;
+      if (win_col) {
+        if (fixed_pen[j] < 0 && fixed_pen[j] + win_bonus < 0) {
+          fixed_pen[i] = fixed_pen[j] + win_bonus;
+          pre_pen[i] = pre_pen[j];
+        }
+      } else {
+        fixed_pen[i] = -skip_i[i] + win_bonus;
+        pre_pen[i] = skip_i[i];
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; i++) { S_out[i] = S[i]; P_out[i] = P[i]; }
+  if (max_ops_per_anchor > 0 && opcount / std::max<int64_t>(n, 1) > max_ops_per_anchor)
+    return 1;  // density abort signal (caller switches to fast path)
+  return 0;
+}

@@ -150,6 +150,37 @@ def chain_dp(
     variant: str = "global",
     max_ops_per_anchor: int = 1000,
 ) -> ChainResult:
+    """Exact chaining DP dispatcher: native C++ kernel when available
+    (identical recurrence and tie-breaks), numpy group-vectorized oracle
+    otherwise."""
+    from .. import native
+
+    if native.available() and len(anchors):
+        res = native.chain_dp_native(
+            anchors, kmersize, skipcost, maxdiff, maxgap, variant,
+            max_ops_per_anchor,
+        )
+        if res is not None:
+            S, P, aborted = res
+            g = int(np.argmax(S)) if len(S) else -1
+            if aborted:
+                return ChainResult(-1, S, P, aborted=True)
+            return ChainResult(g, S, P)
+    return chain_dp_numpy(
+        anchors, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+        maxgap=maxgap, variant=variant, max_ops_per_anchor=max_ops_per_anchor,
+    )
+
+
+def chain_dp_numpy(
+    anchors: np.ndarray,
+    kmersize: int = 15,
+    skipcost: float = 40.0,
+    maxdiff: int = 50,
+    maxgap: int = 1000,
+    variant: str = "global",
+    max_ops_per_anchor: int = 1000,
+) -> ChainResult:
     """Exact chaining DP over `anchors` (n,4) = (readpos, refpos, strand, len).
 
     variant:

@@ -46,25 +46,20 @@ class Mapper:
         )
         self.extension_aligner = extension_aligner
         self.global_aligner = global_aligner
-        if config.backend in ("auto", "jax"):
+        if config.backend == "jax":
             try:
-                from ..ops.affine_jax import BatchAligner
+                from ..parallel import runtime
+
+                runtime.enable_compilation_cache()
                 from ..ops.chain_jax import JaxChainBackend
 
                 if chain_backend is None:
                     chain_backend = JaxChainBackend()
-                if extension_aligner is None:
-                    ext = BatchAligner(
-                        o1=4, e1=4, o2=4, e2=4, zdrop=50, glob=False
-                    )
-                    self.extension_aligner = ext.align_batch
-                if global_aligner is None:
-                    glb = BatchAligner(glob=True)
-                    self.global_aligner = lambda pairs, eqx: glb.align_batch(
-                        pairs, eqx=eqx
-                    )
             except Exception:
                 pass
+        # base-level alignment defaults to the native C++ kernels (per-read
+        # job sizes are too small/irregular to win on-device; the batched
+        # executor swaps in ops.affine_jax.BatchAligner for device batches)
         self.chain_backend = chain_backend
 
     # ------------------------------------------------------------------
