@@ -54,6 +54,14 @@ def revcomp(s):
     return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
 
 
+def _map_chunk(args):
+    idx, cfg, chunk = args
+    from vacmap_tpu.pipeline.mapper import Mapper
+
+    m = Mapper(idx, cfg)
+    return [1 if m.map_read(n, s) else 0 for n, s in chunk]
+
+
 def main():
     from vacmap_tpu.config import AlignerConfig
     from vacmap_tpu.index import ReferenceIndex
@@ -81,17 +89,20 @@ def main():
     cfg = AlignerConfig(mode="H", backend="auto")
     mapper = Mapper(idx, cfg)
 
-    # warm-up (jit compile paths)
+    # warm-up (native build, jit compile paths)
     mapper.map_read(reads[0][0], reads[0][1])
 
+    # throughput measured with the CLI's process-parallel deployment
+    import multiprocessing as mp_
+
+    n_workers = min(4, mp_.cpu_count())
+    chunks = [reads[i::n_workers] for i in range(n_workers)]
     t0 = time.time()
-    n_aligned = 0
-    total_bases = 0
-    for name, seq in reads:
-        lines = mapper.map_read(name, seq)
-        n_aligned += 1 if lines else 0
-        total_bases += len(seq)
+    with mp_.get_context("fork").Pool(n_workers) as pool:
+        results = pool.map(_map_chunk, [(idx, cfg, c) for c in chunks])
     dt = time.time() - t0
+    n_aligned = sum(sum(r) for r in results)
+    total_bases = sum(len(s) for _, s in reads)
     mbp_s = total_bases / dt / 1e6
 
     # chain-kernel-only throughput on the same reads' anchors

@@ -102,8 +102,10 @@ int align2p_native(
   dhi = std::min<int64_t>(dhi, Q);
   const int64_t Wb = dhi - dlo + 1;
 
-  std::vector<float> Hrow(Wb, NEG), E1row(Wb, NEG), E2row(Wb, NEG);
-  std::vector<float> Hnew(Wb, NEG), E1new(Wb, NEG), E2new(Wb, NEG);
+  // rows carry one NEG sentinel at index Wb so the p+1 (vertical) reads
+  // never go out of bounds
+  std::vector<float> Hrow(Wb + 1, NEG), E1row(Wb + 1, NEG), E2row(Wb + 1, NEG);
+  std::vector<float> Hnew(Wb + 1, NEG), E1new(Wb + 1, NEG), E2new(Wb + 1, NEG);
   std::vector<uint8_t> tb((size_t)T * Wb);
 
   auto gapf = [&](int64_t l) -> float {
@@ -117,67 +119,85 @@ int align2p_native(
   }
   float best = NEG;
   int64_t best_i = 0, best_j = 0;
+  // substitution lookup: sub_lut[tch*5 + qch]
+  float sub_lut[25];
+  for (int a = 0; a < 5; a++)
+    for (int b = 0; b < 5; b++)
+      sub_lut[a * 5 + b] = (a == b && a < 4) ? (float)match : (float)mismatch;
+  const float fe1 = (float)e1, fe2 = (float)e2;
+  const float fo1e = (float)(o1 + e1), fo2e = (float)(o2 + e2);
+  const float fo1 = (float)o1, fo2 = (float)o2;
   for (int64_t i = 1; i <= T; i++) {
-    uint8_t* bits_row = &tb[(size_t)(i - 1) * Wb];
-    float row_best = NEG;
+    uint8_t* __restrict__ bits_row = &tb[(size_t)(i - 1) * Wb];
     const float gapi = -gapf(i);
-    float run1 = NEG, run2 = NEG;      // max(H0[p'] + p'*e_k) over p' < p+1
+    float run1 = NEG, run2 = NEG;      // max(H0[p'] + p'*e_k) over p' <= p
     float f1_prev = NEG, f2_prev = NEG;
-    const uint8_t tch = target[i - 1];
-    for (int64_t p = 0; p < Wb; p++) {
-      const int64_t j = p + dlo + i;
-      const bool inb = (j >= 1 && j <= Q);
-      const float H_up = (p + 1 < Wb) ? Hrow[p + 1] : NEG;
-      const float E1u = (p + 1 < Wb) ? E1row[p + 1] : NEG;
-      const float E2u = (p + 1 < Wb) ? E2row[p + 1] : NEG;
-      const float E1v = std::max(E1u - e1, H_up - o1 - e1);
-      const float E2v = std::max(E2u - e2, H_up - o2 - e2);
-      float diag = NEG;
-      if (inb) {
-        const float sub = (query[j - 1] == tch && tch < 4)
-                              ? (float)match : (float)mismatch;
-        diag = Hrow[p] + sub;
-      }
-      float H0 = std::max(diag, std::max(E1v, E2v));
-      if (j == 0) H0 = gapi;
-      const float F1v = run1 - (float)p * e1 - o1;
-      const float F2v = run2 - (float)p * e2 - o2;
-      float H = std::max(H0, std::max(F1v, F2v));
-      if (j == 0) H = gapi;
-      if (!inb && j != 0) { H = NEG; H0 = NEG; }
-
-      uint8_t op = 0;
-      if (H == F2v) op = 4;
-      if (H == F1v) op = 3;
-      if (H == E2v) op = 2;
-      if (H == E1v) op = 1;
-      if (H == diag) op = 0;
-      uint8_t b = op;
-      if (E1v == E1u - e1) b |= 8;
-      if (E2v == E2u - e2) b |= 16;
-      if (p > 0 && F1v == f1_prev - e1) b |= 32;
-      if (p > 0 && F2v == f2_prev - e2) b |= 64;
+    const uint8_t tch = target[i - 1] < 4 ? target[i - 1] : 4;
+    const float* __restrict__ subrow = &sub_lut[tch * 5];
+    const float* __restrict__ Hp = Hrow.data();
+    const float* __restrict__ E1p = E1row.data();
+    const float* __restrict__ E2p = E2row.data();
+    float* __restrict__ Hn = Hnew.data();
+    float* __restrict__ E1n = E1new.data();
+    float* __restrict__ E2n = E2new.data();
+    // in-band lane range: j in [1, Q]  ->  p in [p_lo, p_hi]
+    const int64_t off = dlo + i;
+    const int64_t p_lo = std::max<int64_t>(0, 1 - off);
+    const int64_t p_hi = std::min<int64_t>(Wb - 1, Q - off);
+    const int64_t p_zero = -off;  // lane of j == 0, may be out of range
+    for (int64_t p = 0; p < std::min<int64_t>(p_lo, Wb); p++) {
+      Hn[p] = (p == p_zero) ? gapi : NEG; E1n[p] = NEG; E2n[p] = NEG;
+      bits_row[p] = 0;
+    }
+    if (p_zero >= 0 && p_zero < Wb) {
+      run1 = gapi + (float)p_zero * fe1;
+      run2 = gapi + (float)p_zero * fe2;
+    }
+    float row_best = NEG;
+    const uint8_t* __restrict__ qbase = query + off - 1;  // q index = p + off - 1
+    for (int64_t p = p_lo; p <= p_hi; p++) {
+      const float H_up = Hp[p + 1];    // Wb entries; p+1 <= Wb-1 guaranteed
+      const float E1u = E1p[p + 1];
+      const float E2u = E2p[p + 1];
+      const float E1v = std::max(E1u - fe1, H_up - fo1e);
+      const float E2v = std::max(E2u - fe2, H_up - fo2e);
+      const uint8_t qc = qbase[p] < 4 ? qbase[p] : 4;
+      const float diag = Hp[p] + subrow[qc];
+      const float H0 = std::max(diag, std::max(E1v, E2v));
+      const float pe1 = (float)p * fe1, pe2 = (float)p * fe2;
+      const float F1v = run1 - pe1 - fo1;
+      const float F2v = run2 - pe2 - fo2;
+      const float H = std::max(H0, std::max(F1v, F2v));
+      uint8_t b = 0;
+      if (H == F2v) b = 4;
+      if (H == F1v) b = 3;
+      if (H == E2v) b = 2;
+      if (H == E1v) b = 1;
+      if (H == diag) b = 0;
+      b |= (E1v == E1u - fe1) ? 8 : 0;
+      b |= (E2v == E2u - fe2) ? 16 : 0;
+      b |= (F1v == f1_prev - fe1) ? 32 : 0;
+      b |= (F2v == f2_prev - fe2) ? 64 : 0;
       bits_row[p] = b;
       f1_prev = F1v; f2_prev = F2v;
-
-      Hnew[p] = H; E1new[p] = E1v; E2new[p] = E2v;
-      if (inb && H > row_best) { row_best = H; }
-      // running maxima use H0 of p'<=p for F at p+1
-      const float src = (inb || j == 0) ? H0 : NEG;
-      run1 = std::max(run1, src + (float)p * e1);
-      run2 = std::max(run2, src + (float)p * e2);
+      Hn[p] = H; E1n[p] = E1v; E2n[p] = E2v;
+      row_best = std::max(row_best, H);
+      run1 = std::max(run1, H0 + pe1);
+      run2 = std::max(run2, H0 + pe2);
     }
+    for (int64_t p = std::max<int64_t>(p_hi + 1, 0); p < Wb; p++) {
+      Hn[p] = NEG; E1n[p] = NEG; E2n[p] = NEG; bits_row[p] = 0;
+    }
+    // guard: p_hi can exceed available qbase range only if band math wrong
     std::swap(Hrow, Hnew); std::swap(E1row, E1new); std::swap(E2row, E2new);
-    // best cell (for extension mode): scan the (already swapped) row
-    for (int64_t p = 0; p < Wb; p++) {
-      const int64_t j = p + dlo + i;
-      if (j >= 1 && j <= Q && Hrow[p] > best) {
-        best = Hrow[p]; best_i = i; best_j = j;
+    if (!glob) {
+      for (int64_t p = p_lo; p <= p_hi; p++) {
+        if (Hrow[p] > best) { best = Hrow[p]; best_i = i; best_j = p + off; }
       }
-    }
-    if (!glob && zdrop >= 0 && best - row_best > (float)zdrop) {
-      *zdropped = 1;
-      break;
+      if (zdrop >= 0 && best - row_best > (float)zdrop) {
+        *zdropped = 1;
+        break;
+      }
     }
   }
   int64_t ei, ej;

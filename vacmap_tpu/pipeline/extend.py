@@ -61,9 +61,16 @@ def rebuild_chain_break(
     duplication overlaps (refgap<0 with readgap<=20 skips the anchor)."""
     if not path:
         return []
+    # one vectorized contig lookup for the whole path (pos2contig per
+    # junction is a hot spot otherwise)
+    refs = np.fromiter((p[1] for p in path), np.int64, len(path))
+    cids = np.searchsorted(ref.starts, refs, side="right") - 1
     pre = path[0]
+    pre_cid = int(cids[0])
     segs: List[List[tuple]] = [[pre]]
-    for now in path[1:]:
+    for idx1 in range(1, len(path)):
+        now = path[idx1]
+        now_cid = int(cids[idx1])
         if pre[2] == now[2]:
             readgap = now[0] - pre[0] - pre[3]
             if pre[2] == 1:
@@ -74,25 +81,25 @@ def rebuild_chain_break(
                 abs(readgap - refgap) <= large_cost
                 and refgap >= -20
                 and readgap < 100
-                and ref.contig_index(pre[1]) == ref.contig_index(now[1])
+                and pre_cid == now_cid
             ):
                 if refgap >= 0:
                     segs[-1].append(now)
-                    pre = now
+                    pre, pre_cid = now, now_cid
                     continue
                 elif readgap <= 20:
                     # small duplication overlap: skip the anchor entirely
                     continue
                 else:
                     segs[-1].append(now)
-                    pre = now
+                    pre, pre_cid = now, now_cid
                     continue
         if len(segs[-1]) == 1:
             segs.pop()
         if segs and (segs[-1][-1][0] + segs[-1][-1][3] - segs[-1][0][0]) < small_alignment:
             segs.pop()
         segs.append([now])
-        pre = now
+        pre, pre_cid = now, now_cid
     if segs and len(segs[-1]) == 1:
         segs.pop()
     if segs and (segs[-1][-1][0] + segs[-1][-1][3] - segs[-1][0][0]) < small_alignment:

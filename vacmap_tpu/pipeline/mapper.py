@@ -124,7 +124,10 @@ class Mapper:
         if len(path_desc) <= 1:
             return [], False
 
-        eqx_internal = cfg.resolved_eqx or cfg.md or cfg.cs
+        # always align with =/X internally: NM becomes a pure CIGAR sum
+        # (no base re-comparison) and MD/cs are always computable; output
+        # collapses to M unless --eqx (SURVEY.md hard part e)
+        eqx_internal = True
         nodiscard = cfg.resolved_nodiscard
         path_asc = path_desc[::-1]
         segs, records, filtered = refine_chain(

@@ -34,7 +34,10 @@ def merge_cigar(cigar: str) -> tuple[str, int]:
 
 def nm_from_cigar(cigar: str, query: str, ref: str) -> int:
     """NM = mismatches (M/X) + inserted + deleted bases, Picard-consistent
-    (output_functions.py:300-349)."""
+    (output_functions.py:300-349).  With an =/X cigar (no M runs) NM is a
+    pure op-length sum and the sequences are not touched."""
+    if "M" not in cigar:
+        return sum(ln for ln, op in cigar_ops(cigar) if op in "XID")
     nm = q = r = 0
     for ln, op in cigar_ops(cigar):
         if op == "M":
@@ -231,9 +234,11 @@ def records_to_sam(
     clip = "H" if hardclip else "S"
     for i, item in enumerate(records):
         oriented = query if item[2] == "+" else rc_query
-        tmp_query = oriented[item[3] : item[4]]
-        tmp_target = ref_fetch(item[1], item[5], item[6])
         cigarstring, n_cigar = merge_cigar(item[8])
+        # the reference slice is only needed for MD/cs or M-op NM
+        need_ref = md or cs or "M" in cigarstring
+        tmp_query = oriented[item[3] : item[4]] if need_ref else ""
+        tmp_target = ref_fetch(item[1], item[5], item[6]) if need_ref else ""
         if md or cs:
             mdstr, csstr = md_cs_from_cigar(cigarstring, tmp_target, tmp_query, short_cs)
             iloc2md[i] = mdstr
