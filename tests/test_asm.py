@@ -1,0 +1,66 @@
+import numpy as np
+import pytest
+
+from vacmap_tpu import native
+from vacmap_tpu.config import AlignerConfig
+from vacmap_tpu.index import ReferenceIndex
+from vacmap_tpu.pipeline.asm import STREAM_THRESHOLD, stream_chain
+from vacmap_tpu.pipeline.mapper import Mapper
+from tests.conftest import random_dna
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="asm streaming requires the native lib"
+)
+
+
+def test_stream_chain_matches_single_batch(rng):
+    """Streaming in two batches must recover the same chain as one shot."""
+    from vacmap_tpu.ops.chain_ref import chain_dp
+
+    r = np.arange(0, 4000, 37)
+    y = r + 12345 + rng.integers(-2, 3, len(r))
+    a = np.stack([r, y, np.ones_like(r), np.full_like(r, 15)], 1).astype(np.int64)
+    split = len(a) // 2
+    path = stream_chain(
+        iter([a[:split], a[split:]]), 15, 40.0, 50, 1000, "global", None
+    )
+    # one-shot reference
+    res = chain_dp(a, 15, 40.0, 50, 1000, "global")
+    full = []
+    i = res.g_max_index
+    while i != -1:
+        full.append(tuple(int(x) for x in a[i]))
+        i = int(res.P[i])
+    # streaming path covers the same chain (frontier anchor may duplicate)
+    dedup = []
+    for item in path:
+        if not dedup or dedup[-1] != item:
+            dedup.append(item)
+    assert dedup == full
+
+
+def test_small_contig_normal_path(rng, small_genome):
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    m = Mapper(idx, AlignerConfig(mode="asm"))
+    contig = small_genome["c1"][2000:12000]
+    lines = m.map_contig("ctg1", contig)
+    assert len(lines) >= 1
+    f = lines[0].split("\t")
+    assert f[2] == "c1"
+    assert abs(int(f[3]) - 2001) < 50
+
+
+def test_streaming_contig(rng):
+    genome = {"g1": random_dna(rng, 800_000)}
+    idx = ReferenceIndex.build(genome, k=15, w=10)
+    m = Mapper(idx, AlignerConfig(mode="asm"))
+    # 600 kb contig (over the streaming threshold) with one 2 kb deletion
+    src = genome["g1"][50_000:650_000]
+    contig = src[:300_000] + src[302_000:]
+    assert len(contig) >= STREAM_THRESHOLD
+    lines = m.map_contig("bigctg", contig)
+    assert len(lines) >= 1
+    f = lines[0].split("\t")
+    assert f[2] == "g1"
+    assert abs(int(f[3]) - 50_001) < 100
+    assert "D" in f[5] or "N" in f[5]  # the deletion appears in the cigar

@@ -144,6 +144,7 @@ def load_or_build_index(refpath: str, k: int, w: int, write_index: bool) -> Refe
 
 def _worker(raw_q, cooked_q, index, cfg):
     mapper = Mapper(index, cfg)
+    map_fn = mapper.map_contig if cfg.mode == "asm" else mapper.map_read
     batch: List[str] = []
     chars = 0
     while True:
@@ -151,7 +152,7 @@ def _worker(raw_q, cooked_q, index, cfg):
         if isinstance(item, int):
             break
         name, seq, qual, comment = item
-        lines = mapper.map_read(name, seq, qual, comment)
+        lines = map_fn(name, seq, qual, comment)
         for l in lines:
             chars += len(l)
         batch.extend(lines)
@@ -203,6 +204,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     writer = OutputWriter(args.o, header)
 
     n_workers = max(cfg.threads, 1)
+    if cfg.mode == "asm":
+        n_workers = 1  # contigs are huge; queue depth 1 (vacmap:394-401)
+    map_fn0 = mapper0.map_contig if cfg.mode == "asm" else mapper0.map_read
     st = time.time()
     count = 0
     if n_workers == 1:
@@ -212,7 +216,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 name, seq = rec[0], rec[1]
                 qual = rec[2] if len(rec) > 2 else None
                 comment = rec[3] if len(rec) > 3 else None
-                lines = mapper0.map_read(name, seq, qual, comment)
+                lines = map_fn0(name, seq, qual, comment)
                 if lines:
                     writer.write_lines(lines)
                 count += 1

@@ -170,3 +170,40 @@ def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,
         S.ctypes.data, P.ctypes.data, max_ops_per_anchor,
     )
     return S, P, rc == 1
+
+
+def chain_dp_native_warm(anchors, kmersize, skipcost, maxdiff, maxgap,
+                         variant, warm_S, warm_P,
+                         max_ops_per_anchor: int = 0):
+    """Streaming (frontier-carry) chaining: the first len(warm_S) anchor
+    rows are carried frontier anchors with fixed scores and pass-through
+    predecessor codes.  Returns (S, P, aborted) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_warm_bound"):
+        lib.chain_dp_native_warm.restype = ctypes.c_int
+        lib.chain_dp_native_warm.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._chain_warm_bound = True
+    from ..ops.chain_ref import EXTRA
+
+    A = np.ascontiguousarray(anchors, np.int64)
+    n = len(A)
+    S = np.zeros(n, np.float64)
+    P = np.zeros(n, np.int64)
+    wS = np.ascontiguousarray(warm_S, np.float64)
+    wP = np.ascontiguousarray(warm_P, np.int64)
+    extra = np.ascontiguousarray(EXTRA, np.float32)
+    rc = lib.chain_dp_native_warm(
+        A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
+        _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1,
+        S.ctypes.data, P.ctypes.data, max_ops_per_anchor,
+        len(wS), wS.ctypes.data, wP.ctypes.data,
+    )
+    return S, P, rc == 1

@@ -268,11 +268,33 @@ int align2p_native(
 // surcharge matches bit-for-bit.
 // ---------------------------------------------------------------------------
 
+extern "C" int chain_dp_native_warm(
+    const int64_t* anchors, int64_t n,
+    int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
+    const float* extra, int64_t extra_size,
+    double* S_out, int64_t* P_out, int64_t max_ops_per_anchor,
+    int64_t n_warm, const double* warm_S, const int64_t* warm_P);
+
 extern "C" int chain_dp_native(
     const int64_t* anchors, int64_t n,  // rows of (readpos, refpos, strand, len)
     int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
     const float* extra, int64_t extra_size,  // extra table (len = extra_size+1)
     double* S_out, int64_t* P_out, int64_t max_ops_per_anchor) {
+  return chain_dp_native_warm(anchors, n, kmersize, skipcost, maxdiff, maxgap,
+                              variant, extra, extra_size, S_out, P_out,
+                              max_ops_per_anchor, 0, nullptr, nullptr);
+}
+
+// Warm-start variant for the streaming (asm) chain: the first n_warm
+// anchors are a carried frontier with fixed scores warm_S and (negative,
+// cross-batch) predecessor codes warm_P; they participate as candidates
+// but are not re-scored (reference linked_* DPs, mammap_asm.py:21687).
+extern "C" int chain_dp_native_warm(
+    const int64_t* anchors, int64_t n,
+    int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
+    const float* extra, int64_t extra_size,
+    double* S_out, int64_t* P_out, int64_t max_ops_per_anchor,
+    int64_t n_warm, const double* warm_S, const int64_t* warm_P) {
   if (n == 0) return 0;
   const bool local = (variant == 2 || variant == 3);
   const bool refund = (variant == 1);
@@ -323,7 +345,8 @@ extern "C" int chain_dp_native(
   std::vector<double> S(n, 0.0);
   std::vector<int64_t> P(n, -1);
 
-  S[0] = (double)A(0, 3);
+  for (int64_t i = 0; i < n_warm; i++) { S[i] = warm_S[i]; P[i] = warm_P[i]; }
+  if (n_warm == 0) S[0] = (double)A(0, 3);
   int64_t inserted = 0;  // anchors currently in `order`
   int64_t prebarrier = barrier[0];
   int64_t opcount = 0;
@@ -339,7 +362,13 @@ extern "C" int chain_dp_native(
     order.insert(order.begin() + lo, k);
   };
 
-  for (int64_t i = 0; i < n; i++) {
+  if (n_warm > 0) {
+    // all frontier anchors become candidates before any new anchor
+    while (inserted < n_warm) insert_sorted(inserted++);
+    for (int64_t i = 0; i < n_warm; i++)
+      prebarrier = std::max(prebarrier, barrier[i]);
+  }
+  for (int64_t i = n_warm; i < n; i++) {
     if (i > 0 && prebarrier < barrier[i]) {
       while (inserted < i) insert_sorted(inserted++);
       prebarrier = barrier[i];

@@ -215,6 +215,60 @@ class Mapper:
             return []
 
     # ------------------------------------------------------------------
+    def map_contig(
+        self,
+        name: str,
+        seq: str,
+        qual: Optional[str] = None,
+        comment: Optional[str] = None,
+    ) -> List[str]:
+        """asm mode: contigs < 500 kb use the normal per-read path with the
+        cluster cap disabled; larger contigs run the out-of-core streaming
+        chain (mammap_asm.py:23205-23206)."""
+        from .asm import STREAM_THRESHOLD, map_contig_streaming
+
+        import dataclasses
+
+        cfg = self.config
+        if len(seq) < STREAM_THRESHOLD:
+            old_cfg = self.config
+            self.config = dataclasses.replace(cfg, check_num=0)
+            try:
+                return self.map_read(name, seq, qual, comment)
+            finally:
+                self.config = old_cfg
+        workdir = None
+        if cfg.workdir:
+            workdir = f"{cfg.workdir.rstrip('/')}/{name}"
+        try:
+            records = map_contig_streaming(self, name, seq, workdir=workdir)
+        except Exception as err:
+            log.error("contig %s is not aligned: %s", name, err)
+            return []
+        if not records:
+            return []
+        try:
+            return records_to_sam(
+                records,
+                seq.upper(),
+                None if cfg.ignore_quals else qual,
+                self.ref_fetch_str,
+                md=cfg.md,
+                cs=cfg.cs,
+                short_cs=cfg.shortcs,
+                cigar2cg=cfg.cigar2cg,
+                markunbalancetra=cfg.resolved_markunbalancetra,
+                hardclip=cfg.hardclip,
+                fakecigar=cfg.fakecigar,
+                rg_id=cfg.rg_id,
+                comment=comment if cfg.copycomments else None,
+                collapse_eqx=not cfg.resolved_eqx,
+            )
+        except Exception as err:
+            log.error("contig %s SAM emission failed: %s", name, err)
+            return []
+
+    # ------------------------------------------------------------------
     def header_lines(self, cli: Optional[str] = None) -> List[str]:
         lines = ["@HD\tVN:1.0"]
         for name, ln in zip(self.index.contig_names, self.index.contig_lens):
