@@ -142,6 +142,17 @@ def load_or_build_index(refpath: str, k: int, w: int, write_index: bool) -> Refe
     return idx
 
 
+def _read_records(path: str, cfg):
+    """Dispatch FASTX vs BAM input (the reference reads BAM via pysam,
+    vacmap:439-471; ours is the native io.bam_reader)."""
+    if path.endswith(".bam"):
+        from .io.bam_reader import read_bam
+
+        yield from read_bam(path)
+    else:
+        yield from fastx_read(path, read_comment=cfg.copycomments)
+
+
 def _worker(raw_q, cooked_q, index, cfg):
     mapper = Mapper(index, cfg)
     map_fn = mapper.map_contig if cfg.mode == "asm" else mapper.map_read
@@ -212,7 +223,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if n_workers == 1:
         for path in read_paths:
             log.info("Reading %s", path)
-            for rec in fastx_read(path, read_comment=cfg.copycomments):
+            for rec in _read_records(path, cfg):
                 name, seq = rec[0], rec[1]
                 qual = rec[2] if len(rec) > 2 else None
                 comment = rec[3] if len(rec) > 3 else None
@@ -236,7 +247,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         seen = set()
         for path in read_paths:
             log.info("Reading %s", path)
-            for rec in fastx_read(path, read_comment=cfg.copycomments):
+            for rec in _read_records(path, cfg):
                 name, seq = rec[0], rec[1]
                 if hash(name) in seen:
                     continue
