@@ -87,14 +87,14 @@ def edit_distance_native(a: np.ndarray, b: np.ndarray, cap: int = -1) -> Optiona
     )
 
 
-_OPCHARS = "MID"
+_OPCHARS = "MID=X"
 
 
 def align2p_native(
     target: np.ndarray,
     query: np.ndarray,
     match=2, mismatch=-4, o1=4, e1=2, o2=24, e2=1,
-    bw=-1, zdrop=-1,
+    bw=-1, zdrop=-1, eqx=False,
 ):
     """Returns (ops ndarray (n,2) of (opcode, len), q_end, t_end, score,
     zdropped) or None when the native lib is unavailable."""
@@ -111,9 +111,16 @@ def align2p_native(
     score = ctypes.c_int64()
     zdropped = ctypes.c_int()
     glob = 1 if bw < 0 else 0
-    rc = lib.align2p_native(
+    if not hasattr(lib, "_eqx_bound"):
+        lib.align2p_native_eqx.restype = ctypes.c_int
+        lib.align2p_native_eqx.argtypes = (
+            lib.align2p_native.argtypes[:13] + [ctypes.c_int]
+            + lib.align2p_native.argtypes[13:]
+        )
+        lib._eqx_bound = True
+    rc = lib.align2p_native_eqx(
         t.ctypes.data, len(t), q.ctypes.data, len(q),
-        match, mismatch, o1, e1, o2, e2, bw, zdrop, glob,
+        match, mismatch, o1, e1, o2, e2, bw, zdrop, glob, 1 if eqx else 0,
         out.ctypes.data, max_ops, ctypes.byref(n_ops),
         ctypes.byref(q_end), ctypes.byref(t_end), ctypes.byref(score),
         ctypes.byref(zdropped),

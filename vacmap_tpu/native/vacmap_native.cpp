@@ -81,10 +81,29 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
 
 static const float NEG = -1e30f;
 
+int align2p_native_eqx(
+    const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
+    int match, int mismatch, int o1, int e1, int o2, int e2,
+    int bw, int zdrop, int glob, int eqx,
+    int32_t* out_ops, int64_t max_ops, int64_t* n_ops,
+    int64_t* q_end, int64_t* t_end, int64_t* score_out, int* zdropped);
+
 int align2p_native(
     const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
     int match, int mismatch, int o1, int e1, int o2, int e2,
     int bw, int zdrop, int glob,
+    int32_t* out_ops, int64_t max_ops, int64_t* n_ops,
+    int64_t* q_end, int64_t* t_end, int64_t* score_out, int* zdropped) {
+  return align2p_native_eqx(target, T, query, Q, match, mismatch, o1, e1,
+                            o2, e2, bw, zdrop, glob, 0, out_ops, max_ops,
+                            n_ops, q_end, t_end, score_out, zdropped);
+}
+
+// eqx != 0 emits =/X runs (op codes 3/4) instead of M.
+int align2p_native_eqx(
+    const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
+    int match, int mismatch, int o1, int e1, int o2, int e2,
+    int bw, int zdrop, int glob, int eqx,
     int32_t* out_ops, int64_t max_ops, int64_t* n_ops,
     int64_t* q_end, int64_t* t_end, int64_t* score_out, int* zdropped) {
   *n_ops = 0; *zdropped = 0;
@@ -225,7 +244,15 @@ int align2p_native(
     const uint8_t b = tb[(size_t)(i - 1) * Wb + p];
     if (state == 0) {
       const int op = b & 7;
-      if (op == 0) { push(0, 1); i--; j--; }
+      if (op == 0) {
+        if (eqx) {
+          const bool eq = (target[i - 1] == query[j - 1] && target[i - 1] < 4);
+          push(eq ? 3 : 4, 1);
+        } else {
+          push(0, 1);
+        }
+        i--; j--;
+      }
       else if (op == 1) state = 1;
       else if (op == 2) state = 2;
       else if (op == 3) state = 3;

@@ -69,15 +69,13 @@ def align2p(
         res = native.align2p_native(
             target, query, match=match, mismatch=mismatch,
             o1=gap_open_1, e1=gap_extend_1, o2=gap_open_2, e2=gap_extend_2,
-            bw=bw, zdrop=zdrop,
+            bw=bw, zdrop=zdrop, eqx=eqx,
         )
         if res is not None:
             ops, q_end, t_end, score, zdropped = res
             cig = native.ops_to_cigar(ops)
             n_del = int(sum(l for o, l in ops if o == 2))
             n_ins = int(sum(l for o, l in ops if o == 1))
-            if eqx:
-                cig = _expand_eqx(cig, target, query, t_end, q_end)
             return AlignResult(cig, zdropped, q_end, t_end, n_del, n_ins, score)
     return align2p_numpy(
         target, query, match=match, mismatch=mismatch,
