@@ -61,15 +61,17 @@ def _gapcost_colinear(
 
 
 def _pair_scores(ai, Aj, Sj, skip_i, maxdiff_i, params):
-    """Vectorized transition scores from candidate anchors Aj (…, 4) with
-    chain scores Sj to anchor ai (4,).  Returns (test_scores, colinear,
-    bonus).  Mirrors chain_ref._pair_geometry + the per-variant costs."""
+    """Vectorized transition scores from candidate anchors Aj with chain
+    scores Sj to anchor ai.  ai is a 4-tuple of scalars and Aj a 4-tuple
+    of arrays — componentized so Pallas layouts avoid a padded size-4
+    trailing dim.  Returns (test_scores, colinear, bonus).  Mirrors
+    chain_ref._pair_geometry + the per-variant costs."""
     kmersize, maxgap, skipcost, variant = (
         params["kmersize"], params["maxgap"], params["skipcost"], params["variant"],
     )
     local = variant in ("fine", "mismatch")
-    r_i, y_i, s_i, l_i = ai[0], ai[1], ai[2], ai[3]
-    r_j, y_j, s_j, l_j = Aj[..., 0], Aj[..., 1], Aj[..., 2], Aj[..., 3]
+    r_i, y_i, s_i, l_i = ai
+    r_j, y_j, s_j, l_j = Aj
     raw_readgap = r_i - r_j - l_j
     neg = raw_readgap < 0
     bonus = jnp.where(neg, r_i + l_i - r_j - l_j, l_i)
@@ -155,7 +157,11 @@ def chain_scores_batch(
             (S,) = carry
         ai = anchors[:, i, :]  # (B, 4)
         test, colinear, bonus = jax.vmap(
-            lambda a, Aj, Sj, sk, md: _pair_scores(a, Aj, Sj, sk, md, params)
+            lambda a, Aj, Sj, sk, md: _pair_scores(
+                (a[0], a[1], a[2], a[3]),
+                (Aj[..., 0], Aj[..., 1], Aj[..., 2], Aj[..., 3]),
+                Sj, sk, md, params,
+            )
         )(ai, anchors, S, skip_i[:, i], maxdiff_i[:, i])
         if refund:
             refundable = (
