@@ -1,0 +1,41 @@
+import numpy as np
+import pytest
+
+from vacmap_tpu.config import AlignerConfig
+from vacmap_tpu.index import ReferenceIndex
+from vacmap_tpu.pipeline.executor import BatchExecutor
+from vacmap_tpu.pipeline.mapper import Mapper
+from tests.conftest import random_dna
+
+
+@pytest.fixture(scope="module")
+def world(rng):
+    genome = {"e1": random_dna(rng, 150_000)}
+    idx = ReferenceIndex.build(genome, k=15, w=10)
+    reads = []
+    for i in range(6):
+        st = int(rng.integers(0, 150_000 - 6000))
+        frag = genome["e1"][st : st + 6000]
+        if i % 2:
+            a, b = 2000, 4000
+            from vacmap_tpu.seq import revcomp
+
+            frag = frag[:a] + revcomp(frag[a:b]) + frag[b:]
+        reads.append((f"r{i}", frag))
+    return genome, idx, reads
+
+
+def test_executor_matches_per_read_mapper(world):
+    genome, idx, reads = world
+    cfg = AlignerConfig(mode="H")
+    mapper = Mapper(idx, cfg)
+    # interpret-mode pallas is slow; use the scan kernel on CPU here
+    ex = BatchExecutor(mapper, use_pallas=False)
+    batched = ex.map_batch(reads, n_threads=2)
+    for (name, seq), lines in zip(reads, batched):
+        single = mapper.map_read(name, seq)
+        assert len(lines) == len(single), name
+        # identical POS/CIGAR columns
+        for a, b in zip(sorted(lines), sorted(single)):
+            fa, fb = a.split("\t"), b.split("\t")
+            assert fa[1:6] == fb[1:6], name

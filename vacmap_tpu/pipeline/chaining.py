@@ -141,6 +141,15 @@ def _select_secondaries(
     return out
 
 
+def prepare_read_anchors(anchors: np.ndarray, read_len: int):
+    """Strand-normalize and readpos-sort anchors for the global DP.
+    Returns (need_reverse, sorted_anchors) — the exact array the DP (host
+    or device) must run on."""
+    need_reverse, anchors = normalize_strand(anchors, read_len)
+    order0 = np.argsort(anchors[:, 0], kind="stable")
+    return need_reverse, anchors[order0]
+
+
 def chain_read(
     anchors: np.ndarray,
     read_len: int,
@@ -153,23 +162,26 @@ def chain_read(
     overlap_percentage: float = 0.5,
     refund: bool = False,
     chain_backend=None,
+    precomputed=None,
 ) -> Optional[GlobalChains]:
     """Full global chaining for one read's anchors (sorted any order).
 
     Returns None when the read has too few anchors or no accepted chain.
-    ``chain_backend`` optionally supplies a precomputed ChainResult (e.g.
-    from the device kernel) for the readpos-sorted anchor array.
+    ``chain_backend`` optionally supplies a per-call device backend;
+    ``precomputed`` is a (need_reverse, sorted_anchors, ChainResult)
+    triple from the batched executor.
     """
-    if len(anchors) <= 2:
-        return None
-    need_reverse, anchors = normalize_strand(anchors, read_len)
-    order0 = np.argsort(anchors[:, 0], kind="stable")
-    A = anchors[order0]
+    if precomputed is not None:
+        need_reverse, A, res = precomputed
+    else:
+        if len(anchors) <= 2:
+            return None
+        need_reverse, A = prepare_read_anchors(anchors, read_len)
+        res = None
 
     variant = "refund" if refund else "global"
     dense = len(A) / max(read_len, 1) > 5
-    res: Optional[ChainResult] = None
-    if not dense:
+    if res is None and not dense:
         if chain_backend is not None:
             res = chain_backend(A, variant, kmersize, skipcost, maxdiff, maxgap)
         if res is None:

@@ -1,0 +1,232 @@
+"""Batched mapping executor: the TPU-first deployment shape.
+
+Reads are processed in batches; the global chaining DP for the whole
+batch runs as ONE device call (Pallas kernel, bucketed shapes), the rest
+of the per-read pipeline (backtrack, local re-chain, refinement, SAM)
+runs on host worker threads overlapping the next batch's device work.
+
+This is the batched counterpart of Mapper.map_read: identical results,
+amortized device dispatch.  Reads that are repeat-dense (anchors/bp > 5)
+or exceed the bucket cap fall back to the host fast path, exactly like
+the per-read driver.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.chain_ref import ChainResult
+from .chaining import chain_read, prepare_read_anchors
+from .mapper import Mapper
+
+# anchor-count buckets kept deliberately tiny so each (variant, N) shape
+# compiles once and stays in the persistent cache
+N_BUCKETS = (512, 2048, 8192)
+
+
+class BatchExecutor:
+    def __init__(self, mapper: Mapper, use_pallas: bool = True,
+                 max_device_batch: int = 128):
+        self.mapper = mapper
+        self.use_pallas = use_pallas
+        self.max_device_batch = max_device_batch
+
+    # ------------------------------------------------------------------
+    def _device_chain(self, arrays: List[np.ndarray], variant: str,
+                      skipcost: float, maxdiff: int, maxgap: int,
+                      kmersize: int) -> List[ChainResult]:
+        from ..ops.chain_jax import prepare_batch
+
+        out: List[Optional[ChainResult]] = [None] * len(arrays)
+        groups = {}
+        for i, a in enumerate(arrays):
+            for b in N_BUCKETS:
+                if len(a) <= b:
+                    groups.setdefault(b, []).append(i)
+                    break
+        for bucket, idxs in groups.items():
+            for cs in range(0, len(idxs), self.max_device_batch):
+                chunk = idxs[cs : cs + self.max_device_batch]
+                sub = [arrays[i].astype(np.int32) for i in chunk]
+                anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
+                    sub, variant, skipcost, maxdiff
+                )
+                # pad N to the bucket so shapes stay canonical
+                if anchors.shape[1] < bucket:
+                    pad = bucket - anchors.shape[1]
+                    anchors = np.pad(anchors, ((0, 0), (0, pad), (0, 0)))
+                    skip_i = np.pad(skip_i, ((0, 0), (0, pad)))
+                    maxdiff_i = np.pad(maxdiff_i, ((0, 0), (0, pad)))
+                S, P = self._run_kernel(
+                    anchors, n_valid, skip_i, maxdiff_i,
+                    kmersize, maxdiff, maxgap, skipcost, variant,
+                )
+                S = np.asarray(S, np.float64)
+                P = np.asarray(P, np.int64)
+                for b, i in enumerate(chunk):
+                    n = len(arrays[i])
+                    Sb, Pb = S[b, :n], P[b, :n]
+                    g = int(np.argmax(Sb)) if n else -1
+                    out[i] = ChainResult(g, Sb, Pb)
+        return out
+
+    def _run_kernel(self, anchors, n_valid, skip_i, maxdiff_i, kmersize,
+                    maxdiff, maxgap, skipcost, variant):
+        if self.use_pallas and variant != "refund":
+            from ..ops.chain_pallas import chain_scores_pallas, pad_for_pallas
+
+            a, nv, sk, md, B = pad_for_pallas(anchors, n_valid, skip_i, maxdiff_i)
+            S, P = chain_scores_pallas(
+                a, nv, sk, md, kmersize=kmersize, maxdiff=maxdiff,
+                maxgap=maxgap, skipcost=skipcost, variant=variant,
+            )
+            return S[:B], P[:B]
+        from ..ops.chain_jax import chain_scores_batch
+
+        return chain_scores_batch(
+            anchors, n_valid, skip_i, maxdiff_i, kmersize=kmersize,
+            maxdiff=maxdiff, maxgap=maxgap, skipcost=skipcost, variant=variant,
+        )
+
+    # ------------------------------------------------------------------
+    def map_batch(
+        self, reads: Sequence[Tuple], n_threads: int = 4
+    ) -> List[List[str]]:
+        """reads: sequence of (name, seq[, qual[, comment]]).  Returns SAM
+        lines per read (same order)."""
+        m = self.mapper
+        cfg = m.config
+        p = cfg.preset
+        kmersize = m.index.k
+        skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
+        variant = "refund" if p.refund_penalty else "global"
+
+        # stage 1 (host): seeding + normalization
+        prepped = []
+        for r in reads:
+            name, seq = r[0], r[1].upper()
+            anchors = m.index.seeds(seq, check_num=cfg.check_num)
+            if len(anchors) <= 2:
+                prepped.append(None)
+                continue
+            need_reverse, A = prepare_read_anchors(anchors, len(seq))
+            dense = len(A) / max(len(seq), 1) > 5 or len(A) > N_BUCKETS[-1]
+            prepped.append((name, seq, need_reverse, A, dense))
+
+        # stage 2 (device): batched global chain for the non-dense reads
+        dev_idx = [
+            i for i, pr in enumerate(prepped) if pr is not None and not pr[4]
+        ]
+        dev_results = self._device_chain(
+            [prepped[i][3] for i in dev_idx], variant, skip_g, maxdiff_g,
+            maxgap_g, kmersize,
+        )
+        res_by_read = {i: r for i, r in zip(dev_idx, dev_results)}
+
+        # stage 3 (host threads): everything downstream
+        def finish(i: int) -> List[str]:
+            pr = prepped[i]
+            if pr is None:
+                return []
+            name, seq, need_reverse, A, dense = pr
+            r = reads[i]
+            qual = r[2] if len(r) > 2 else None
+            comment = r[3] if len(r) > 3 else None
+            pre = None
+            if not dense and res_by_read.get(i) is not None:
+                pre = (need_reverse, A, res_by_read[i])
+            return self._finish_read(name, seq, qual, comment, pre)
+
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as pool:
+            return list(pool.map(finish, range(len(reads))))
+
+    # ------------------------------------------------------------------
+    def _finish_read(self, name, seq, qual, comment, precomputed):
+        """Identical to Mapper.map_read but reusing a precomputed global
+        chain result."""
+        m = self.mapper
+        cfg = m.config
+        p = cfg.preset
+        try:
+            records = self._records(name, seq, precomputed)
+        except Exception:
+            return []
+        if not records:
+            return []
+        from .sam import records_to_sam
+
+        try:
+            return records_to_sam(
+                records, seq.upper(),
+                None if cfg.ignore_quals else qual,
+                m.ref_fetch_str,
+                md=cfg.md, cs=cfg.cs, short_cs=cfg.shortcs,
+                cigar2cg=cfg.cigar2cg,
+                markunbalancetra=cfg.resolved_markunbalancetra,
+                hardclip=cfg.hardclip, fakecigar=cfg.fakecigar,
+                rg_id=cfg.rg_id,
+                comment=comment if cfg.copycomments else None,
+                collapse_eqx=not cfg.resolved_eqx,
+            )
+        except Exception:
+            return []
+
+    def _records(self, name, seq, precomputed):
+        from ..seq import encode, revcomp_codes
+        from .local import local_rechain
+        from .extend import refine_chain
+        from .sam import paired_indel
+
+        m = self.mapper
+        cfg = m.config
+        p = cfg.preset
+        seq = seq.upper()
+        read_len = len(seq)
+        codes = encode(seq)
+        rc_codes = revcomp_codes(codes)
+        skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
+        if precomputed is None:
+            anchors = m.index.seeds(seq, check_num=cfg.check_num)
+            if len(anchors) <= 2:
+                return []
+        else:
+            anchors = precomputed[1]
+        gc = chain_read(
+            anchors, read_len, kmersize=m.index.k, skipcost=skip_g,
+            maxdiff=maxdiff_g, maxgap=maxgap_g,
+            accept_score=p.accept_score, refund=p.refund_penalty,
+            precomputed=precomputed,
+        )
+        if gc is None:
+            return []
+        fwd, rev = (rc_codes, codes) if gc.need_reverse else (codes, rc_codes)
+        skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
+        score, path_desc = local_rechain(
+            gc.paths, fwd, rev, m.index.seq_codes, m.index.contig_starts,
+            m.index.contig_lens, kmersize=cfg.local_kmersize,
+            skipcost=skip_l, maxdiff=maxdiff_l, maxgap=maxgap_l,
+            guide_cap=p.guide_chain_cap,
+        )
+        if len(path_desc) <= 1:
+            return []
+        nodiscard = cfg.resolved_nodiscard
+        path_asc = path_desc[::-1]
+        segs, records, filtered = refine_chain(
+            path_asc, name, gc.mapq, fwd, rev, read_len, m.ref,
+            maxdiff=maxdiff_l, need_reverse=gc.need_reverse,
+            max_divergence=cfg.resolved_max_divergence,
+            use_hardclip=cfg.hardclip, nofilter=nodiscard, eqx=True,
+        )
+        if not records:
+            return []
+        if not nodiscard and filtered and paired_indel([r[-1] for r in records]):
+            segs, records, filtered = refine_chain(
+                path_asc, name, gc.mapq, fwd, rev, read_len, m.ref,
+                maxdiff=maxdiff_l, need_reverse=gc.need_reverse,
+                max_divergence=cfg.resolved_max_divergence,
+                use_hardclip=cfg.hardclip, nofilter=True, eqx=True,
+            )
+        return records
