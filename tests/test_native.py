@@ -95,3 +95,22 @@ def test_native_chain_matches_numpy(rng, variant):
         ref = chain_dp_numpy(a, 15, 40.0, 50, 1000, variant)
         np.testing.assert_allclose(S, ref.S, atol=1e-6)
         np.testing.assert_array_equal(P, ref.P)
+
+
+def test_native_merge_diag_runs_matches_python(rng):
+    from vacmap_tpu.ops.harvest import _merge_diagonal_runs
+
+    for strand in (1, -1):
+        for _ in range(5):
+            n = int(rng.integers(5, 80))
+            diag = np.sort(rng.integers(0, 4, n).astype(np.int64) * 1000)
+            rpos = np.zeros(n, np.int64)
+            for d in np.unique(diag):
+                m = diag == d
+                rpos[m] = np.sort(rng.integers(0, 60, m.sum()))
+            order = np.lexsort((rpos, diag))
+            rpos, diag = rpos[order], diag[order]
+            refloc = (diag + rpos) if strand == 1 else (-diag - rpos)
+            expect = _merge_diagonal_runs(rpos, refloc, diag, strand, 9)
+            got = native.merge_diag_runs_native(rpos, refloc, diag, strand, 9)
+            assert [tuple(x) for x in got.tolist()] == expect

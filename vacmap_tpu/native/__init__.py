@@ -214,3 +214,26 @@ def chain_dp_native_warm(anchors, kmersize, skipcost, maxdiff, maxgap,
         len(wS), wS.ctypes.data, wP.ctypes.data,
     )
     return S, P, rc == 1
+
+
+def merge_diag_runs_native(rpos, refloc, diag, strand: int, k: int):
+    """C++ per-diagonal run merge; returns (m, 4) anchor array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_merge_bound"):
+        lib.merge_diag_runs.restype = ctypes.c_int64
+        lib.merge_diag_runs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._merge_bound = True
+    r = np.ascontiguousarray(rpos, np.int64)
+    y = np.ascontiguousarray(refloc, np.int64)
+    d = np.ascontiguousarray(diag, np.int64)
+    out = np.zeros((2 * len(r) + 2, 4), np.int64)
+    m = lib.merge_diag_runs(
+        r.ctypes.data, y.ctypes.data, d.ctypes.data, len(r), strand, k,
+        out.ctypes.data,
+    )
+    return out[:m]

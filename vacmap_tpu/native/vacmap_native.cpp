@@ -485,3 +485,54 @@ extern "C" int chain_dp_native_warm(
     return 1;  // density abort signal (caller switches to fast path)
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// k-mer hit -> anchor merge (local harvest).
+//
+// Hits are pre-sorted by (diagonal, readpos); runs of overlapping hits on
+// one diagonal grow an anchor which is emitted when its length would
+// reach 20 (mammap_clrnano.py:23260-23305).  strand +1/-1 selects the
+// ref-leftmost update rule.  Returns the number of anchors written.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t merge_diag_runs(
+    const int64_t* rpos, const int64_t* refloc, const int64_t* diag,
+    int64_t n, int64_t strand, int64_t k,
+    int64_t* out /* (n*2, 4) capacity */) {
+  int64_t m = 0;
+  int64_t i = 0;
+  auto emit = [&](int64_t r, int64_t y, int64_t l) {
+    out[m * 4 + 0] = r;
+    out[m * 4 + 1] = y;
+    out[m * 4 + 2] = strand;
+    out[m * 4 + 3] = l;
+    m++;
+  };
+  while (i < n) {
+    const int64_t d = diag[i];
+    int64_t a_r = rpos[i], a_y = refloc[i], a_l = k;
+    i++;
+    while (i < n && diag[i] == d) {
+      const int64_t r = rpos[i], y = refloc[i];
+      i++;
+      if (a_r + a_l >= r) {
+        const int64_t bouns = r - (a_r + a_l) + k;
+        if (bouns > 0) {
+          if (a_l + bouns < 20) {
+            if (strand == 1) a_l += bouns;
+            else { a_y = y; a_l += bouns; }
+          } else {
+            emit(a_r, a_y, a_l);
+            if (strand == 1) { a_r = a_r + a_l; a_y = a_y + a_l; a_l = bouns; }
+            else { a_r = a_r + a_l; a_y = y; a_l = bouns; }
+          }
+        }
+      } else {
+        emit(a_r, a_y, a_l);
+        a_r = r; a_y = y; a_l = k;
+      }
+    }
+    emit(a_r, a_y, a_l);
+  }
+  return m;
+}

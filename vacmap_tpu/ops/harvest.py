@@ -190,6 +190,13 @@ def harvest_anchors(
         # grow/emit rule (mammap_clrnano.py:23260-23344)
         o2 = np.lexsort((rpos, diag))
         rpos, refloc, diag = rpos[o2], refloc[o2], diag[o2]
+        from .. import native
+
+        if native.available():
+            merged = native.merge_diag_runs_native(rpos, refloc, diag, strand, k)
+            if merged is not None:
+                out.extend(map(tuple, merged.tolist()))
+                continue
         out.extend(_merge_diagonal_runs(rpos, refloc, diag, strand, k))
     return out
 
