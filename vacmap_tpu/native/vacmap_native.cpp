@@ -15,6 +15,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <immintrin.h>
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
@@ -81,6 +82,34 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
 
 static const float NEG = -1e30f;
 
+#if defined(__AVX2__)
+// In-place inclusive prefix max with carry-in; returns final carry.
+// Log-step lane shifts via permutevar8x32 + NEG blends.
+static inline float prefix_max_avx2(float* __restrict__ g, int64_t n, float carry) {
+  const __m256 vneg = _mm256_set1_ps(NEG);
+  const __m256i p1 = _mm256_setr_epi32(0, 0, 1, 2, 3, 4, 5, 6);
+  const __m256i p2 = _mm256_setr_epi32(0, 0, 0, 1, 2, 3, 4, 5);
+  const __m256i p4 = _mm256_setr_epi32(0, 0, 0, 0, 0, 1, 2, 3);
+  __m256 vcarry = _mm256_set1_ps(carry);
+  int64_t p = 0;
+  for (; p + 8 <= n; p += 8) {
+    __m256 v = _mm256_loadu_ps(g + p);
+    v = _mm256_max_ps(v, _mm256_blend_ps(_mm256_permutevar8x32_ps(v, p1), vneg, 0x01));
+    v = _mm256_max_ps(v, _mm256_blend_ps(_mm256_permutevar8x32_ps(v, p2), vneg, 0x03));
+    v = _mm256_max_ps(v, _mm256_blend_ps(_mm256_permutevar8x32_ps(v, p4), vneg, 0x0F));
+    v = _mm256_max_ps(v, vcarry);
+    _mm256_storeu_ps(g + p, v);
+    carry = g[p + 7];
+    vcarry = _mm256_set1_ps(carry);
+  }
+  for (; p < n; p++) {
+    carry = std::max(carry, g[p]);
+    g[p] = carry;
+  }
+  return carry;
+}
+#endif
+
 int align2p_native_eqx(
     const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
     int match, int mismatch, int o1, int e1, int o2, int e2,
@@ -125,6 +154,9 @@ int align2p_native_eqx(
   // never go out of bounds
   std::vector<float> Hrow(Wb + 1, NEG), E1row(Wb + 1, NEG), E2row(Wb + 1, NEG);
   std::vector<float> Hnew(Wb + 1, NEG), E1new(Wb + 1, NEG), E2new(Wb + 1, NEG);
+  std::vector<float> Dbuf(Wb + 1, NEG), F1buf(Wb + 1, NEG), F2buf(Wb + 1, NEG);
+  std::vector<int32_t> Bbuf(Wb + 1, 0);
+  std::vector<float> G1buf(Wb + 8, NEG), G2buf(Wb + 8, NEG);
   std::vector<uint8_t> tb((size_t)T * Wb);
 
   auto gapf = [&](int64_t l) -> float {
@@ -174,36 +206,87 @@ int align2p_native_eqx(
     }
     float row_best = NEG;
     const uint8_t* __restrict__ qbase = query + off - 1;  // q index = p + off - 1
+    // pass 1 (vectorizable): vertical/diagonal candidates — no intra-row
+    // dependency.  H0 stored in Hn temporarily; diag kept in scratch.
+    float* __restrict__ diag_buf = Dbuf.data();
+    int32_t* __restrict__ Bb = Bbuf.data();
+    const float fmat = (float)match, fmis = (float)mismatch;
+    const int tmatchable = (tch < 4) ? 1 : 0;
+    #pragma GCC ivdep
     for (int64_t p = p_lo; p <= p_hi; p++) {
-      const float H_up = Hp[p + 1];    // Wb entries; p+1 <= Wb-1 guaranteed
+      const float H_up = Hp[p + 1];
       const float E1u = E1p[p + 1];
       const float E2u = E2p[p + 1];
       const float E1v = std::max(E1u - fe1, H_up - fo1e);
       const float E2v = std::max(E2u - fe2, H_up - fo2e);
-      const uint8_t qc = qbase[p] < 4 ? qbase[p] : 4;
-      const float diag = Hp[p] + subrow[qc];
+      const float sub = (tmatchable & (qbase[p] == tch)) ? fmat : fmis;
+      const float diag = Hp[p] + sub;
       const float H0 = std::max(diag, std::max(E1v, E2v));
+      diag_buf[p] = diag;
+      E1n[p] = E1v;
+      E2n[p] = E2v;
+      Hn[p] = H0;
+      Bb[p] = ((E1v == E1u - fe1) ? 8 : 0) | ((E2v == E2u - fe2) ? 16 : 0);
+    }
+    // pass 2: discounted running maxima as a vector prefix-max scan
+    float* __restrict__ F1b = F1buf.data();
+    float* __restrict__ F2b = F2buf.data();
+#if defined(__AVX2__)
+    {
+      float* __restrict__ G1 = G1buf.data();
+      float* __restrict__ G2 = G2buf.data();
+      #pragma GCC ivdep
+      for (int64_t p = p_lo; p <= p_hi; p++) {
+        const float H0 = Hn[p];
+        G1[p] = H0 + (float)p * fe1;
+        G2[p] = H0 + (float)p * fe2;
+      }
+      prefix_max_avx2(G1 + p_lo, p_hi - p_lo + 1, run1);
+      prefix_max_avx2(G2 + p_lo, p_hi - p_lo + 1, run2);
+      #pragma GCC ivdep
+      for (int64_t p = p_lo; p <= p_hi; p++) {
+        const float r1 = (p > p_lo) ? G1[p - 1] : run1;
+        const float r2 = (p > p_lo) ? G2[p - 1] : run2;
+        F1b[p] = r1 - (float)p * fe1 - fo1;
+        F2b[p] = r2 - (float)p * fe2 - fo2;
+      }
+    }
+#else
+    for (int64_t p = p_lo; p <= p_hi; p++) {
       const float pe1 = (float)p * fe1, pe2 = (float)p * fe2;
-      const float F1v = run1 - pe1 - fo1;
-      const float F2v = run2 - pe2 - fo2;
-      const float H = std::max(H0, std::max(F1v, F2v));
-      uint8_t b = 0;
-      if (H == F2v) b = 4;
-      if (H == F1v) b = 3;
-      if (H == E2v) b = 2;
-      if (H == E1v) b = 1;
-      if (H == diag) b = 0;
-      b |= (E1v == E1u - fe1) ? 8 : 0;
-      b |= (E2v == E2u - fe2) ? 16 : 0;
-      b |= (F1v == f1_prev - fe1) ? 32 : 0;
-      b |= (F2v == f2_prev - fe2) ? 64 : 0;
-      bits_row[p] = b;
-      f1_prev = F1v; f2_prev = F2v;
-      Hn[p] = H; E1n[p] = E1v; E2n[p] = E2v;
-      row_best = std::max(row_best, H);
+      F1b[p] = run1 - pe1 - fo1;
+      F2b[p] = run2 - pe2 - fo2;
+      const float H0 = Hn[p];
       run1 = std::max(run1, H0 + pe1);
       run2 = std::max(run2, H0 + pe2);
     }
+#endif
+    // pass 3 (vectorizable): combine + traceback bits (int32 lanes)
+    F1b[p_lo > 0 ? p_lo - 1 : 0] = (p_lo > 0) ? f1_prev : F1b[0];
+    F2b[p_lo > 0 ? p_lo - 1 : 0] = (p_lo > 0) ? f2_prev : F2b[0];
+    #pragma GCC ivdep
+    for (int64_t p = p_lo; p <= p_hi; p++) {
+      const float H0 = Hn[p];
+      const float F1v = F1b[p];
+      const float F2v = F2b[p];
+      const float H = std::max(H0, std::max(F1v, F2v));
+      int32_t op = (H == F2v) ? 4 : 0;
+      op = (H == F1v) ? 3 : op;
+      op = (H == E2n[p]) ? 2 : op;
+      op = (H == E1n[p]) ? 1 : op;
+      op = (H == diag_buf[p]) ? 0 : op;
+      const float F1pv = (p > 0) ? F1b[p - 1] : NEG;
+      const float F2pv = (p > 0) ? F2b[p - 1] : NEG;
+      int32_t b = Bb[p] | op;
+      b |= (F1v == F1pv - fe1) ? 32 : 0;
+      b |= (F2v == F2pv - fe2) ? 64 : 0;
+      Bb[p] = b;
+      Hn[p] = H;
+      row_best = std::max(row_best, H);
+    }
+    #pragma GCC ivdep
+    for (int64_t p = p_lo; p <= p_hi; p++) bits_row[p] = (uint8_t)Bb[p];
+
     for (int64_t p = std::max<int64_t>(p_hi + 1, 0); p < Wb; p++) {
       Hn[p] = NEG; E1n[p] = NEG; E2n[p] = NEG; bits_row[p] = 0;
     }
