@@ -90,3 +90,18 @@ def test_contig_of(small_genome):
     assert idx.contig_of(0) == "c1"
     assert idx.contig_of(39_999) == "c1"
     assert idx.contig_of(40_000) == "c2"
+
+
+def test_chunked_build_equivalence(rng):
+    """Large contigs sketch in bounded-memory chunks; the chunked union +
+    position dedup must select exactly the same minimizers."""
+    import vacmap_tpu.index.index as ii
+
+    g = random_dna(rng, 200_000)
+    idx1 = ReferenceIndex.build({"c": g})
+    ns = {}
+    src = open(ii.__file__).read()
+    exec(src.replace("CHUNK = 16 << 20", "CHUNK = 37_000"), ns)
+    idx2 = ns["ReferenceIndex"].build({"c": g})
+    assert np.array_equal(idx1.mm_hash, idx2.mm_hash)
+    assert np.array_equal(idx1.mm_pos, idx2.mm_pos)

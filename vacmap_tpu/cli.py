@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--backend", choices=["auto", "jax", "numpy"], default="auto",
                     help="Compute backend for the hot kernels")
     fl.add_argument("--batch-reads", type=int, default=64)
+    mh = p.add_argument_group("Multi-host (jax.distributed)")
+    mh.add_argument("--coordinator", help="host:port of process 0")
+    mh.add_argument("--num-processes", type=int)
+    mh.add_argument("--process-id", type=int)
     rg = p.add_argument_group("Read-group (RG) metadata")
     for tag in RG_TAGS:
         rg.add_argument(f"--rg-{tag}", dest=f"rg_{tag}")
@@ -194,6 +198,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         level=logging.INFO,
     )
     args, _ = build_parser().parse_known_args(argv)
+    if getattr(args, "coordinator", None):
+        from .parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     cfg = config_from_args(args)
     read_paths = expand_read_paths(args.read)
     for f in read_paths:

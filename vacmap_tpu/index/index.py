@@ -61,15 +61,43 @@ class ReferenceIndex:
             np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
         )
         hs, ps, ss = [], [], []
+        # sketch in bounded chunks (k+w-2 overlap) so peak memory stays
+        # ~10x chunk size regardless of genome size
+        CHUNK = 16 << 20
         for i, name in enumerate(names):
             st, ln = starts[i], lens[i]
-            h, p, sd = minimizers(seq_codes[st : st + ln], k, w)
-            hs.append(h)
-            ps.append(p + st)
-            ss.append(sd)
+            if ln <= CHUNK:
+                h, p, sd = minimizers(seq_codes[st : st + ln], k, w)
+                hs.append(h)
+                ps.append(p + st)
+                ss.append(sd)
+                continue
+            # chunks overlap by w-1 windows (k+w-2 bases); a position is a
+            # minimizer iff SOME window selects it, so the union of per-chunk
+            # selections is exact — duplicates near boundaries are removed by
+            # the position dedup below
+            overlap = k + 2 * w - 3
+            pos0 = 0
+            while pos0 < ln:
+                end = min(pos0 + CHUNK, ln)
+                h, p, sd = minimizers(seq_codes[st + pos0 : st + end], k, w)
+                hs.append(h)
+                ps.append(p + st + pos0)
+                ss.append(sd)
+                if end == ln:
+                    break
+                pos0 = end - overlap
         mm_hash = np.concatenate(hs) if hs else np.empty(0, np.int64)
         mm_pos = np.concatenate(ps) if ps else np.empty(0, np.int64)
         mm_strand = np.concatenate(ss) if ss else np.empty(0, np.int8)
+        if len(mm_pos):
+            # dedup chunk-boundary repeats by position
+            o = np.argsort(mm_pos, kind="stable")
+            mm_hash, mm_pos, mm_strand = mm_hash[o], mm_pos[o], mm_strand[o]
+            uniq = np.empty(len(mm_pos), bool)
+            uniq[0] = True
+            uniq[1:] = mm_pos[1:] != mm_pos[:-1]
+            mm_hash, mm_pos, mm_strand = mm_hash[uniq], mm_pos[uniq], mm_strand[uniq]
         order = np.lexsort((mm_pos, mm_hash))
         mm_hash, mm_pos, mm_strand = mm_hash[order], mm_pos[order], mm_strand[order]
         # occurrence cutoff: ignore the top occ_frac most frequent minimizers
