@@ -99,7 +99,7 @@ def test_chunked_build_equivalence(rng):
 
     g = random_dna(rng, 200_000)
     idx1 = ReferenceIndex.build({"c": g})
-    ns = {}
+    ns = dict(ii.__dict__)
     src = open(ii.__file__).read()
     exec(src.replace("CHUNK = 16 << 20", "CHUNK = 37_000"), ns)
     idx2 = ns["ReferenceIndex"].build({"c": g})
