@@ -198,6 +198,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         level=logging.INFO,
     )
     args, _ = build_parser().parse_known_args(argv)
+    if args.debug:
+        from . import trace
+
+        trace.enable()
     if getattr(args, "coordinator", None):
         from .parallel.mesh import initialize_distributed
 
@@ -278,6 +282,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         "Done: %d sequences in %dh%dm%ds (%.1f/s)",
         count, int(dt // 3600), int(dt % 3600 // 60), int(dt % 60), count / dt,
     )
+    from . import trace
+
+    if trace.enabled():
+        log.info("stage timing:\n%s", trace.summary())
     return 0
 
 

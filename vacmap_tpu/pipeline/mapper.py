@@ -12,6 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from .. import trace
 from ..config import AlignerConfig
 from ..index.index import ReferenceIndex
 from ..seq import decode, encode, revcomp_codes
@@ -79,22 +80,24 @@ class Mapper:
         codes = encode(seq)
         rc_codes = revcomp_codes(codes)
 
-        anchors = self.index.seeds(seq, check_num=cfg.check_num)
+        with trace.span("seed"):
+            anchors = self.index.seeds(seq, check_num=cfg.check_num)
         if len(anchors) <= 2:
             return [], False
 
         skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
-        gc = chain_read(
-            anchors,
-            read_len,
-            kmersize=self.index.k,
-            skipcost=skip_g,
-            maxdiff=maxdiff_g,
-            maxgap=maxgap_g,
-            accept_score=p.accept_score,
-            refund=p.refund_penalty,
-            chain_backend=self.chain_backend,
-        )
+        with trace.span("global_chain"):
+            gc = chain_read(
+                anchors,
+                read_len,
+                kmersize=self.index.k,
+                skipcost=skip_g,
+                maxdiff=maxdiff_g,
+                maxgap=maxgap_g,
+                accept_score=p.accept_score,
+                refund=p.refund_penalty,
+                chain_backend=self.chain_backend,
+            )
         if gc is None:
             return [], False
 
@@ -107,20 +110,21 @@ class Mapper:
             fwd_codes, rev_codes = codes, rc_codes
 
         skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
-        score, path_desc = local_rechain(
-            gc.paths,
-            fwd_codes,
-            rev_codes,
-            self.index.seq_codes,
-            self.index.contig_starts,
-            self.index.contig_lens,
-            kmersize=cfg.local_kmersize,
-            skipcost=skip_l,
-            maxdiff=maxdiff_l,
-            maxgap=maxgap_l,
-            guide_cap=p.guide_chain_cap,
-            chain_backend=self.chain_backend,
-        )
+        with trace.span("local_rechain"):
+            score, path_desc = local_rechain(
+                gc.paths,
+                fwd_codes,
+                rev_codes,
+                self.index.seq_codes,
+                self.index.contig_starts,
+                self.index.contig_lens,
+                kmersize=cfg.local_kmersize,
+                skipcost=skip_l,
+                maxdiff=maxdiff_l,
+                maxgap=maxgap_l,
+                guide_cap=p.guide_chain_cap,
+                chain_backend=self.chain_backend,
+            )
         if len(path_desc) <= 1:
             return [], False
 
@@ -130,23 +134,24 @@ class Mapper:
         eqx_internal = True
         nodiscard = cfg.resolved_nodiscard
         path_asc = path_desc[::-1]
-        segs, records, filtered = refine_chain(
-            path_asc,
-            name,
-            gc.mapq,
-            fwd_codes,
-            rev_codes,
-            read_len,
-            self.ref,
-            maxdiff=maxdiff_l,
-            need_reverse=gc.need_reverse,
-            max_divergence=cfg.resolved_max_divergence,
-            use_hardclip=cfg.hardclip,
-            nofilter=nodiscard,
-            eqx=eqx_internal,
-            extension_aligner=self.extension_aligner,
-            global_aligner=self.global_aligner,
-        )
+        with trace.span("refine"):
+            segs, records, filtered = refine_chain(
+                path_asc,
+                name,
+                gc.mapq,
+                fwd_codes,
+                rev_codes,
+                read_len,
+                self.ref,
+                maxdiff=maxdiff_l,
+                need_reverse=gc.need_reverse,
+                max_divergence=cfg.resolved_max_divergence,
+                use_hardclip=cfg.hardclip,
+                nofilter=nodiscard,
+                eqx=eqx_internal,
+                extension_aligner=self.extension_aligner,
+                global_aligner=self.global_aligner,
+            )
         if not records:
             return [], False
 
