@@ -196,9 +196,15 @@ int align2p_native_eqx(
     const int64_t p_lo = std::max<int64_t>(0, 1 - off);
     const int64_t p_hi = std::min<int64_t>(Wb - 1, Q - off);
     const int64_t p_zero = -off;  // lane of j == 0, may be out of range
-    for (int64_t p = 0; p < std::min<int64_t>(p_lo, Wb); p++) {
-      Hn[p] = (p == p_zero) ? gapi : NEG; E1n[p] = NEG; E2n[p] = NEG;
-      bits_row[p] = 0;
+    // row i only ever reads lanes [p_lo, p_hi + 1] of row i-1, which row
+    // i-1 wrote as [p_lo-1, p_hi] of ITS range plus this one boundary
+    // lane — so a single below-range fill replaces the full out-of-band
+    // sweep (this halves row work for global alignments)
+    if (p_lo - 1 >= 0) {
+      const int64_t pb = p_lo - 1;
+      Hn[pb] = (pb == p_zero) ? gapi : NEG;
+      E1n[pb] = NEG;
+      E2n[pb] = NEG;
     }
     if (p_zero >= 0 && p_zero < Wb) {
       run1 = gapi + (float)p_zero * fe1;
@@ -287,9 +293,6 @@ int align2p_native_eqx(
     #pragma GCC ivdep
     for (int64_t p = p_lo; p <= p_hi; p++) bits_row[p] = (uint8_t)Bb[p];
 
-    for (int64_t p = std::max<int64_t>(p_hi + 1, 0); p < Wb; p++) {
-      Hn[p] = NEG; E1n[p] = NEG; E2n[p] = NEG; bits_row[p] = 0;
-    }
     // guard: p_hi can exceed available qbase range only if band math wrong
     std::swap(Hrow, Hnew); std::swap(E1row, E1new); std::swap(E2row, E2new);
     if (!glob) {
