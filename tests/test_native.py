@@ -114,3 +114,39 @@ def test_native_merge_diag_runs_matches_python(rng):
             expect = _merge_diagonal_runs(rpos, refloc, diag, strand, 9)
             got = native.merge_diag_runs_native(rpos, refloc, diag, strand, 9)
             assert [tuple(x) for x in got.tolist()] == expect
+
+
+def test_native_sketch_matches_numpy(rng):
+    from vacmap_tpu.index.minimizer import minimizers
+    from vacmap_tpu.seq import encode
+    from tests.conftest import random_dna
+
+    for n in (40, 500, 5000):
+        s = random_dna(rng, n)
+        # insert an ambiguous stretch
+        s = s[: n // 2] + "NNN" + s[n // 2 :]
+        codes = encode(s)
+        got = native.minimizer_sketch_native(codes, 15, 10)
+        # numpy path (force by building through internals)
+        from vacmap_tpu.index import minimizer as mmod
+        from vacmap_tpu.seq import kmer_codes, rc_kmer, hash64
+
+        kmers, valid = kmer_codes(codes, 15)
+        mask = (1 << 30) - 1
+        fwd = hash64(kmers, mask)
+        rev = hash64(rc_kmer(kmers, 15), mask)
+        import numpy as np
+
+        strand = np.where(fwd <= rev, np.int8(1), np.int8(-1))
+        canon = np.minimum(fwd, rev)
+        big = np.int64(np.iinfo(np.int64).max)
+        keyed = np.where(valid & (fwd != rev), canon, big)
+        if len(keyed) < 10:
+            m = keyed.min()
+            sel = np.flatnonzero(keyed == m) if m != big else np.empty(0, np.int64)
+        else:
+            sel = mmod.window_min_positions(keyed, 10)
+        sel = sel[keyed[sel] != big]
+        assert np.array_equal(got[1], sel), (n, len(got[1]), len(sel))
+        assert np.array_equal(got[0], canon[sel])
+        assert np.array_equal(got[2], strand[sel])

@@ -41,7 +41,9 @@ def window_min_positions(values: np.ndarray, w: int) -> np.ndarray:
 def minimizers(
     seq_codes: np.ndarray, k: int, w: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Compute minimizers of an encoded sequence.
+    """Compute minimizers of an encoded sequence (native C++ rolling
+    sketch when available; vectorized numpy otherwise — identical
+    selection).
 
     Returns (hashes, positions, strands):
       * hashes: int64 invertible-hashed canonical k-mer values
@@ -52,6 +54,12 @@ def minimizers(
     and reverse-complement hashes tie (palindromes) are excluded from
     strand-specific matching, as in minimap2-style sketches.
     """
+    from .. import native
+
+    if k < 32 and native.available():
+        res = native.minimizer_sketch_native(seq_codes, k, w)
+        if res is not None:
+            return res
     kmers, valid = kmer_codes(seq_codes, k)
     if len(kmers) == 0:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.int8),)

@@ -237,3 +237,27 @@ def merge_diag_runs_native(rpos, refloc, diag, strand: int, k: int):
         out.ctypes.data,
     )
     return out[:m]
+
+
+def minimizer_sketch_native(codes: np.ndarray, k: int, w: int):
+    """C++ minimizer sketch; returns (hashes, positions, strands) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sketch_bound"):
+        lib.minimizer_sketch.restype = ctypes.c_int64
+        lib.minimizer_sketch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._sketch_bound = True
+    c = np.ascontiguousarray(codes, np.uint8)
+    cap = max(len(c), 1)
+    oh = np.zeros(cap, np.int64)
+    op = np.zeros(cap, np.int64)
+    os_ = np.zeros(cap, np.int8)
+    m = lib.minimizer_sketch(
+        c.ctypes.data, len(c), k, w, oh.ctypes.data, op.ctypes.data,
+        os_.ctypes.data,
+    )
+    return oh[:m], op[:m], os_[:m]

@@ -622,3 +622,114 @@ extern "C" int64_t merge_diag_runs(
   }
   return m;
 }
+
+// ---------------------------------------------------------------------------
+// Minimizer sketch (index build / read lookup).
+//
+// Rolling 2-bit k-mer + invertible hash + sliding-window minimum with a
+// monotone deque; keeps ALL tied minimal positions (strand-symmetric),
+// identical selection to index/minimizer.py.  Returns count written.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t mm_hash64(uint64_t x, uint64_t mask) {
+  x = (~x + (x << 21)) & mask;
+  x = x ^ (x >> 24);
+  x = (x + (x << 3) + (x << 8)) & mask;
+  x = x ^ (x >> 14);
+  x = (x + (x << 2) + (x << 4)) & mask;
+  x = x ^ (x >> 28);
+  x = (x + (x << 31)) & mask;
+  return x;
+}
+
+extern "C" int64_t minimizer_sketch(
+    const uint8_t* seq, int64_t n, int k, int w,
+    int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
+  if (n < k) return 0;
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  const int64_t nk = n - k + 1;
+  const uint64_t BIG = ~0ull;
+  // keyed[i] for window minima; recompute on the fly with a deque of
+  // (key, pos); emit all positions whose key equals some window min.
+  std::vector<uint64_t> keyed(nk);
+  std::vector<int8_t> strands(nk);
+  {
+    uint64_t fwd = 0, rev = 0;
+    int valid_run = 0;
+    const uint64_t shift_rev = 2 * (k - 1);
+    for (int64_t i = 0; i < n; i++) {
+      const uint8_t c = seq[i];
+      if (c < 4) {
+        fwd = ((fwd << 2) | c) & mask;
+        rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
+        valid_run++;
+      } else {
+        fwd = 0; rev = 0; valid_run = 0;
+      }
+      const int64_t p = i - k + 1;
+      if (p < 0) continue;
+      if (valid_run >= k) {
+        const uint64_t hf = mm_hash64(fwd, mask);
+        const uint64_t hr = mm_hash64(rev, mask);
+        if (hf == hr) { keyed[p] = BIG; strands[p] = 0; }
+        else if (hf < hr) { keyed[p] = hf; strands[p] = 1; }
+        else { keyed[p] = hr; strands[p] = -1; }
+      } else {
+        keyed[p] = BIG;
+        strands[p] = 0;
+      }
+    }
+  }
+  int64_t m = 0;
+  if (nk < w) {
+    uint64_t mn = BIG;
+    for (int64_t i = 0; i < nk; i++) mn = std::min(mn, keyed[i]);
+    if (mn == BIG) return 0;
+    for (int64_t i = 0; i < nk; i++)
+      if (keyed[i] == mn) {
+        out_hash[m] = (int64_t)mn; out_pos[m] = i; out_strand[m] = strands[i];
+        m++;
+      }
+    return m;
+  }
+  // window minima: monotone deque over keys; a position is selected iff
+  // its key equals the min of at least one covering window.  Track for
+  // each position the max over covering-window minima and compare.
+  // Simpler single pass: compute winmin[t] for each window t, then mark
+  // positions where keyed[p] == winmin[t] for some t covering p by
+  // keeping a rolling max of winmin over the trailing w windows.
+  std::vector<uint64_t> winmin(nk - w + 1);
+  {
+    std::vector<int64_t> dq(nk);
+    int64_t qh = 0, qt = 0;  // deque of indices, keys increasing
+    for (int64_t i = 0; i < nk; i++) {
+      while (qt > qh && keyed[dq[qt - 1]] >= keyed[i]) qt--;
+      dq[qt++] = i;
+      if (dq[qh] <= i - w) qh++;
+      if (i >= w - 1) winmin[i - w + 1] = keyed[dq[qh]];
+    }
+  }
+  {
+    // cover[p] = max(winmin[max(0,p-w+1) .. min(p, nW-1)])
+    const int64_t nW = nk - w + 1;
+    std::vector<int64_t> dq(nk);
+    int64_t qh = 0, qt = 0;  // deque over winmin, keys decreasing (max)
+    int64_t pushed = -1;
+    for (int64_t p = 0; p < nk; p++) {
+      const int64_t t_new = std::min(p, nW - 1);
+      while (pushed < t_new) {
+        pushed++;
+        while (qt > qh && winmin[dq[qt - 1]] <= winmin[pushed]) qt--;
+        dq[qt++] = pushed;
+      }
+      while (qh < qt && dq[qh] < p - w + 1) qh++;
+      if (qh < qt && keyed[p] != BIG && winmin[dq[qh]] == keyed[p]) {
+        out_hash[m] = (int64_t)keyed[p];
+        out_pos[m] = p;
+        out_strand[m] = strands[p];
+        m++;
+      }
+    }
+  }
+  return m;
+}
