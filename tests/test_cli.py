@@ -1,0 +1,113 @@
+"""CLI end-to-end tests: argument handling, single/multi-process runs,
+output formats, mode dispatch."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from vacmap_tpu.cli import main
+from tests.conftest import random_dna
+
+
+@pytest.fixture(scope="module")
+def cli_world(rng, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    genome = random_dna(rng, 60_000)
+    ref = d / "ref.fa"
+    ref.write_text(f">c1\n{genome}\n")
+    reads = d / "reads.fq.gz"
+    with gzip.open(reads, "wt") as f:
+        for i in range(3):
+            st = 5_000 + i * 10_000
+            frag = genome[st : st + 4000]
+            f.write(f"@rd{i}\n{frag}\n+\n{'I' * len(frag)}\n")
+    return d, ref, reads, genome
+
+
+def run_cli(args):
+    return main([str(a) for a in args])
+
+
+def test_cli_sam_single_thread(cli_world):
+    d, ref, reads, genome = cli_world
+    out = d / "out1.sam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "1",
+                  "-o", out, "--force"])
+    assert rc == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 3
+    assert all(l.split("\t")[2] == "c1" for l in lines)
+    # quals preserved
+    assert set(lines[0].split("\t")[10]) == {"I"}
+    # index file was written and is reusable
+    assert any(f.endswith(".vmi.npz") for f in os.listdir(d))
+
+
+def test_cli_multiprocess_bam(cli_world):
+    d, ref, reads, genome = cli_world
+    out = d / "out2.bam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "2",
+                  "-o", out, "--force"])
+    assert rc == 0
+    from vacmap_tpu.io.bam_reader import read_bam
+
+    recs = list(read_bam(str(out)))
+    assert len(recs) == 3
+
+
+def test_cli_sorted_bam(cli_world):
+    d, ref, reads, genome = cli_world
+    out = d / "out3.sorted.bam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "L", "-t", "1",
+                  "-o", out, "--force"])
+    assert rc == 0
+    import struct, zlib
+
+    data = gzip.open(out, "rb").read()
+    assert data[:4] == b"BAM\x01"
+
+
+def test_cli_asm_mode(cli_world, tmp_path):
+    d, ref, reads, genome = cli_world
+    contig = tmp_path / "asm.fa"
+    contig.write_text(f">ctg1\n{genome[10_000:40_000]}\n")
+    out = tmp_path / "asm.sam"
+    rc = run_cli(["-ref", ref, "-read", contig, "-mode", "asm",
+                  "-workdir", tmp_path / "wd", "-o", out, "--force"])
+    assert rc == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) >= 1
+    f = lines[0].split("\t")
+    assert abs(int(f[3]) - 10_001) < 100
+    assert "=" in f[5]  # asm forces eqx
+
+
+def test_cli_mode_R_and_S(cli_world):
+    d, ref, reads, genome = cli_world
+    for mode in ("R", "S"):
+        out = d / f"out_{mode}.sam"
+        rc = run_cli(["-ref", ref, "-read", reads, "-mode", mode, "-t", "1",
+                      "-o", out, "--force"])
+        assert rc == 0
+        lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+        assert len(lines) == 3
+
+
+def test_cli_rejects_existing_output(cli_world):
+    d, ref, reads, genome = cli_world
+    out = d / "exists.sam"
+    out.write_text("x")
+    with pytest.raises(ValueError):
+        run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-o", out])
+
+
+def test_cli_wildcard_reads(cli_world):
+    d, ref, reads, genome = cli_world
+    out = d / "wild.sam"
+    rc = run_cli(["-ref", ref, "-read", str(d / "*.fq.gz"), "-mode", "H",
+                  "-t", "1", "-o", out, "--force"])
+    assert rc == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 3
