@@ -150,3 +150,23 @@ def test_native_sketch_matches_numpy(rng):
         assert np.array_equal(got[1], sel), (n, len(got[1]), len(sel))
         assert np.array_equal(got[0], canon[sel])
         assert np.array_equal(got[2], strand[sel])
+
+
+def test_native_edit_distance_fuzz_with_caps(rng):
+    """Decision-exactness fuzz for the divergence filter (guards any
+    future banded-Myers optimization)."""
+    from vacmap_tpu.ops.edit import edit_distance
+
+    for trial in range(60):
+        n = int(rng.integers(100, 600))
+        a = rng.integers(0, 4, n).astype(np.uint8)
+        if trial % 2 == 0:
+            b = a.copy()
+            for _ in range(int(rng.integers(0, n // 4))):
+                b[int(rng.integers(0, len(b)))] = rng.integers(0, 4)
+        else:
+            b = rng.integers(0, 4, int(rng.integers(100, 600))).astype(np.uint8)
+        cap = int(rng.integers(5, 200))
+        assert native.edit_distance_native(a, b, cap=cap) == edit_distance(
+            a, b, cap=cap
+        )
