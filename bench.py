@@ -18,7 +18,7 @@ import numpy as np
 
 BASELINE_MBP_PER_S = 7.42
 GENOME_MB = 2.0
-N_READS = 32
+N_READS = 64
 READ_LEN = 20_000
 ERR = 0.05
 
@@ -70,7 +70,9 @@ def main():
     rng = np.random.default_rng(20260816)
     glen = int(GENOME_MB * 1e6)
     genome = {"chr1": make_genome(rng, glen)}
+    t_idx = time.time()
     idx = ReferenceIndex.build(genome, k=15, w=10)
+    idx_build_mbp_s = glen / (time.time() - t_idx) / 1e6
 
     reads = []
     for i in range(N_READS):
@@ -117,7 +119,7 @@ def main():
     S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
     S.block_until_ready()
     t0 = time.time()
-    reps = 5
+    reps = 10
     for _ in range(reps):
         S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
         S.block_until_ready()
@@ -135,6 +137,8 @@ def main():
                 "read_len": READ_LEN,
                 "aligned_frac": n_aligned / N_READS,
                 "chain_kernel_mbp_per_s": round(chain_mbp_s, 1),
+                "index_build_mbp_per_s": round(idx_build_mbp_s, 1),
+                "ms_per_read": round(dt / N_READS * 1000, 1),
                 "padded_anchors": int(batch[0].shape[1]),
             }
         )

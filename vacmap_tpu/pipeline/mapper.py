@@ -279,7 +279,10 @@ class Mapper:
         for name, ln in zip(self.index.contig_names, self.index.contig_lens):
             lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
         if self.config.rg_id is not None:
-            lines.append(f"@RG\tID:{self.config.rg_id}")
+            # default read group carries SM:sample like the reference
+            # (vacmap:214-223, required by DeepSomatic/GATK tooling)
+            sm = "\tSM:sample" if self.config.rg_id == "1" else ""
+            lines.append(f"@RG\tID:{self.config.rg_id}{sm}")
         pg = "@PG\tID:vacmap-tpu\tPN:vacmap-tpu\tVN:0.1.0"
         if cli:
             pg += f"\tCL:{cli}"
