@@ -129,6 +129,37 @@ int align2p_native(
 }
 
 // eqx != 0 emits =/X runs (op codes 3/4) instead of M.
+static void __attribute__((noinline)) affine_pass3(
+    int64_t p_lo, int64_t p_hi, float fe1, float fe2,
+    const float* __restrict__ F1b, const float* __restrict__ F2b,
+    const float* __restrict__ E1n, const float* __restrict__ E2n,
+    const float* __restrict__ diag_buf, float* __restrict__ Hn,
+    int32_t* __restrict__ Bb, float f1_prev, float f2_prev,
+    float* row_best_out) {
+  float row_best = NEG;
+  #pragma GCC ivdep
+  for (int64_t p = p_lo; p <= p_hi; p++) {
+    const float H0 = Hn[p];
+    const float F1v = F1b[p];
+    const float F2v = F2b[p];
+    const float H = std::max(H0, std::max(F1v, F2v));
+    int32_t op = (H == F2v) ? 4 : 0;
+    op = (H == F1v) ? 3 : op;
+    op = (H == E2n[p]) ? 2 : op;
+    op = (H == E1n[p]) ? 1 : op;
+    op = (H == diag_buf[p]) ? 0 : op;
+    const float F1pv = (p > p_lo) ? F1b[p - 1] : f1_prev;
+    const float F2pv = (p > p_lo) ? F2b[p - 1] : f2_prev;
+    int32_t b = Bb[p] | op;
+    b |= (F1v == F1pv - fe1) ? 32 : 0;
+    b |= (F2v == F2pv - fe2) ? 64 : 0;
+    Bb[p] = b;
+    Hn[p] = H;
+  }
+  for (int64_t p = p_lo; p <= p_hi; p++) row_best = std::max(row_best, Hn[p]);
+  *row_best_out = row_best;
+}
+
 int align2p_native_eqx(
     const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
     int match, int mismatch, int o1, int e1, int o2, int e2,
@@ -267,29 +298,10 @@ int align2p_native_eqx(
       run2 = std::max(run2, H0 + pe2);
     }
 #endif
-    // pass 3 (vectorizable): combine + traceback bits (int32 lanes)
-    F1b[p_lo > 0 ? p_lo - 1 : 0] = (p_lo > 0) ? f1_prev : F1b[0];
-    F2b[p_lo > 0 ? p_lo - 1 : 0] = (p_lo > 0) ? f2_prev : F2b[0];
-    #pragma GCC ivdep
-    for (int64_t p = p_lo; p <= p_hi; p++) {
-      const float H0 = Hn[p];
-      const float F1v = F1b[p];
-      const float F2v = F2b[p];
-      const float H = std::max(H0, std::max(F1v, F2v));
-      int32_t op = (H == F2v) ? 4 : 0;
-      op = (H == F1v) ? 3 : op;
-      op = (H == E2n[p]) ? 2 : op;
-      op = (H == E1n[p]) ? 1 : op;
-      op = (H == diag_buf[p]) ? 0 : op;
-      const float F1pv = (p > 0) ? F1b[p - 1] : NEG;
-      const float F2pv = (p > 0) ? F2b[p - 1] : NEG;
-      int32_t b = Bb[p] | op;
-      b |= (F1v == F1pv - fe1) ? 32 : 0;
-      b |= (F2v == F2pv - fe2) ? 64 : 0;
-      Bb[p] = b;
-      Hn[p] = H;
-      row_best = std::max(row_best, H);
-    }
+    // pass 3: combine + traceback bits (separate function so the
+    // vectorizer gets a fresh context)
+    affine_pass3(p_lo, p_hi, fe1, fe2, F1b, F2b, E1n, E2n, diag_buf, Hn,
+                 Bb, f1_prev, f2_prev, &row_best);
     #pragma GCC ivdep
     for (int64_t p = p_lo; p <= p_hi; p++) bits_row[p] = (uint8_t)Bb[p];
 
