@@ -41,13 +41,36 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
     Peq[(size_t)c * W + i / 64] |= 1ull << (i % 64);
   }
   std::vector<uint64_t> Pv(W, ~0ull), Mv(W, 0);
-  int64_t score = nb;
   const uint64_t HIGH = 1ull << ((nb - 1) % 64);
+  // Ukkonen band over blocks (value-safe): cells with true distance <= cap
+  // lie within rows [j-cap, j+cap]; untouched blocks keep their virgin
+  // all-+1 state, which is an UPPER bound on their true values, and the
+  // +1 horizontal boundary delta entering the first in-band block is also
+  // an upper bound — since no <=cap path leaves the band, in-band values
+  // <= cap are exact (decision- and value-exact for d <= cap).
+  // bscore[w] = D(bottom row of block w, current column) for processed
+  // blocks; a block entering at the bottom chains bscore from above.
+  std::vector<int64_t> bscore(W);
+  // block w's tracked row is its bottom row, except the last block which
+  // tracks the pattern end (the HIGH bit)
+  for (int64_t w = 0; w < W; w++)
+    bscore[w] = std::min<int64_t>(64 * (w + 1), nb);
+  const bool banded = (cap >= 0) && (cap + 130 < nb);
+  int64_t b_hi_old = banded ? -1 : W - 1;
   for (int64_t j = 0; j < na; j++) {
     uint8_t c = a[j] < 4 ? a[j] : 4;
     const uint64_t* eqrow = &Peq[(size_t)c * W];
-    int hin = 1;  // NW boundary: D(0, j) = j, so +1 enters every column
-    for (int64_t w = 0; w < W; w++) {
+    int64_t b_lo = 0, b_hi = W - 1;
+    if (banded) {
+      b_lo = std::max<int64_t>(0, (j - cap - 65) / 64);
+      b_hi = std::min<int64_t>(W - 1, (j + cap + 65) / 64);
+      for (int64_t b = std::max<int64_t>(b_hi_old + 1, 1); b <= b_hi; b++)
+        bscore[b] =
+            bscore[b - 1] + (std::min<int64_t>(64 * (b + 1), nb) - 64 * b);
+      b_hi_old = std::max(b_hi_old, b_hi);
+    }
+    int hin = 1;  // NW boundary (and upper-bound delta when b_lo > 0)
+    for (int64_t w = b_lo; w <= b_hi; w++) {
       uint64_t Eq = eqrow[w];
       uint64_t Pv_w = Pv[w], Mv_w = Mv[w];
       uint64_t Xv = Eq | Mv_w;
@@ -66,9 +89,10 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
       Pv[w] = Mh | ~(Xv | Ph);
       Mv[w] = Ph & Xv;
       hin = hout;
-      if (w == W - 1) score += hout;
+      bscore[w] += hout;
     }
   }
+  const int64_t score = bscore[W - 1];
   if (cap >= 0 && score > cap) return cap + 1;
   return score;
 }
