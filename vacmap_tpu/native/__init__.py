@@ -137,7 +137,11 @@ def align2p_native(
 
 
 def ops_to_cigar(ops: np.ndarray) -> str:
-    return "".join(f"{int(l)}{_OPCHARS[int(o)]}" for o, l in ops)
+    if len(ops) == 0:
+        return ""
+    lut = np.array(list(_OPCHARS))
+    parts = np.char.add(ops[:, 1].astype("U10"), lut[ops[:, 0]])
+    return "".join(parts.tolist())
 
 
 def _bind_chain(lib):

@@ -74,8 +74,9 @@ def align2p(
         if res is not None:
             ops, q_end, t_end, score, zdropped = res
             cig = native.ops_to_cigar(ops)
-            n_del = int(sum(l for o, l in ops if o == 2))
-            n_ins = int(sum(l for o, l in ops if o == 1))
+            opc, lens = ops[:, 0], ops[:, 1]
+            n_del = int(lens[opc == 2].sum())
+            n_ins = int(lens[opc == 1].sum())
             return AlignResult(cig, zdropped, q_end, t_end, n_del, n_ins, score)
     return align2p_numpy(
         target, query, match=match, mismatch=mismatch,

@@ -558,23 +558,24 @@ def chain_local(
             maxgap=maxgap,
             variant=variant,
         )
-    A = anchors.astype(np.int64)
     if res.g_max_index < 0:
         return 0.0, []
+    A_list = anchors.astype(np.int64).tolist()  # bulk int conversion
+    P_list = res.P.tolist()
     path = []
     take = res.g_max_index
-    path.append(tuple(int(x) for x in A[take]))
-    pre = A[take]
-    while res.P[take] != NO_PRED:
-        take = int(res.P[take])
-        now = A[take]
+    path.append(tuple(A_list[take]))
+    pre = A_list[take]
+    while P_list[take] != NO_PRED:
+        take = P_list[take]
+        now = A_list[take]
         if pre[0] < now[0] + now[3]:
-            ov = int(now[0] + now[3] - pre[0])
+            ov = now[0] + now[3] - pre[0]
             p = path[-1]
             if pre[2] == 1:
                 path[-1] = (p[0] + ov, p[1] + ov, p[2], p[3] - ov)
             else:
                 path[-1] = (p[0] + ov, p[1], p[2], p[3] - ov)
-        path.append(tuple(int(x) for x in now))
+        path.append(tuple(now))
         pre = now
     return float(res.S[res.g_max_index]), path
