@@ -137,11 +137,8 @@ def align2p_native(
 
 
 def ops_to_cigar(ops: np.ndarray) -> str:
-    if len(ops) == 0:
-        return ""
-    lut = np.array(list(_OPCHARS))
-    parts = np.char.add(ops[:, 1].astype("U10"), lut[ops[:, 0]])
-    return "".join(parts.tolist())
+    ol = ops.tolist()
+    return "".join(str(l) + _OPCHARS[o] for o, l in ol)
 
 
 def _bind_chain(lib):
