@@ -111,3 +111,14 @@ def test_cli_wildcard_reads(cli_world):
     assert rc == 0
     lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
     assert len(lines) == 3
+
+
+def test_cli_executor_backend(cli_world):
+    d, ref, reads, genome = cli_world
+    out = d / "out_exec.sam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "2",
+                  "--backend", "jax", "--batch-reads", "2", "-o", out,
+                  "--force"])
+    assert rc == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 3

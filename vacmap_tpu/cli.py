@@ -232,7 +232,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     map_fn0 = mapper0.map_contig if cfg.mode == "asm" else mapper0.map_read
     st = time.time()
     count = 0
-    if n_workers == 1:
+    if cfg.backend == "jax" and cfg.mode != "asm":
+        # batched device executor: the whole batch's chaining DP runs as
+        # one Pallas call; host refinement overlaps on threads
+        from .parallel import runtime
+        from .pipeline.executor import BatchExecutor
+
+        runtime.enable_compilation_cache()
+        ex = BatchExecutor(mapper0)
+        batch = []
+        for path in read_paths:
+            log.info("Reading %s", path)
+            for rec in _read_records(path, cfg):
+                batch.append(rec)
+                count += 1
+                if len(batch) >= cfg.batch_reads:
+                    for lines in ex.map_batch(batch, n_threads=cfg.threads):
+                        if lines:
+                            writer.write_lines(lines)
+                    batch = []
+        if batch:
+            for lines in ex.map_batch(batch, n_threads=cfg.threads):
+                if lines:
+                    writer.write_lines(lines)
+        writer.close()
+    elif n_workers == 1:
         for path in read_paths:
             log.info("Reading %s", path)
             for rec in _read_records(path, cfg):

@@ -76,14 +76,21 @@ class BatchExecutor:
     def _run_kernel(self, anchors, n_valid, skip_i, maxdiff_i, kmersize,
                     maxdiff, maxgap, skipcost, variant):
         if self.use_pallas and variant != "refund":
-            from ..ops.chain_pallas import chain_scores_pallas, pad_for_pallas
+            try:
+                from ..ops.chain_pallas import chain_scores_pallas, pad_for_pallas
 
-            a, nv, sk, md, B = pad_for_pallas(anchors, n_valid, skip_i, maxdiff_i)
-            S, P = chain_scores_pallas(
-                a, nv, sk, md, kmersize=kmersize, maxdiff=maxdiff,
-                maxgap=maxgap, skipcost=skipcost, variant=variant,
-            )
-            return S[:B], P[:B]
+                a, nv, sk, md, B = pad_for_pallas(
+                    anchors, n_valid, skip_i, maxdiff_i
+                )
+                S, P = chain_scores_pallas(
+                    a, nv, sk, md, kmersize=kmersize, maxdiff=maxdiff,
+                    maxgap=maxgap, skipcost=skipcost, variant=variant,
+                )
+                return S[:B], P[:B]
+            except Exception:
+                # Pallas needs a TPU backend; fall back to the scan kernel
+                # (e.g. CPU test meshes) and remember
+                self.use_pallas = False
         from ..ops.chain_jax import chain_scores_batch
 
         return chain_scores_batch(
