@@ -622,12 +622,9 @@ def _cigar_query_span(cigar: str, with_clips: bool) -> int:
     import re
 
     n = 0
-    for m in re.finditer(r"(\d+)([MIDNSHP=X])", cigar):
-        ln, op = int(m.group(1)), m.group(2)
-        if op in "MI=X":
-            n += ln
-        elif op in "SH" and with_clips:
-            n += ln
+    for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+        if op in "MI=X" or (op in "SH" and with_clips):
+            n += int(ln)
     return n
 
 

@@ -17,18 +17,20 @@ _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 
 def cigar_ops(cigar: str):
-    for m in _CIGAR_RE.finditer(cigar):
-        yield int(m.group(1)), m.group(2)
+    for ln, op in _CIGAR_RE.findall(cigar):
+        yield int(ln), op
 
 
 def merge_cigar(cigar: str) -> tuple[str, int]:
     """Merge adjacent same-op runs; returns (cigar, n_ops)."""
     out: List[list] = []
-    for ln, op in cigar_ops(cigar):
-        if out and out[-1][1] == op:
-            out[-1][0] += ln
+    pre_op = None
+    for ln, op in _CIGAR_RE.findall(cigar):
+        if op == pre_op:
+            out[-1][0] += int(ln)
         else:
-            out.append([ln, op])
+            out.append([int(ln), op])
+            pre_op = op
     return "".join(f"{ln}{op}" for ln, op in out), len(out)
 
 
@@ -37,7 +39,7 @@ def nm_from_cigar(cigar: str, query: str, ref: str) -> int:
     (output_functions.py:300-349).  With an =/X cigar (no M runs) NM is a
     pure op-length sum and the sequences are not touched."""
     if "M" not in cigar:
-        return sum(ln for ln, op in cigar_ops(cigar) if op in "XID")
+        return sum(int(ln) for ln, op in _CIGAR_RE.findall(cigar) if op in "XID")
     nm = q = r = 0
     for ln, op in cigar_ops(cigar):
         if op == "M":
