@@ -1,0 +1,48 @@
+"""Device-mesh sharding: the chaining step over a multi-device dp mesh
+must produce identical results to single-device execution, for every
+mesh size that divides the batch."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vacmap_tpu.ops.chain_jax import prepare_batch
+from vacmap_tpu.parallel.mesh import ShardedChainStep, make_mesh
+from tests.test_chain import chainy_anchors
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_chain_consistency(n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(4242)  # same batch for every mesh size
+    alist = [
+        chainy_anchors(rng, read_len=1200, noise=4).astype(np.int32)
+        for _ in range(8)
+    ]
+    batch = prepare_batch(alist, "global", 40.0, 50)
+    step = ShardedChainStep(make_mesh(n_dev))
+    S, P, best, n_acc = step(*batch)
+    if n_dev == 1:
+        test_sharded_chain_consistency.ref = (S, best, n_acc)
+    else:
+        ref = getattr(test_sharded_chain_consistency, "ref", None)
+        if ref is not None:
+            np.testing.assert_allclose(S, ref[0], atol=1e-4)
+            assert n_acc == ref[2]
+    assert n_acc == 8  # every chainy read accepted
+
+
+def test_sharded_step_pads_ragged_batch(rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    alist = [
+        chainy_anchors(rng, read_len=800, noise=2).astype(np.int32)
+        for _ in range(5)  # not a multiple of 4
+    ]
+    batch = prepare_batch(alist, "global", 40.0, 50)
+    step = ShardedChainStep(make_mesh(4))
+    S, P, best, n_acc = step(*batch)
+    assert S.shape[0] == 5
+    assert n_acc == 5
