@@ -206,13 +206,19 @@ int align2p_native_eqx(
   const int64_t Wb = dhi - dlo + 1;
 
   // rows carry one NEG sentinel at index Wb so the p+1 (vertical) reads
-  // never go out of bounds
-  std::vector<float> Hrow(Wb + 1, NEG), E1row(Wb + 1, NEG), E2row(Wb + 1, NEG);
-  std::vector<float> Hnew(Wb + 1, NEG), E1new(Wb + 1, NEG), E2new(Wb + 1, NEG);
-  std::vector<float> Dbuf(Wb + 1, NEG), F1buf(Wb + 1, NEG), F2buf(Wb + 1, NEG);
-  std::vector<int32_t> Bbuf(Wb + 1, 0);
-  std::vector<float> G1buf(Wb + 8, NEG), G2buf(Wb + 8, NEG);
-  std::vector<uint8_t> tb((size_t)T * Wb);
+  // never go out of bounds; scratch reused across calls (thread-local)
+  static thread_local std::vector<float> Hrow, E1row, E2row, Hnew, E1new,
+      E2new, Dbuf, F1buf, F2buf, G1buf, G2buf;
+  static thread_local std::vector<int32_t> Bbuf;
+  static thread_local std::vector<uint8_t> tb;
+  for (auto* v : {&Hrow, &E1row, &E2row, &Hnew, &E1new, &E2new, &Dbuf,
+                  &F1buf, &F2buf}) {
+    v->assign(Wb + 1, NEG);
+  }
+  G1buf.assign(Wb + 8, NEG);
+  G2buf.assign(Wb + 8, NEG);
+  Bbuf.assign(Wb + 1, 0);
+  tb.resize((size_t)T * Wb);
 
   auto gapf = [&](int64_t l) -> float {
     return (float)std::min((int64_t)o1 + (int64_t)e1 * l,
