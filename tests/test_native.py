@@ -170,3 +170,58 @@ def test_native_edit_distance_fuzz_with_caps(rng):
         assert native.edit_distance_native(a, b, cap=cap) == edit_distance(
             a, b, cap=cap
         )
+
+
+def test_native_harvest_matches_numpy(rng):
+    """Full C++ harvest must reproduce the numpy harvest exactly
+    (anchors as multisets; ordering differs only by emission order)."""
+    from vacmap_tpu.ops import harvest as hmod
+    from vacmap_tpu.seq import encode
+    from tests.conftest import random_dna
+
+    ref = random_dna(rng, 30_000)
+    ref_codes = encode(ref)
+    starts = np.array([0], np.int64)
+    lens = np.array([len(ref)], np.int64)
+    for trial in range(4):
+        st = int(rng.integers(0, 20_000))
+        frag = list(ref[st : st + 6000])
+        for _ in range(240):
+            frag[int(rng.integers(0, len(frag)))] = "ACGT"[rng.integers(0, 4)]
+        read = "".join(frag) + random_dna(rng, 500)
+        if trial % 2:
+            from vacmap_tpu.seq import revcomp
+
+            read = revcomp(read)
+        read_codes = encode(read)
+        from vacmap_tpu.seq import revcomp_codes
+
+        rc = revcomp_codes(read_codes)
+        # guide: coarse anchors on the true diagonal
+        if trial % 2 == 0:
+            g = np.array(
+                [[i, st + i, 1, 15] for i in range(0, 6000, 500)], np.int64
+            )
+        else:
+            L = len(read)
+            g = np.array(
+                [[L - (i + 15) - 500, st + i, -1, 15] for i in range(0, 6000, 500)],
+                np.int64,
+            )
+        native_out = None
+        numpy_out = None
+        import vacmap_tpu.native as nat
+
+        # numpy path: temporarily disable native
+        real = nat.available
+        try:
+            nat.available = lambda: False
+            numpy_out = hmod.harvest_anchors(
+                g, read_codes, rc, ref_codes, starts, lens, kmersize=9
+            )
+        finally:
+            nat.available = real
+        native_out = hmod.harvest_anchors(
+            g, read_codes, rc, ref_codes, starts, lens, kmersize=9
+        )
+        assert sorted(map(tuple, native_out)) == sorted(map(tuple, numpy_out)), trial

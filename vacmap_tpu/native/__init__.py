@@ -262,3 +262,38 @@ def minimizer_sketch_native(codes: np.ndarray, k: int, w: int):
         os_.ctypes.data,
     )
     return oh[:m], op[:m], os_[:m]
+
+
+def harvest_join_native(ref_codes, windows, read_codes, readstart, readend,
+                        g_rp, g_ref, k: int):
+    """Full C++ harvest (table + scan + proximity + merge); returns an
+    (m, 4) anchor array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_harvest_bound"):
+        lib.harvest_join.restype = ctypes.c_int64
+        lib.harvest_join.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._harvest_bound = True
+    rc = np.ascontiguousarray(ref_codes, np.uint8)
+    qc = np.ascontiguousarray(read_codes, np.uint8)
+    wlo = np.ascontiguousarray([w[0] for w in windows], np.int64)
+    whi = np.ascontiguousarray([w[1] for w in windows], np.int64)
+    grp = np.ascontiguousarray(g_rp, np.int64)
+    gref = np.ascontiguousarray(g_ref, np.int64)
+    cap = 4 * max(readend - readstart, 64) + 1024
+    out = np.zeros((cap, 4), np.int64)
+    m = lib.harvest_join(
+        rc.ctypes.data, wlo.ctypes.data, whi.ctypes.data, len(wlo),
+        qc.ctypes.data, len(qc), readstart, readend,
+        grp.ctypes.data, gref.ctypes.data, len(grp),
+        k, out.ctypes.data, cap,
+    )
+    if m < 0:
+        return None  # capacity overflow: caller falls back to numpy
+    return out[:m]

@@ -775,3 +775,158 @@ extern "C" int64_t minimizer_sketch(
   }
   return m;
 }
+
+// ---------------------------------------------------------------------------
+// Full k=9 local harvest: exact k-mer table over reference windows
+// (direct-addressed 4^k heads + chains), per-position scan of the read
+// with guide-diagonal proximity filtering, and per-diagonal run merge.
+// Mirrors ops/harvest.py::harvest_anchors exactly (which mirrors
+// mammap_clrnano.py:23069-23345).
+//
+// windows: nw pairs (lo, hi) of global ref ranges.  guide arrays sorted
+// by readpos.  out receives (readpos, refpos, strand, len) rows.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t harvest_join(
+    const uint8_t* ref_codes, const int64_t* win_lo, const int64_t* win_hi,
+    int64_t nw, const uint8_t* read_codes, int64_t read_len,
+    int64_t readstart, int64_t readend,
+    const int64_t* g_rp, const int64_t* g_ref, int64_t ng,
+    int64_t k, int64_t* out, int64_t out_cap) {
+  const int64_t K4 = 1ll << (2 * k);
+  const uint64_t mask = K4 - 1;
+  // --- build table over windows ---------------------------------------
+  static thread_local std::vector<int32_t> head;
+  static thread_local std::vector<int32_t> nxt;
+  static thread_local std::vector<int64_t> pos_of;
+  head.assign(K4, -1);
+  nxt.clear();
+  pos_of.clear();
+  for (int64_t w = 0; w < nw; w++) {
+    const int64_t lo = win_lo[w], hi = win_hi[w];
+    uint64_t km = 0;
+    int run = 0;
+    for (int64_t i = lo; i < hi; i++) {
+      const uint8_t c = ref_codes[i];
+      if (c < 4) { km = ((km << 2) | c) & mask; run++; }
+      else { km = 0; run = 0; }
+      if (run >= k) {
+        const int64_t p = i - k + 1;
+        const int32_t id = (int32_t)pos_of.size();
+        pos_of.push_back(p);
+        nxt.push_back(head[km]);
+        head[km] = id;
+      }
+    }
+  }
+  // chains list positions in REVERSE window order; reverse per-kmer at
+  // consumption is unnecessary: downstream sorts by (diag, readpos)
+
+  // per-strand hit buffers (sorted later)
+  static thread_local std::vector<int64_t> h_r, h_y, h_d;
+
+  auto flush_strand = [&](int64_t strand, int64_t& m) -> bool {
+    // sort hits by (diag, readpos) then merge runs
+    const int64_t n = h_r.size();
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; i++) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      if (h_d[a] != h_d[b]) return h_d[a] < h_d[b];
+      return h_r[a] < h_r[b];
+    });
+    int64_t i = 0;
+    auto emit = [&](int64_t r, int64_t y, int64_t l) -> bool {
+      if (m >= out_cap) return false;
+      out[m * 4 + 0] = r; out[m * 4 + 1] = y;
+      out[m * 4 + 2] = strand; out[m * 4 + 3] = l;
+      m++;
+      return true;
+    };
+    while (i < n) {
+      const int64_t d = h_d[order[i]];
+      int64_t a_r = h_r[order[i]], a_y = h_y[order[i]], a_l = k;
+      i++;
+      while (i < n && h_d[order[i]] == d) {
+        const int64_t r = h_r[order[i]], y = h_y[order[i]];
+        i++;
+        if (a_r + a_l >= r) {
+          const int64_t bouns = r - (a_r + a_l) + k;
+          if (bouns > 0) {
+            if (a_l + bouns < 20) {
+              if (strand == 1) a_l += bouns;
+              else { a_y = y; a_l += bouns; }
+            } else {
+              if (!emit(a_r, a_y, a_l)) return false;
+              if (strand == 1) { a_r += a_l; a_y += a_l; a_l = bouns; }
+              else { a_r += a_l; a_y = y; a_l = bouns; }
+            }
+          }
+        } else {
+          if (!emit(a_r, a_y, a_l)) return false;
+          a_r = r; a_y = y; a_l = k;
+        }
+      }
+      if (!emit(a_r, a_y, a_l)) return false;
+    }
+    h_r.clear(); h_y.clear(); h_d.clear();
+    return true;
+  };
+
+  int64_t m = 0;
+  for (int64_t strand = 1; strand >= -1; strand -= 2) {
+    h_r.clear(); h_y.clear(); h_d.clear();
+    uint64_t fwd = 0, rev = 0;
+    int run = 0;
+    const uint64_t shift_rev = 2 * (k - 1);
+    // rolling kmers over the read; start so that position `readstart` has
+    // a full k-mer
+    for (int64_t i = readstart; i < readend + k - 1 && i < read_len; i++) {
+      const uint8_t c = read_codes[i];
+      if (c < 4) {
+        fwd = ((fwd << 2) | c) & mask;
+        rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
+        run++;
+      } else { fwd = rev = 0; run = 0; }
+      const int64_t p = i - k + 1;
+      if (p < readstart || p >= readend || run < k) continue;
+      const uint64_t km = (strand == 1) ? fwd : rev;
+      if (fwd == rev) continue;  // palindrome
+      int32_t id = head[km];
+      if (id < 0) continue;
+      // guide proximity (findClosest_1 semantics)
+      int64_t i1;
+      {
+        int64_t lo2 = 0, hi2 = ng;
+        while (lo2 < hi2) {
+          const int64_t mid = (lo2 + hi2) / 2;
+          if (g_rp[mid] < p) lo2 = mid + 1; else hi2 = mid;
+        }
+        i1 = lo2;
+      }
+      int64_t i0 = i1 > 0 ? i1 - 1 : 0;
+      if (i1 >= ng) i1 = ng - 1;
+      if (p <= g_rp[0]) { i0 = i1 = 0; }
+      else if (p >= g_rp[ng - 1]) { i0 = i1 = ng - 1; }
+      else if (g_rp[i1] == p) i0 = i1;
+      const int64_t bias0 = std::llabs(g_rp[i0] - p);
+      const int64_t bias1 = std::llabs(g_rp[i1] - p);
+      const int64_t interval = std::min<int64_t>(bias0 + bias1 + 500, 2000);
+      const int64_t ref0 = g_ref[i0], ref1 = g_ref[i1];
+      const int64_t readgap = std::llabs(p - g_rp[i0]);
+      for (; id >= 0; id = nxt[id]) {
+        const int64_t refloc = pos_of[id];
+        const int64_t refgap = std::llabs(refloc - ref0);
+        const bool near =
+            (std::llabs(readgap - refgap) < 500) ||
+            (ref0 + interval >= refloc && ref0 - interval <= refloc) ||
+            (ref1 + interval >= refloc && ref1 - interval <= refloc);
+        if (!near) continue;
+        h_r.push_back(p);
+        h_y.push_back(refloc);
+        h_d.push_back(strand == 1 ? refloc - p : -(refloc + p));
+      }
+    }
+    if (!flush_strand(strand, m)) return -1;
+  }
+  return m;
+}

@@ -119,6 +119,18 @@ def harvest_anchors(
     if readend <= readstart:
         return []
 
+    # native fast path: table + scan + proximity + merge in one C++ call
+    from .. import native
+
+    if native.available():
+        g_by_read = guide[np.argsort(guide[:, 0], kind="stable")]
+        merged = native.harvest_join_native(
+            ref_codes, windows, read_codes, readstart, readend,
+            g_by_read[:, 0], g_by_read[:, 1], k,
+        )
+        if merged is not None:
+            return [tuple(row) for row in merged.tolist()]
+
     pos = np.arange(readstart, readend, dtype=np.int64)
     km_all, ok_all = kmer_codes(read_codes, k)
     fwd = km_all[readstart:readend]
