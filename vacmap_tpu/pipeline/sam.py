@@ -34,6 +34,42 @@ def merge_cigar(cigar: str) -> tuple[str, int]:
     return "".join(f"{ln}{op}" for ln, op in out), len(out)
 
 
+def merge_nm_collapse(cigar: str, collapse_eqx: bool):
+    """One-pass cigar finishing for =/X cigars: merged cigar, op count,
+    NM (X+I+D sum), and the M-collapsed output cigar.  Falls back to the
+    multi-pass path when M runs are present (NM then needs sequences)."""
+    runs: List[list] = []
+    pre_op = None
+    nm = 0
+    has_m = False
+    for ln_s, op in _CIGAR_RE.findall(cigar):
+        ln = int(ln_s)
+        if op == "M":
+            has_m = True
+        elif op in "XID":
+            nm += ln
+        if op == pre_op:
+            runs[-1][0] += ln
+        else:
+            runs.append([ln, op])
+            pre_op = op
+    merged = "".join(f"{ln}{op}" for ln, op in runs)
+    if not collapse_eqx:
+        return merged, len(runs), (None if has_m else nm), merged
+    out: List[list] = []
+    pre_op = None
+    for ln, op in runs:
+        if op in "=X":
+            op = "M"
+        if op == pre_op:
+            out[-1][0] += ln
+        else:
+            out.append([ln, op])
+            pre_op = op
+    collapsed = "".join(f"{ln}{op}" for ln, op in out)
+    return merged, len(out), (None if has_m else nm), collapsed
+
+
 def nm_from_cigar(cigar: str, query: str, ref: str) -> int:
     """NM = mismatches (M/X) + inserted + deleted bases, Picard-consistent
     (output_functions.py:300-349).  With an =/X cigar (no M runs) NM is a
@@ -236,25 +272,26 @@ def records_to_sam(
     clip = "H" if hardclip else "S"
     for i, item in enumerate(records):
         oriented = query if item[2] == "+" else rc_query
-        cigarstring, n_cigar = merge_cigar(item[8])
+        cigarstring, n_cigar, nm_fast, out_cigar = merge_nm_collapse(
+            item[8], collapse_eqx
+        )
         # the reference slice is only needed for MD/cs or M-op NM
-        need_ref = md or cs or "M" in cigarstring
+        need_ref = md or cs or nm_fast is None
         tmp_query = oriented[item[3] : item[4]] if need_ref else ""
         tmp_target = ref_fetch(item[1], item[5], item[6]) if need_ref else ""
         if md or cs:
             mdstr, csstr = md_cs_from_cigar(cigarstring, tmp_target, tmp_query, short_cs)
             iloc2md[i] = mdstr
             iloc2cs[i] = csstr
-        # soft-clipped cigars walk the full read (S advances the query
-        # cursor); hard-clipped cigars walk the aligned slice
-        iloc2nm[i] = nm_from_cigar(
-            cigarstring, tmp_query if hardclip else oriented, tmp_target
-        )
-        if collapse_eqx and ("=" in cigarstring or "X" in cigarstring):
-            cigarstring, n_cigar = merge_cigar(
-                cigarstring.replace("=", "M").replace("X", "M")
+        if nm_fast is not None:
+            iloc2nm[i] = nm_fast
+        else:
+            # soft-clipped cigars walk the full read (S advances the query
+            # cursor); hard-clipped cigars walk the aligned slice
+            iloc2nm[i] = nm_from_cigar(
+                cigarstring, tmp_query if hardclip else oriented, tmp_target
             )
-        item[8] = cigarstring
+        item[8] = out_cigar
         iloc2ncig[i] = n_cigar
         if fakecigar:
             top = f"{item[3]}{clip}" if item[3] > 0 else ""
