@@ -134,3 +134,45 @@ def test_translocation_recovered(rng):
     recs, _ = m.map_read_records("tra", read)
     contigs = set(r[1] for r in recs)
     assert contigs == {"t1", "t2"}, f"split across contigs not found: {recs}"
+
+
+def test_duplication_recovered(rng):
+    """Tandem duplication: the read revisits the same reference interval,
+    appearing as a query gap re-aligned to overlapping ref (split with
+    backward ref jump) or a large insertion."""
+    from vacmap_tpu.seq import revcomp
+
+    genome = {"d1": random_dna(rng, 150_000)}
+    idx = ReferenceIndex.build(genome, k=15, w=10)
+    m = Mapper(idx, AlignerConfig(mode="H"))
+    st = 60_000
+    seg = genome["d1"][st : st + 16_000]
+    dup = seg[:7000] + seg[5000:7000] + seg[5000:7000] + seg[7000:]  # 2 extra copies of 2 kb
+    recs, _ = m.map_read_records("dup", dup)
+    assert recs
+    hit = False
+    for r in recs:
+        for ln, op in big_indels(r[8], 500):
+            if op == "I" and abs(ln - 4000) < 600:
+                hit = True
+    # or split signature: adjacent records with ref going backward
+    recs.sort(key=lambda r: r[3])
+    for a, b in zip(recs, recs[1:]):
+        if a[2] == b[2] == "+" and b[5] < a[6] - 500:
+            hit = True
+    assert hit, recs
+
+
+def test_reference_with_n_runs(rng):
+    """Reference contigs containing N stretches must index and map."""
+    g = random_dna(rng, 40_000) + "N" * 5_000 + random_dna(rng, 40_000)
+    genome = {"n1": g}
+    idx = ReferenceIndex.build(genome, k=15, w=10)
+    m = Mapper(idx, AlignerConfig(mode="H"))
+    read = g[50_000:58_000]  # after the N run
+    lines = m.map_read("postn", read)
+    assert lines
+    assert abs(int(lines[0].split("\t")[3]) - 50_001) < 100
+    # read spanning the N gap: maps around it
+    read2 = g[38_000:52_000]
+    m.map_read("spann", read2)  # must not crash
