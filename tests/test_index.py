@@ -76,7 +76,7 @@ def test_index_seeds_reverse(small_genome):
 
 def test_index_save_load(tmp_path, small_genome):
     idx = ReferenceIndex.build(small_genome, k=15, w=10)
-    path = str(tmp_path / "ref.vmi.npz")
+    path = str(tmp_path / "ref.vmi")
     idx.save(path)
     idx2 = ReferenceIndex.load(path)
     assert idx2.contig_names == idx.contig_names

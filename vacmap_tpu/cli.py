@@ -130,11 +130,13 @@ def expand_read_paths(read_args) -> List[str]:
 
 def load_or_build_index(refpath: str, k: int, w: int, write_index: bool) -> ReferenceIndex:
     if refpath.endswith(".vmi.npz") or refpath.endswith(".vmi"):
-        return ReferenceIndex.load(refpath if refpath.endswith(".npz") else refpath + ".npz")
-    index_name = f"{refpath}.w{w}_k{k}.vmi.npz"
-    if os.path.isfile(index_name):
+        return ReferenceIndex.load(refpath)
+    index_name = f"{refpath}.w{w}_k{k}.vmi"
+    if os.path.isdir(index_name) or os.path.isfile(index_name + ".npz"):
         log.info("Loading index %s", index_name)
-        return ReferenceIndex.load(index_name)
+        return ReferenceIndex.load(
+            index_name if os.path.isdir(index_name) else index_name + ".npz"
+        )
     log.info("Building index for %s (k=%d w=%d)", refpath, k, w)
     contigs = {}
     for rec in fastx_read(refpath):

@@ -121,26 +121,65 @@ class ReferenceIndex:
         )
 
     # ---- persistence -----------------------------------------------------
+    # .vmi format: a directory of raw .npy arrays plus meta.json.  Arrays
+    # load memory-mapped, so (a) index load is O(metadata) and (b) forked
+    # worker processes share one physical copy of a genome-scale index.
+    _ARRAYS = ("starts", "lens", "seq", "mm_hash", "mm_pos", "mm_strand")
+
     def save(self, path: str) -> None:
-        # uncompressed: ~4x larger on disk but ~30x faster save and
-        # near-mmap-speed load (matters at genome scale)
-        np.savez(
-            path,
-            magic=np.array(VMI_MAGIC),
-            k=self.k,
-            w=self.w,
-            names=np.array(self.contig_names),
-            starts=self.contig_starts,
-            lens=self.contig_lens,
-            seq=self.seq_codes,
-            mm_hash=self.mm_hash,
-            mm_pos=self.mm_pos,
+        import json
+        import os
+
+        if path.endswith(".npz"):
+            path = path[: -len(".npz")]
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "magic": VMI_MAGIC,
+            "k": self.k,
+            "w": self.w,
+            "names": self.contig_names,
+            "occ_cutoff": self.occ_cutoff,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        arrays = dict(
+            starts=self.contig_starts, lens=self.contig_lens,
+            seq=self.seq_codes, mm_hash=self.mm_hash, mm_pos=self.mm_pos,
             mm_strand=self.mm_strand,
-            occ_cutoff=self.occ_cutoff,
         )
+        for name in self._ARRAYS:
+            np.save(os.path.join(path, name + ".npy"), arrays[name])
 
     @classmethod
     def load(cls, path: str) -> "ReferenceIndex":
+        import json
+        import os
+
+        if path.endswith(".npz") and not os.path.isdir(path):
+            if os.path.isdir(path[: -len(".npz")]):
+                path = path[: -len(".npz")]
+        if os.path.isdir(path):
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            if meta.get("magic") != VMI_MAGIC:
+                raise ValueError(f"not a {VMI_MAGIC} index: {path}")
+            arr = {
+                name: np.load(os.path.join(path, name + ".npy"), mmap_mode="r")
+                for name in cls._ARRAYS
+            }
+            return cls(
+                k=int(meta["k"]),
+                w=int(meta["w"]),
+                contig_names=list(meta["names"]),
+                contig_starts=arr["starts"],
+                contig_lens=arr["lens"],
+                seq_codes=arr["seq"],
+                mm_hash=arr["mm_hash"],
+                mm_pos=arr["mm_pos"],
+                mm_strand=arr["mm_strand"],
+                occ_cutoff=int(meta["occ_cutoff"]),
+            )
+        # legacy single-file .npz
         z = np.load(path, allow_pickle=False)
         if str(z["magic"]) != VMI_MAGIC:
             raise ValueError(f"not a {VMI_MAGIC} index: {path}")
