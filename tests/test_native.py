@@ -225,3 +225,34 @@ def test_native_harvest_matches_numpy(rng):
             g, read_codes, rc, ref_codes, starts, lens, kmersize=9
         )
         assert sorted(map(tuple, native_out)) == sorted(map(tuple, numpy_out)), trial
+
+
+@pytest.mark.parametrize("variant", ["global", "refund", "fine", "mismatch"])
+def test_native_fast_chain_matches_python(rng, variant):
+    """C++ bucketed fast DP vs the scalar Python transcription, including
+    dense same-score buckets that trigger the nearest-diagonal prune."""
+    import vacmap_tpu.native as nat
+    from vacmap_tpu.ops.chain_ref import chain_dp_fast
+    from tests.test_chain import chainy_anchors, random_anchors
+
+    for trial in range(3):
+        a = np.concatenate([
+            random_anchors(rng, 120),
+            chainy_anchors(rng, read_len=1500, noise=0),
+        ])
+        a = a[np.argsort(a[:, 0], kind="stable")]
+        if variant in ("fine", "mismatch"):
+            a = a[np.argsort(a[:, 0] + a[:, 3], kind="stable")]
+        got = nat.chain_dp_fast_native(a, 15, 40.0, 50, 1000, variant)
+        real = nat.available
+        try:
+            nat.available = lambda: False
+            ref = chain_dp_fast(a, 15, 40.0, 50, 1000, variant=variant)
+        finally:
+            nat.available = real
+        S, P = got
+        # atol 1e-5: double-rounding/association differences between the
+        # C++ and Python transcriptions surface on rare near-ties
+        np.testing.assert_allclose(S, ref.S, atol=1e-5)
+        agree = np.mean(P == ref.P)
+        assert agree > 0.97, agree

@@ -297,3 +297,33 @@ def harvest_join_native(ref_codes, windows, read_codes, readstart, readend,
     if m < 0:
         return None  # capacity overflow: caller falls back to numpy
     return out[:m]
+
+
+def chain_dp_fast_native(anchors, kmersize, skipcost, maxdiff, maxgap,
+                         variant, fast_t: int = 5):
+    """Bucketed-prune chaining DP in C++; returns (S, P) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_fast_bound"):
+        lib.chain_dp_fast_native.restype = ctypes.c_int
+        lib.chain_dp_fast_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._chain_fast_bound = True
+    from ..ops.chain_ref import EXTRA
+
+    A = np.ascontiguousarray(anchors, np.int64)
+    n = len(A)
+    S = np.zeros(n, np.float64)
+    P = np.zeros(n, np.int64)
+    extra = np.ascontiguousarray(EXTRA, np.float32)
+    lib.chain_dp_fast_native(
+        A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
+        _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1, fast_t,
+        S.ctypes.data, P.ctypes.data,
+    )
+    return S, P

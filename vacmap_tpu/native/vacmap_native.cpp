@@ -582,8 +582,8 @@ extern "C" int chain_dp_native_warm(
           ts = S[j] + bonus - pen;
         } else {
           ts = S[j] + bonus -
-               (skipcost + (float)(0.5 * std::log2((double)std::min<int64_t>(
-                                        gapcost, 99999) + 1.0)));
+               (skipcost + 0.5 * std::log2((double)std::min<int64_t>(
+                                        gapcost, 99999) + 1.0));
         }
       }
       if (ts > max_scores) {
@@ -929,4 +929,201 @@ extern "C" int64_t harvest_join(
     if (!flush_strand(strand, m)) return -1;
   }
   return m;
+}
+
+// ---------------------------------------------------------------------------
+// Bucketed-prune ("fast") chaining DP — the repeat-dense fallback.
+//
+// Exact transcription of ops/chain_ref.chain_dp_fast (itself mirroring the
+// reference _d_fast_all, mammap_clrnano.py:25033): integer-quantized score
+// buckets, each sorted by signed diagonal; buckets larger than fast_t test
+// only the diagonal-nearest candidate (distance ties prefer the larger
+// diagonal).  Supports all four variants incl. the refund ledger.
+// ---------------------------------------------------------------------------
+
+extern "C" int chain_dp_fast_native(
+    const int64_t* anchors, int64_t n,
+    int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
+    const float* extra, int64_t extra_size, int64_t fast_t,
+    double* S_out, int64_t* P_out) {
+  if (n == 0) return 0;
+  const bool local = (variant == 2 || variant == 3);
+  const bool refund = (variant == 1);
+  auto A = [&](int64_t i, int c) { return anchors[i * 4 + c]; };
+
+  std::vector<double> gapcost_list(maxdiff + 1, 0.0);
+  for (int g = 1; g <= maxdiff; g++) {
+    double coef = (local && g > 10) ? 2.0 : 0.5;
+    gapcost_list[g] = 0.01 * kmersize * g + coef * std::log2((double)g);
+  }
+  std::vector<double> readgapcost(100, 0.0);
+  for (int g = 1; g < 100; g++) readgapcost[g] = (float)(0.1 * std::log2(g + 1.0));
+  std::vector<double> lrg(maxgap + 1, 0.0);
+  for (int g = 1; g <= maxgap; g++)
+    lrg[g] = (float)((g >= 30) ? 0.5 * g : 0.1 * std::log2(g + 1.0));
+
+  int64_t maxr = 0;
+  for (int64_t i = 0; i < n; i++) maxr = std::max(maxr, A(i, 0));
+  std::vector<int32_t> cov(maxr + 1, 0);
+  if (variant == 0)
+    for (int64_t i = 0; i < n; i++) {
+      int64_t r = A(i, 0);
+      if (cov[r] < 20) cov[r]++;
+    }
+
+  const int64_t readlength = A(n - 1, 0) + 1000;
+  std::vector<int64_t> target(n), barrier(n);
+  for (int64_t i = 0; i < n; i++) {
+    target[i] = (A(i, 2) == 1) ? (A(i, 1) - A(i, 0) + readlength)
+                               : -(A(i, 1) + A(i, 0) + readlength);
+    barrier[i] = A(i, 0) + (local ? A(i, 3) : 0);
+  }
+
+  std::vector<double> S(n, 0.0), fixed_pen, pre_pen;
+  std::vector<int64_t> P(n, -1);
+  if (refund) { fixed_pen.assign(n, 0.0); pre_pen.assign(n, 0.0); }
+
+  // buckets[int score] -> (diag, idx) sorted ascending
+  std::vector<std::vector<std::pair<int64_t, int64_t>>> bucket;
+  auto ensure = [&](int64_t sc) {
+    if ((int64_t)bucket.size() <= sc) bucket.resize(sc + 1);
+  };
+  S[0] = (double)A(0, 3);
+  int64_t s0 = (int64_t)S[0];
+  ensure(s0);
+  bucket[s0].push_back({target[0], 0});
+  int64_t max_score_i = s0;
+  int64_t inserted = 1;
+  int64_t prebarrier = barrier[0];
+  double skip_c = skipcost + ((variant == 0) ? cov[A(0, 0)] : 0);
+  int mdiff_c = std::max(maxdiff - (int)((variant == 0) ? cov[A(0, 0)] : 0), 10);
+
+  struct PairScore { double ts; bool col; int64_t bonus; };
+  auto score_pair = [&](int64_t i, int64_t j) -> PairScore {
+    const int64_t r_i = A(i, 0), y_i = A(i, 1), s_i = A(i, 2), l_i = A(i, 3);
+    const int64_t r_j = A(j, 0), y_j = A(j, 1), s_j = A(j, 2), l_j = A(j, 3);
+    int64_t readgap = r_i - r_j - l_j;
+    int64_t bonus, refgap;
+    const bool same = (s_i == s_j);
+    if (readgap < 0) {
+      bonus = r_i + l_i - r_j - l_j;
+      if (local && bonus <= 0) return {-1e300, false, bonus};
+      const int64_t overlap = r_j + l_j - r_i;
+      readgap = 0;
+      if (same)
+        refgap = (s_i == 1) ? (y_i + overlap - (y_j + l_j)) : (y_j - (y_i + bonus));
+      else
+        refgap = (s_j == -1) ? (y_i + overlap - y_j + 1)
+                             : (y_i + bonus - 1 - (y_j + l_j));
+    } else {
+      bonus = l_i;
+      if (same)
+        refgap = (s_i == 1) ? (y_i - y_j - l_j) : (y_j - y_i - l_i);
+      else
+        refgap = (s_j == -1) ? (y_i - y_j + 1) : (y_i + l_i - 1 - y_j - l_j);
+    }
+    const int64_t gapcost = std::llabs(readgap - refgap);
+    const bool colinear =
+        same && refgap >= 0 && readgap <= maxgap && gapcost <= mdiff_c;
+    double ts;
+    if (colinear) {
+      ts = S[j] + bonus - gapcost_list[gapcost];
+      if (variant == 2) ts -= readgapcost[std::min<int64_t>(readgap, 99)];
+      else if (variant == 3) ts -= lrg[std::min<int64_t>(readgap, maxgap)];
+      else if (refund && fixed_pen[j] < 0 && fixed_pen[j] + bonus >= 0)
+        ts += pre_pen[j];
+    } else {
+      const int64_t gc = std::min(gapcost, extra_size);
+      if (variant == 0) ts = S[j] - skip_c + bonus - (double)extra[gc];
+      else if (variant == 1) ts = S[j] + bonus - skip_c;
+      else if (variant == 2)
+        ts = S[j] + bonus -
+             ((same ? skipcost : std::min(50.0, skipcost)) + (double)extra[gc]);
+      else
+        ts = S[j] + bonus -
+             (skipcost + 0.5 * std::log2(
+                              (double)std::min<int64_t>(gapcost, 99999) + 1.0));
+    }
+    return {ts, colinear, bonus};
+  };
+
+  for (int64_t i = 1; i < n; i++) {
+    if (prebarrier < barrier[i]) {
+      while (inserted < i) {
+        const int64_t kk = inserted;
+        const int64_t sk = (int64_t)S[kk];
+        ensure(sk);
+        auto& bl = bucket[sk];
+        const std::pair<int64_t, int64_t> key{target[kk], kk};
+        bl.insert(std::upper_bound(bl.begin(), bl.end(), key), key);
+        if (sk > max_score_i) max_score_i = sk;
+        inserted++;
+      }
+      if (variant == 0) {
+        skip_c = skipcost + cov[A(i, 0)];
+        mdiff_c = std::max(maxdiff - (int)cov[A(i, 0)], 10);
+      }
+      prebarrier = barrier[i];
+    }
+    const int64_t l_i = A(i, 3);
+    double max_scores = (double)l_i;
+    int64_t pre_index = -1;
+    bool win_col = false;
+    int64_t win_bonus = 0;
+    int64_t c = max_score_i;
+    while ((double)c > max_scores - (double)(l_i + 1)) {
+      if (c >= 0 && c < (int64_t)bucket.size() && !bucket[c].empty()) {
+        auto& bl = bucket[c];
+        if ((int64_t)bl.size() > fast_t) {
+          // diagonal-nearest; distance ties prefer the larger diagonal
+          const int64_t t = target[i];
+          auto it = std::lower_bound(
+              bl.begin(), bl.end(), std::pair<int64_t, int64_t>{t, -1});
+          int64_t best_j = -1;
+          int64_t best_d = INT64_MAX;
+          int64_t best_diag = INT64_MIN;
+          auto consider = [&](const std::pair<int64_t, int64_t>& e) {
+            const int64_t d = std::llabs(e.first - t);
+            const bool better =
+                d < best_d || (d == best_d && e.first > best_diag);
+            if (better) { best_d = d; best_diag = e.first; best_j = e.second; }
+          };
+          if (it != bl.end()) consider(*it);
+          if (it != bl.begin()) consider(*std::prev(it));
+          if (best_j >= 0) {
+            const PairScore ps = score_pair(i, best_j);
+            if (ps.ts > max_scores) {
+              max_scores = ps.ts; pre_index = best_j;
+              win_col = ps.col; win_bonus = ps.bonus;
+            }
+          }
+        } else {
+          for (auto it = bl.rbegin(); it != bl.rend(); ++it) {
+            const PairScore ps = score_pair(i, it->second);
+            if (ps.ts > max_scores) {
+              max_scores = ps.ts; pre_index = it->second;
+              win_col = ps.col; win_bonus = ps.bonus;
+            }
+          }
+        }
+      }
+      c--;
+    }
+    S[i] = max_scores;
+    P[i] = pre_index;
+    if (refund && pre_index >= 0) {
+      const int64_t j = pre_index;
+      if (win_col) {
+        if (fixed_pen[j] < 0 && fixed_pen[j] + win_bonus < 0) {
+          fixed_pen[i] = fixed_pen[j] + win_bonus;
+          pre_pen[i] = pre_pen[j];
+        }
+      } else {
+        fixed_pen[i] = -skip_c + win_bonus;
+        pre_pen[i] = skip_c;
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; i++) { S_out[i] = S[i]; P_out[i] = P[i]; }
+  return 0;
 }

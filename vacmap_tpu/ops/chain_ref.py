@@ -365,11 +365,20 @@ def chain_dp_fast(
     """Bucketed-prune chaining DP: scores quantized to ints; buckets with
     more than `fast_t` members test only the diagonal-nearest anchor.
 
-    This is the reference's repeat-dense fallback.  It is deliberately a
-    scalar transcription (numba-free) — the production path for dense
-    reads is the device kernel; this oracle exists for validation and as
-    the slow-path fallback of the numpy backend.
+    This is the reference's repeat-dense fallback.  Dispatches to the
+    native C++ kernel when available; the scalar Python transcription
+    below is the validation oracle.
     """
+    from .. import native
+
+    if native.available() and len(anchors):
+        res = native.chain_dp_fast_native(
+            anchors, kmersize, skipcost, maxdiff, maxgap, variant, fast_t
+        )
+        if res is not None:
+            S, P = res
+            g = int(np.argmax(S)) if len(S) else -1
+            return ChainResult(g, S, P)
     import bisect
     from collections import defaultdict
 
