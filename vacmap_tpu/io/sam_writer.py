@@ -43,19 +43,70 @@ class BgzfWriter:
     def __init__(self, fh):
         self.fh = fh
         self.buf = bytearray()
+        self.coffset = 0  # file offset of the block the buffer starts in
+
+    def tell_virtual(self) -> int:
+        """BAM virtual file offset of the next byte written."""
+        return (self.coffset << 16) | len(self.buf)
 
     def write(self, data: bytes):
         self.buf += data
         while len(self.buf) >= 60000:
-            self.fh.write(bgzf_block(bytes(self.buf[:60000])))
+            block = bgzf_block(bytes(self.buf[:60000]))
+            self.fh.write(block)
+            self.coffset += len(block)
             del self.buf[:60000]
 
     def close(self):
         if self.buf:
-            self.fh.write(bgzf_block(bytes(self.buf)))
+            block = bgzf_block(bytes(self.buf))
+            self.fh.write(block)
+            self.coffset += len(block)
             self.buf = bytearray()
         self.fh.write(BGZF_EOF)
         self.fh.flush()
+
+
+class BaiBuilder:
+    """BAI index accumulation: records must arrive coordinate-sorted."""
+
+    def __init__(self, n_ref: int):
+        self.bins = [dict() for _ in range(n_ref)]  # bin -> [chunks]
+        self.linear = [dict() for _ in range(n_ref)]  # 16kb window -> min voffset
+
+    def add(self, refid: int, beg: int, end: int, v_start: int, v_end: int):
+        if refid < 0:
+            return
+        b = _reg2bin(beg, end)
+        chunks = self.bins[refid].setdefault(b, [])
+        if chunks and chunks[-1][1] == v_start:
+            chunks[-1] = (chunks[-1][0], v_end)
+        else:
+            chunks.append((v_start, v_end))
+        for win in range(beg >> 14, ((max(end, beg + 1) - 1) >> 14) + 1):
+            cur = self.linear[refid].get(win)
+            if cur is None or v_start < cur:
+                self.linear[refid][win] = v_start
+
+    def write(self, path: str):
+        with open(path, "wb") as f:
+            f.write(b"BAI\x01")
+            f.write(struct.pack("<i", len(self.bins)))
+            for refid in range(len(self.bins)):
+                bins = self.bins[refid]
+                f.write(struct.pack("<i", len(bins)))
+                for b, chunks in bins.items():
+                    f.write(struct.pack("<Ii", b, len(chunks)))
+                    for cs, ce in chunks:
+                        f.write(struct.pack("<QQ", cs, ce))
+                lin = self.linear[refid]
+                n_intv = (max(lin) + 1) if lin else 0
+                f.write(struct.pack("<i", n_intv))
+                prev = 0
+                for w in range(n_intv):
+                    v = lin.get(w, prev)
+                    prev = v
+                    f.write(struct.pack("<Q", v))
 
 
 def encode_bam_record(fields: List[str], ref_ids: Dict[str, int]) -> bytes:
@@ -237,10 +288,23 @@ class OutputWriter:
             self._pending.sort(key=key)
             htext = "\n".join(self.header_lines) + "\n"
             self._write_bam_header(htext)
+            bai = BaiBuilder(len(self.ref_names))
             for line in self._pending:
-                self._bgzf.write(
-                    encode_bam_record(line.rstrip("\n").split("\t"), self.ref_ids)
-                )
+                fields = line.rstrip("\n").split("\t")
+                v0 = self._bgzf.tell_virtual()
+                self._bgzf.write(encode_bam_record(fields, self.ref_ids))
+                v1 = self._bgzf.tell_virtual()
+                refid = self.ref_ids.get(fields[2], -1)
+                beg = int(fields[3]) - 1
+                end = beg
+                for m in _CIGAR_RE.finditer(fields[5] if fields[5] != "*" else ""):
+                    if m.group(2) in "MDN=X":
+                        end += int(m.group(1))
+                bai.add(refid, beg, max(end, beg + 1), v0, v1)
             self._pending = []
+            self._bgzf.close()
+            self._fh.close()
+            bai.write(self.path + ".bai")
+            return
         self._bgzf.close()
         self._fh.close()
