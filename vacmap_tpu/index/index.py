@@ -98,7 +98,9 @@ class ReferenceIndex:
             uniq[0] = True
             uniq[1:] = mm_pos[1:] != mm_pos[:-1]
             mm_hash, mm_pos, mm_strand = mm_hash[uniq], mm_pos[uniq], mm_strand[uniq]
-        order = np.lexsort((mm_pos, mm_hash))
+        # positions are already ascending, so a stable sort by hash gives
+        # (hash asc, pos asc) without materializing a second sort key
+        order = np.argsort(mm_hash, kind="stable")
         mm_hash, mm_pos, mm_strand = mm_hash[order], mm_pos[order], mm_strand[order]
         # occurrence cutoff: ignore the top occ_frac most frequent minimizers
         occ_cutoff = 2**30
