@@ -49,27 +49,30 @@ class ReferenceIndex:
     @classmethod
     def build(cls, contigs: Dict[str, str], k: int = 15, w: int = 10,
               occ_frac: float = 2e-4) -> "ReferenceIndex":
-        names, starts, lens, codes_parts = [], [], [], []
+        names, starts, lens = [], [], []
         off = 0
         for name, s in contigs.items():
             names.append(name)
             starts.append(off)
             lens.append(len(s))
-            codes_parts.append(encode(s.upper()))
             off += len(s)
-        seq_codes = (
-            np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
-        )
+        # single preallocated code array; contig strings encoded in place
+        # (no second whole-genome copy)
+        seq_codes = np.empty(off, np.uint8)
+        for name, st, ln in zip(names, starts, lens):
+            seq_codes[st : st + ln] = encode(contigs[name].upper())
         hs, ps, ss = [], [], []
         # sketch in bounded chunks (k+w-2 overlap) so peak memory stays
         # ~10x chunk size regardless of genome size
         CHUNK = 16 << 20
         for i, name in enumerate(names):
             st, ln = starts[i], lens[i]
+            hash_dt0 = np.uint32 if 2 * k <= 32 else np.int64
+            pos_dt0 = np.uint32 if off < 2**32 else np.int64
             if ln <= CHUNK:
                 h, p, sd = minimizers(seq_codes[st : st + ln], k, w)
-                hs.append(h)
-                ps.append(p + st)
+                hs.append(h.astype(hash_dt0))
+                ps.append((p + st).astype(pos_dt0))
                 ss.append(sd)
                 continue
             # chunks overlap by w-1 windows (k+w-2 bases); a position is a
@@ -81,15 +84,21 @@ class ReferenceIndex:
             while pos0 < ln:
                 end = min(pos0 + CHUNK, ln)
                 h, p, sd = minimizers(seq_codes[st + pos0 : st + end], k, w)
-                hs.append(h)
-                ps.append(p + st + pos0)
+                hs.append(h.astype(hash_dt0))
+                ps.append((p + st + pos0).astype(pos_dt0))
                 ss.append(sd)
                 if end == ln:
                     break
                 pos0 = end - overlap
-        mm_hash = np.concatenate(hs) if hs else np.empty(0, np.int64)
-        mm_pos = np.concatenate(ps) if ps else np.empty(0, np.int64)
+        # compact dtypes: the hash fits 2k bits and positions fit the
+        # genome length — uint32 halves index memory for k <= 16 and
+        # genomes < 4 Gb (human genome: ~5 GB total index)
+        hash_dt = np.uint32 if 2 * k <= 32 else np.int64
+        pos_dt = np.uint32 if off < 2**32 else np.int64
+        mm_hash = np.concatenate(hs) if hs else np.empty(0, hash_dt)
+        mm_pos = np.concatenate(ps) if ps else np.empty(0, pos_dt)
         mm_strand = np.concatenate(ss) if ss else np.empty(0, np.int8)
+        del hs, ps, ss
         if len(mm_pos):
             # dedup chunk-boundary repeats by position
             o = np.argsort(mm_pos, kind="stable")
@@ -102,13 +111,19 @@ class ReferenceIndex:
         # (hash asc, pos asc) without materializing a second sort key
         order = np.argsort(mm_hash, kind="stable")
         mm_hash, mm_pos, mm_strand = mm_hash[order], mm_pos[order], mm_strand[order]
-        # occurrence cutoff: ignore the top occ_frac most frequent minimizers
+        # occurrence cutoff: ignore the top occ_frac most frequent
+        # minimizers.  mm_hash is already sorted: run lengths come from
+        # boundary positions (no np.unique copy of the whole table).
         occ_cutoff = 2**30
         if len(mm_hash):
-            _, counts = np.unique(mm_hash, return_counts=True)
+            boundaries = np.flatnonzero(mm_hash[1:] != mm_hash[:-1])
+            counts = np.diff(
+                np.concatenate(([0], boundaries + 1, [len(mm_hash)]))
+            )
             if len(counts):
                 q = np.quantile(counts, 1.0 - occ_frac)
                 occ_cutoff = int(max(10, q))
+            del boundaries, counts
         return cls(
             k=k,
             w=w,
@@ -249,6 +264,9 @@ class ReferenceIndex:
         if len(h) == 0:
             return np.empty((0, 4), np.int64)
         cutoff = self.occ_cutoff if mid_occ < 0 else mid_occ
+        # match the table dtype so searchsorted never upcasts the (large)
+        # table array
+        h = h.astype(self.mm_hash.dtype, copy=False)
         lo = np.searchsorted(self.mm_hash, h, side="left")
         hi = np.searchsorted(self.mm_hash, h, side="right")
         occ = hi - lo
