@@ -68,3 +68,20 @@ def test_unmappable_read_rejected(acc_world, rng):
     junk = random_dna(rng, 3000)
     lines = m.map_read("junk", junk)
     assert lines == []
+
+
+def test_mapq_calibration_on_duplication(rng):
+    """Reads inside a duplicated segment must get MAPQ ~0; reads anchored
+    in unique flank must get high MAPQ (the f2/f1 term in hit2work's
+    formula, mammap_clrnano.py:23704)."""
+    seg = random_dna(rng, 25_000)
+    genome = {
+        "dup": random_dna(rng, 50_000) + seg + random_dna(rng, 100_000)
+        + seg + random_dna(rng, 50_000)
+    }
+    idx = ReferenceIndex.build(genome, k=15, w=10)
+    m = Mapper(idx, AlignerConfig(mode="H"))
+    amb = m.map_read("amb", seg[5_000:15_000])
+    assert amb and int(amb[0].split("\t")[4]) <= 3
+    uni = m.map_read("uni", genome["dup"][40_000:60_000])
+    assert uni and int(uni[0].split("\t")[4]) >= 50

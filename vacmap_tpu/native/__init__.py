@@ -327,3 +327,47 @@ def chain_dp_fast_native(anchors, kmersize, skipcost, maxdiff, maxgap,
         S.ctypes.data, P.ctypes.data,
     )
     return S, P
+
+
+def align2p_batch_native(pairs, match=2, mismatch=-4, o1=4, e1=2, o2=24,
+                         e2=1, eqx=False):
+    """All pairs in one C++ call (global mode).  Returns a list of
+    (ops_view, q_end, t_end) or None."""
+    lib = get_lib()
+    if lib is None or not pairs:
+        return None
+    if not hasattr(lib, "_batch_bound"):
+        lib.align2p_batch_native.restype = ctypes.c_int
+        lib.align2p_batch_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._batch_bound = True
+    n = len(pairs)
+    t_off = np.zeros(n, np.int64)
+    t_len = np.zeros(n, np.int64)
+    q_off = np.zeros(n, np.int64)
+    q_len = np.zeros(n, np.int64)
+    total = 0
+    for i, (t, q) in enumerate(pairs):
+        t_off[i] = total; t_len[i] = len(t); total += len(t)
+        q_off[i] = total; q_len[i] = len(q); total += len(q)
+    seqs = np.empty(total, np.uint8)
+    for i, (t, q) in enumerate(pairs):
+        seqs[t_off[i] : t_off[i] + t_len[i]] = t
+        seqs[q_off[i] : q_off[i] + q_len[i]] = q
+    ops_cap = 2 * total + 32 * n
+    out_ops = np.zeros((ops_cap, 2), np.int32)
+    meta = np.zeros((n, 2), np.int64)
+    rc = lib.align2p_batch_native(
+        seqs.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+        q_off.ctypes.data, q_len.ctypes.data, n,
+        match, mismatch, o1, e1, o2, e2, 1 if eqx else 0,
+        out_ops.ctypes.data, ops_cap, meta.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return [out_ops[meta[i, 0] : meta[i, 0] + meta[i, 1]] for i in range(n)]

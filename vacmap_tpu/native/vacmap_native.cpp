@@ -1127,3 +1127,33 @@ extern "C" int chain_dp_fast_native(
   for (int64_t i = 0; i < n; i++) { S_out[i] = S[i]; P_out[i] = P[i]; }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Batched global alignment: all of a read's inter-anchor gap pairs in one
+// call (amortizes binding overhead; scratch shared across pairs).
+// Layout: seqs = concatenated target/query codes with per-pair offsets;
+// out_ops shared, per-pair [ops_off, n_ops] written to ops_meta.
+// ---------------------------------------------------------------------------
+
+extern "C" int align2p_batch_native(
+    const uint8_t* seqs, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* q_off, const int64_t* q_len, int64_t n_pairs,
+    int match, int mismatch, int o1, int e1, int o2, int e2, int eqx,
+    int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta /* (n,2) */) {
+  int64_t cursor = 0;
+  for (int64_t p = 0; p < n_pairs; p++) {
+    int64_t n_ops = 0, q_end = 0, t_end = 0, score = 0;
+    int zdropped = 0;
+    const int64_t room = ops_cap - cursor;
+    const int rc = align2p_native_eqx(
+        seqs + t_off[p], t_len[p], seqs + q_off[p], q_len[p],
+        match, mismatch, o1, e1, o2, e2, -1, -1, 1, eqx,
+        out_ops + cursor * 2, room, &n_ops, &q_end, &t_end, &score,
+        &zdropped);
+    if (rc != 0) return rc;
+    ops_meta[p * 2] = cursor;
+    ops_meta[p * 2 + 1] = n_ops;
+    cursor += n_ops;
+  }
+  return 0;
+}

@@ -551,6 +551,25 @@ def segment_cigar_jobs(
 
 
 def _host_global_batch(pairs, eqx):
+    from .. import native
+
+    if native.available() and pairs:
+        # empty-side pairs keep the scalar path (special cigar handling)
+        if all(len(t) and len(q) for t, q in pairs):
+            res = native.align2p_batch_native(pairs, eqx=eqx)
+            if res is not None:
+                out = []
+                for ops, (t, q) in zip(res, pairs):
+                    cig = native.ops_to_cigar(ops)
+                    opc, lens = ops[:, 0], ops[:, 1]
+                    out.append(
+                        AlignResult(
+                            cig, False, len(q), len(t),
+                            int(lens[opc == 2].sum()),
+                            int(lens[opc == 1].sum()), 0,
+                        )
+                    )
+                return out
     return [align2p(t, q, eqx=eqx, **_GLOBAL_KW) for t, q in pairs]
 
 
