@@ -107,6 +107,40 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
 static const float NEG = -1e30f;
 
 #if defined(__AVX2__)
+// Two interleaved in-place inclusive prefix maxes (independent carry
+// chains hide the lane-shift latency).
+static inline void prefix_max2_avx2(float* __restrict__ g1,
+                                    float* __restrict__ g2, int64_t n,
+                                    float c1, float c2) {
+  const __m256 vneg = _mm256_set1_ps(NEG);
+  const __m256i p1 = _mm256_setr_epi32(0, 0, 1, 2, 3, 4, 5, 6);
+  const __m256i p2 = _mm256_setr_epi32(0, 0, 0, 1, 2, 3, 4, 5);
+  const __m256i p4 = _mm256_setr_epi32(0, 0, 0, 0, 0, 1, 2, 3);
+  __m256 vc1 = _mm256_set1_ps(c1), vc2 = _mm256_set1_ps(c2);
+  int64_t p = 0;
+  for (; p + 8 <= n; p += 8) {
+    __m256 a = _mm256_loadu_ps(g1 + p);
+    __m256 b = _mm256_loadu_ps(g2 + p);
+    a = _mm256_max_ps(a, _mm256_blend_ps(_mm256_permutevar8x32_ps(a, p1), vneg, 0x01));
+    b = _mm256_max_ps(b, _mm256_blend_ps(_mm256_permutevar8x32_ps(b, p1), vneg, 0x01));
+    a = _mm256_max_ps(a, _mm256_blend_ps(_mm256_permutevar8x32_ps(a, p2), vneg, 0x03));
+    b = _mm256_max_ps(b, _mm256_blend_ps(_mm256_permutevar8x32_ps(b, p2), vneg, 0x03));
+    a = _mm256_max_ps(a, _mm256_blend_ps(_mm256_permutevar8x32_ps(a, p4), vneg, 0x0F));
+    b = _mm256_max_ps(b, _mm256_blend_ps(_mm256_permutevar8x32_ps(b, p4), vneg, 0x0F));
+    a = _mm256_max_ps(a, vc1);
+    b = _mm256_max_ps(b, vc2);
+    _mm256_storeu_ps(g1 + p, a);
+    _mm256_storeu_ps(g2 + p, b);
+    vc1 = _mm256_permutevar8x32_ps(a, _mm256_set1_epi32(7));
+    vc2 = _mm256_permutevar8x32_ps(b, _mm256_set1_epi32(7));
+  }
+  float s1 = _mm256_cvtss_f32(vc1), s2 = _mm256_cvtss_f32(vc2);
+  for (; p < n; p++) {
+    s1 = std::max(s1, g1[p]); g1[p] = s1;
+    s2 = std::max(s2, g2[p]); g2[p] = s2;
+  }
+}
+
 // In-place inclusive prefix max with carry-in; returns final carry.
 // Log-step lane shifts via permutevar8x32 + NEG blends.
 static inline float prefix_max_avx2(float* __restrict__ g, int64_t n, float carry) {
@@ -308,8 +342,7 @@ int align2p_native_eqx(
         G1[p] = H0 + (float)p * fe1;
         G2[p] = H0 + (float)p * fe2;
       }
-      prefix_max_avx2(G1 + p_lo, p_hi - p_lo + 1, run1);
-      prefix_max_avx2(G2 + p_lo, p_hi - p_lo + 1, run2);
+      prefix_max2_avx2(G1 + p_lo, G2 + p_lo, p_hi - p_lo + 1, run1, run2);
       #pragma GCC ivdep
       for (int64_t p = p_lo; p <= p_hi; p++) {
         const float r1 = (p > p_lo) ? G1[p - 1] : run1;
