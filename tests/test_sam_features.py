@@ -144,3 +144,21 @@ def test_mode_R_accepts_distant_translocation(rng):
     spans = sorted((r[5], r[6]) for r in recs_r)
     assert len(recs_r) >= 2
     assert spans[0][0] < 15_000 and spans[-1][1] > 1_899_000
+
+
+def test_cs_long_format(world):
+    genome, idx, frag, st = world
+    m = Mapper(idx, AlignerConfig(mode="H", cs=True, shortcs=False))
+    lines = m.map_read("r", frag)
+    cs = get_tag(lines[0], "cs")
+    assert cs and "=" in cs  # long form spells matched bases
+    m2 = Mapper(idx, AlignerConfig(mode="H", cs=True, shortcs=True))
+    cs2 = get_tag(m2.map_read("r", frag)[0], "cs")
+    assert cs2 and ":" in cs2  # short form uses :len runs
+
+
+def test_copycomments(world):
+    genome, idx, frag, st = world
+    m = Mapper(idx, AlignerConfig(mode="H", copycomments=True))
+    lines = m.map_read("r", frag, comment="BX:Z:barcode42")
+    assert lines[0].endswith("BX:Z:barcode42")
