@@ -64,3 +64,22 @@ def test_streaming_contig(rng):
     assert f[2] == "g1"
     assert abs(int(f[3]) - 50_001) < 100
     assert "D" in f[5] or "N" in f[5]  # the deletion appears in the cigar
+
+
+def test_streaming_contig_disk_spill(rng, tmp_path):
+    """Streaming asm with a workdir exercises the disk-spill frontier."""
+    genome = {"g2": random_dna(rng, 700_000)}
+    idx = ReferenceIndex.build(genome, k=15, w=10)
+    import dataclasses
+
+    cfg = dataclasses.replace(AlignerConfig(mode="asm"), workdir=str(tmp_path))
+    m = Mapper(idx, cfg)
+    contig = genome["g2"][50_000:600_000]
+    lines = m.map_contig("spillctg", contig)
+    assert lines
+    f = lines[0].split("\t")
+    assert abs(int(f[3]) - 50_001) < 100
+    # workdir cleaned up afterwards
+    import os
+
+    assert not any("spillctg" in d for d in os.listdir(tmp_path))

@@ -216,6 +216,19 @@ def map_contig_streaming(
     workdir: Optional[str] = None,
 ) -> List[list]:
     """Full streaming asm pipeline for one large contig."""
+    try:
+        return _map_contig_streaming(mapper, name, seq, workdir)
+    finally:
+        if workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _map_contig_streaming(
+    mapper,
+    name: str,
+    seq: str,
+    workdir: Optional[str] = None,
+) -> List[list]:
     from ..seq import encode, revcomp_codes
 
     cfg = mapper.config
