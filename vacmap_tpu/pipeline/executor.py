@@ -153,12 +153,11 @@ class BatchExecutor:
     # ------------------------------------------------------------------
     def _finish_read(self, name, seq, qual, comment, precomputed):
         """Identical to Mapper.map_read but reusing a precomputed global
-        chain result."""
+        chain result (same code path: Mapper.map_read_records)."""
         m = self.mapper
         cfg = m.config
-        p = cfg.preset
         try:
-            records = self._records(name, seq, precomputed)
+            records, _ = m.map_read_records(name, seq, precomputed=precomputed)
         except Exception:
             return []
         if not records:
@@ -180,60 +179,3 @@ class BatchExecutor:
             )
         except Exception:
             return []
-
-    def _records(self, name, seq, precomputed):
-        from ..seq import encode, revcomp_codes
-        from .local import local_rechain
-        from .extend import refine_chain
-        from .sam import paired_indel
-
-        m = self.mapper
-        cfg = m.config
-        p = cfg.preset
-        seq = seq.upper()
-        read_len = len(seq)
-        codes = encode(seq)
-        rc_codes = revcomp_codes(codes)
-        skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
-        if precomputed is None:
-            anchors = m.index.seeds(seq, check_num=cfg.check_num)
-            if len(anchors) <= 2:
-                return []
-        else:
-            anchors = precomputed[1]
-        gc = chain_read(
-            anchors, read_len, kmersize=m.index.k, skipcost=skip_g,
-            maxdiff=maxdiff_g, maxgap=maxgap_g,
-            accept_score=p.accept_score, refund=p.refund_penalty,
-            precomputed=precomputed,
-        )
-        if gc is None:
-            return []
-        fwd, rev = (rc_codes, codes) if gc.need_reverse else (codes, rc_codes)
-        skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
-        score, path_desc = local_rechain(
-            gc.paths, fwd, rev, m.index.seq_codes, m.index.contig_starts,
-            m.index.contig_lens, kmersize=cfg.local_kmersize,
-            skipcost=skip_l, maxdiff=maxdiff_l, maxgap=maxgap_l,
-            guide_cap=p.guide_chain_cap,
-        )
-        if len(path_desc) <= 1:
-            return []
-        nodiscard = cfg.resolved_nodiscard
-        path_asc = path_desc[::-1]
-        segs, records, filtered = refine_chain(
-            path_asc, name, gc.mapq, fwd, rev, read_len, m.ref,
-            maxdiff=maxdiff_l, need_reverse=gc.need_reverse,
-            max_divergence=cfg.resolved_max_divergence,
-            use_hardclip=cfg.hardclip, nofilter=nodiscard, eqx=True,
-        )
-        if not records:
-            return []
-        if not nodiscard and filtered and paired_indel([r[-1] for r in records]):
-            segs, records, filtered = refine_chain(
-                path_asc, name, gc.mapq, fwd, rev, read_len, m.ref,
-                maxdiff=maxdiff_l, need_reverse=gc.need_reverse,
-                max_divergence=cfg.resolved_max_divergence,
-                use_hardclip=cfg.hardclip, nofilter=True, eqx=True,
-            )
-        return records

@@ -69,10 +69,15 @@ class Mapper:
         return decode(self.index.seq_codes[g + start : g + end])
 
     # ------------------------------------------------------------------
-    def map_read_records(self, name: str, seq: str):
+    def map_read_records(self, name: str, seq: str, precomputed=None):
         """Run the mapping pipeline; returns (records, filtered_redo_used)
         where records are (readid, contig, strand, q_st, q_en, r_st, r_en,
-        mapq, cigar) rows."""
+        mapq, cigar) rows.
+
+        ``precomputed`` is an optional (need_reverse, sorted_anchors,
+        ChainResult) triple from the batched executor; seeding and the
+        global DP are skipped when provided.
+        """
         cfg = self.config
         p = cfg.preset
         seq = seq.upper()
@@ -80,10 +85,13 @@ class Mapper:
         codes = encode(seq)
         rc_codes = revcomp_codes(codes)
 
-        with trace.span("seed"):
-            anchors = self.index.seeds(seq, check_num=cfg.check_num)
-        if len(anchors) <= 2:
-            return [], False
+        if precomputed is None:
+            with trace.span("seed"):
+                anchors = self.index.seeds(seq, check_num=cfg.check_num)
+            if len(anchors) <= 2:
+                return [], False
+        else:
+            anchors = precomputed[1]
 
         skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
         with trace.span("global_chain"):
@@ -97,6 +105,7 @@ class Mapper:
                 accept_score=p.accept_score,
                 refund=p.refund_penalty,
                 chain_backend=self.chain_backend,
+                precomputed=precomputed,
             )
         if gc is None:
             return [], False
