@@ -105,3 +105,31 @@ def test_chunked_build_equivalence(rng):
     idx2 = ns["ReferenceIndex"].build({"c": g})
     assert np.array_equal(idx1.mm_hash, idx2.mm_hash)
     assert np.array_equal(idx1.mm_pos, idx2.mm_pos)
+
+
+def test_external_build_identical(tmp_path, rng):
+    """External-sort (hash-radix) builder must produce a bit-identical
+    index to the in-memory builder, for dict and streaming-iterator
+    inputs, across chunk boundaries and N runs."""
+    import shutil
+
+    g1 = random_dna(rng, 260_000)
+    g1 = g1[:40_000] + "N" * 29 + g1[40_029:]
+    contigs = {"cA": g1, "cB": random_dna(rng, 90_000)}
+    a = ReferenceIndex.build(contigs, k=15, w=10)
+    for form in ("dict", "iter"):
+        p = str(tmp_path / f"x_{form}.vmi")
+        src = contigs if form == "dict" else iter(contigs.items())
+        b = ReferenceIndex.build_external(src, p, k=15, w=10, chunk=75_000)
+        assert b.contig_names == a.contig_names
+        assert np.array_equal(np.asarray(b.seq_codes), a.seq_codes)
+        assert b.mm_hash.dtype == a.mm_hash.dtype
+        assert np.array_equal(np.asarray(b.mm_hash), a.mm_hash)
+        assert np.array_equal(np.asarray(b.mm_pos), a.mm_pos)
+        assert np.array_equal(np.asarray(b.mm_strand), a.mm_strand)
+        assert b.occ_cutoff == a.occ_cutoff
+        # no temp dir left behind; arrays memory-mapped
+        assert not (tmp_path / f"x_{form}.vmi" / "_build_tmp").exists()
+        read = g1[100_000:104_000]
+        assert np.array_equal(a.seeds(read), b.seeds(read))
+        shutil.rmtree(p)

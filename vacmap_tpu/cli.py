@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("-o", default="-", help="Output (- | .sam | .bam | .sorted.bam)")
     out.add_argument("--force", action="store_true")
     out.add_argument("--nowriteindex", action="store_true")
+    out.add_argument("--lowmem", action="store_true",
+                     help="force the bounded-memory external-sort index "
+                          "builder (auto for references >= 1 Gb)")
     par = p.add_argument_group("Alignment Parameters")
     par.add_argument("-t", type=int, default=4, help="Threads (default 4)")
     par.add_argument("-k", type=int, default=15)
@@ -128,7 +131,8 @@ def expand_read_paths(read_args) -> List[str]:
     return out
 
 
-def load_or_build_index(refpath: str, k: int, w: int, write_index: bool) -> ReferenceIndex:
+def load_or_build_index(refpath: str, k: int, w: int, write_index: bool,
+                        lowmem: bool = False) -> ReferenceIndex:
     if refpath.endswith(".vmi.npz") or refpath.endswith(".vmi"):
         return ReferenceIndex.load(refpath)
     index_name = f"{refpath}.w{w}_k{k}.vmi"
@@ -138,6 +142,18 @@ def load_or_build_index(refpath: str, k: int, w: int, write_index: bool) -> Refe
             index_name if os.path.isdir(index_name) else index_name + ".npz"
         )
     log.info("Building index for %s (k=%d w=%d)", refpath, k, w)
+    # genome-scale references: stream contigs through the external-sort
+    # builder straight into the .vmi directory — the genome is never held
+    # in Python strings and peak RSS stays bounded by the sketch chunk.
+    # Heuristic: on-disk FASTA size (gz assumed ~4x compressed).
+    fsize = os.path.getsize(refpath)
+    approx = fsize * 4 if refpath.endswith(".gz") else fsize
+    if write_index and (lowmem or approx >= (1 << 30)):
+        idx = ReferenceIndex.build_external(
+            ((r[0], r[1]) for r in fastx_read(refpath)), index_name, k=k, w=w
+        )
+        log.info("Saved index to %s (external build)", index_name)
+        return idx
     contigs = {}
     for rec in fastx_read(refpath):
         contigs[rec[0]] = rec[1]
@@ -223,7 +239,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if os.path.isfile(args.o) and not args.force:
             raise ValueError("Output file exists; use --force to overwrite")
 
-    index = load_or_build_index(args.ref, args.k, args.w, not args.nowriteindex)
+    index = load_or_build_index(args.ref, args.k, args.w,
+                                not args.nowriteindex, lowmem=args.lowmem)
     mapper0 = Mapper(index, cfg)
     header = mapper0.header_lines(cli=" ".join(sys.argv))
     writer = OutputWriter(args.o, header)

@@ -137,6 +137,188 @@ class ReferenceIndex:
             occ_cutoff=occ_cutoff,
         )
 
+    # ---- external-sort construction (genome-scale, bounded memory) -------
+    @classmethod
+    def build_external(
+        cls,
+        contigs: Dict[str, str],
+        path: str,
+        k: int = 15,
+        w: int = 10,
+        occ_frac: float = 2e-4,
+        chunk: int = 16 << 20,
+    ) -> "ReferenceIndex":
+        """Build the index directly into the ``.vmi`` directory ``path``
+        with peak memory bounded by the sketch chunk size (plus one
+        hash-radix bucket), instead of materializing and argsorting the
+        whole minimizer table in RAM.  Returns the memory-mapped index.
+
+        External sort by hash radix: minimizers are spilled to 256
+        bucket files keyed on the top 8 hash bits; each bucket is then
+        loaded alone, lexsorted by (hash, pos), position-deduped and
+        streamed into the final memory-mapped arrays.  Bucket order ==
+        ascending hash order, so the result is bit-identical to
+        ``build()`` (equality is tested).  This is what makes human-scale
+        (3 Gb+) references buildable in a few GB of RSS, the analogue of
+        minimap2's multi-part index the reference relies on via
+        ``mp.Aligner`` (vacmap:344).
+        """
+        import json
+        import os
+        import shutil
+
+        from numpy.lib.format import open_memmap
+
+        if path.endswith(".npz"):
+            path = path[: -len(".npz")]
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "_build_tmp")
+        os.makedirs(tmp, exist_ok=True)
+
+        # ``contigs`` may be a dict OR a streaming iterable of
+        # (name, seq) pairs — with an iterable the genome is never held
+        # in Python strings: each contig is encoded and appended to the
+        # on-disk code file as it arrives.
+        items = contigs.items() if hasattr(contigs, "items") else contigs
+        names, starts, lens = [], [], []
+        off = 0
+        with open(os.path.join(tmp, "seq.bin"), "wb") as sf:
+            for name, s in items:
+                names.append(name)
+                starts.append(off)
+                lens.append(len(s))
+                off += len(s)
+                encode(s.upper()).tofile(sf)
+        hash_dt = np.uint32 if 2 * k <= 32 else np.int64
+        pos_dt = np.uint32 if off < 2**32 else np.int64
+        rec_dt = np.dtype([("h", hash_dt), ("p", pos_dt), ("s", np.int8)])
+        NB = 256
+        shift = max(0, 2 * k - 8)
+
+        # final on-disk seq array (blockwise copy from the spill file)
+        seq_mm = open_memmap(
+            os.path.join(path, "seq.npy"), mode="w+", dtype=np.uint8,
+            shape=(off,),
+        )
+        with open(os.path.join(tmp, "seq.bin"), "rb") as sf:
+            cur = 0
+            while cur < off:
+                blk = np.fromfile(sf, np.uint8, count=64 << 20)
+                if not len(blk):
+                    break
+                seq_mm[cur : cur + len(blk)] = blk
+                cur += len(blk)
+        seq_mm.flush()
+
+        # ---- spill phase: sketch chunks, scatter to hash-radix buckets
+        bucket_files = [
+            open(os.path.join(tmp, f"b{b}.bin"), "wb") for b in range(NB)
+        ]
+        try:
+            overlap = k + 2 * w - 3
+            for ci, name in enumerate(names):
+                st, ln = starts[ci], lens[ci]
+                pos0 = 0
+                while pos0 < ln:
+                    end = min(pos0 + chunk, ln)
+                    h, p, sd = minimizers(seq_mm[st + pos0 : st + end], k, w)
+                    if len(h):
+                        rec = np.empty(len(h), rec_dt)
+                        rec["h"] = h.astype(hash_dt)
+                        rec["p"] = (p + st + pos0).astype(pos_dt)
+                        rec["s"] = sd
+                        b = (h >> shift).astype(np.int64)
+                        order = np.argsort(b, kind="stable")
+                        rec = rec[order]
+                        bnd = np.flatnonzero(np.diff(b[order]))
+                        cuts = np.concatenate(([0], bnd + 1, [len(rec)]))
+                        bids = b[order][cuts[:-1]]
+                        for j, bid in enumerate(bids):
+                            rec[cuts[j] : cuts[j + 1]].tofile(
+                                bucket_files[int(bid)]
+                            )
+                    if end == ln:
+                        break
+                    pos0 = end - overlap
+        finally:
+            for f in bucket_files:
+                f.close()
+
+        # ---- merge phase A: per bucket, sort + dedup, count + occ hist
+        HMAX = 1 << 16
+        hist = np.zeros(HMAX + 1, np.int64)
+        n_total = 0
+        for b in range(NB):
+            fp = os.path.join(tmp, f"b{b}.bin")
+            rec = np.fromfile(fp, rec_dt)
+            if len(rec):
+                o = np.lexsort((rec["p"], rec["h"]))
+                rec = rec[o]
+                uniq = np.empty(len(rec), bool)
+                uniq[0] = True
+                uniq[1:] = (rec["h"][1:] != rec["h"][:-1]) | (
+                    rec["p"][1:] != rec["p"][:-1]
+                )
+                rec = rec[uniq]
+                bnd = np.flatnonzero(rec["h"][1:] != rec["h"][:-1])
+                counts = np.diff(np.concatenate(([0], bnd + 1, [len(rec)])))
+                hist += np.bincount(
+                    np.minimum(counts, HMAX), minlength=HMAX + 1
+                )
+            rec.tofile(fp)  # overwrite with the sorted/deduped bucket
+            n_total += len(rec)
+
+        # occ cutoff: exact same quantile as build() (linear interpolation
+        # over the multiset of per-hash counts, via the histogram)
+        occ_cutoff = 2**30
+        n_distinct = int(hist.sum())
+        if n_distinct:
+            hpos = (n_distinct - 1) * (1.0 - occ_frac)
+            i0 = int(np.floor(hpos))
+            cum = np.cumsum(hist)
+            v0 = int(np.searchsorted(cum, i0 + 1))
+            v1 = int(np.searchsorted(cum, min(i0 + 1, n_distinct - 1) + 1))
+            q = v0 + (hpos - i0) * (v1 - v0)
+            occ_cutoff = int(max(10, q))
+
+        # ---- merge phase B: stream buckets (asc hash) into final arrays
+        mm_h = open_memmap(
+            os.path.join(path, "mm_hash.npy"), mode="w+", dtype=hash_dt,
+            shape=(n_total,),
+        )
+        mm_p = open_memmap(
+            os.path.join(path, "mm_pos.npy"), mode="w+", dtype=pos_dt,
+            shape=(n_total,),
+        )
+        mm_s = open_memmap(
+            os.path.join(path, "mm_strand.npy"), mode="w+", dtype=np.int8,
+            shape=(n_total,),
+        )
+        cur = 0
+        for b in range(NB):
+            rec = np.fromfile(os.path.join(tmp, f"b{b}.bin"), rec_dt)
+            if len(rec):
+                mm_h[cur : cur + len(rec)] = rec["h"]
+                mm_p[cur : cur + len(rec)] = rec["p"]
+                mm_s[cur : cur + len(rec)] = rec["s"]
+                cur += len(rec)
+        for a in (mm_h, mm_p, mm_s):
+            a.flush()
+        del seq_mm, mm_h, mm_p, mm_s
+
+        np.save(os.path.join(path, "starts.npy"), np.asarray(starts, np.int64))
+        np.save(os.path.join(path, "lens.npy"), np.asarray(lens, np.int64))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "magic": VMI_MAGIC, "k": k, "w": w, "names": names,
+                    "occ_cutoff": occ_cutoff,
+                },
+                f,
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return cls.load(path)
+
     # ---- persistence -----------------------------------------------------
     # .vmi format: a directory of raw .npy arrays plus meta.json.  Arrays
     # load memory-mapped, so (a) index load is O(metadata) and (b) forked
