@@ -133,3 +133,25 @@ def test_external_build_identical(tmp_path, rng):
         read = g1[100_000:104_000]
         assert np.array_equal(a.seeds(read), b.seeds(read))
         shutil.rmtree(p)
+
+
+def test_k19_hifi_path(tmp_path, rng):
+    """-k 19 (HiFi preset territory): hash dtype widens to int64 and the
+    whole pipeline still maps a deletion read; external builder agrees."""
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.pipeline.mapper import Mapper
+
+    g = random_dna(rng, 200_000)
+    idx = ReferenceIndex.build({"c": g}, k=19, w=10)
+    assert idx.mm_hash.dtype == np.int64
+    ext = ReferenceIndex.build_external(
+        {"c": g}, str(tmp_path / "k19.vmi"), k=19, w=10, chunk=80_000
+    )
+    assert np.array_equal(np.asarray(ext.mm_hash), idx.mm_hash)
+    assert np.array_equal(np.asarray(ext.mm_pos), idx.mm_pos)
+    read = g[50_000:58_000] + g[60_000:66_000]
+    recs, _ = Mapper(idx, AlignerConfig(mode="L", kmersize=19)).map_read_records(
+        "r", read
+    )
+    assert recs and recs[0][5] == 50_000 and recs[0][6] == 66_000
+    assert "2000D" in recs[0][8]
