@@ -122,3 +122,26 @@ def test_cli_executor_backend(cli_world):
     assert rc == 0
     lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
     assert len(lines) == 3
+
+
+def test_prebuilt_directory_vmi_ref(tmp_path, cli_world):
+    """Standalone pre-build (python -m vacmap_tpu.index) writes a
+    directory .vmi (external-sort builder); passing that directory as
+    -ref must produce the same alignments as building from FASTA."""
+    from vacmap_tpu.index.__main__ import main as index_main
+    import sys
+
+    d, ref, reads, genome = cli_world
+    vmi = str(tmp_path / "pre.vmi")
+    old = sys.argv
+    try:
+        sys.argv = ["index", str(ref), vmi]
+        assert index_main() == 0
+    finally:
+        sys.argv = old
+    out = tmp_path / "o.sam"
+    rc = run_cli(["-ref", vmi, "-read", reads, "-mode", "H", "-t", "1",
+                  "-o", out, "--force"])
+    assert rc == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(body) == 3

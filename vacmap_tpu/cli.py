@@ -134,7 +134,10 @@ def expand_read_paths(read_args) -> List[str]:
 def load_or_build_index(refpath: str, k: int, w: int, write_index: bool,
                         lowmem: bool = False) -> ReferenceIndex:
     if refpath.endswith(".vmi.npz") or refpath.endswith(".vmi"):
-        return ReferenceIndex.load(refpath)
+        try:
+            return ReferenceIndex.load(refpath)
+        except (FileNotFoundError, ValueError) as e:
+            raise SystemExit(f"ERROR: not a valid .vmi index: {refpath} ({e})")
     index_name = f"{refpath}.w{w}_k{k}.vmi"
     if os.path.isdir(index_name) or os.path.isfile(index_name + ".npz"):
         log.info("Loading index %s", index_name)
@@ -230,7 +233,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not os.path.isfile(f):
             log.error("Read file not found: %s", f)
             return 1
-    if not os.path.isfile(args.ref):
+    if not os.path.isfile(args.ref) and not os.path.isdir(args.ref):
         log.error("Reference file not found: %s", args.ref)
         return 1
     if args.o != "-":

@@ -16,9 +16,11 @@ def main():
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     w = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else f"{ref}.w{w}_k{k}.vmi"
-    contigs = {r[0]: r[1] for r in fastx_read(ref)}
-    idx = ReferenceIndex.build(contigs, k=k, w=w)
-    idx.save(out)
+    # standalone pre-builds are usually genome-scale: always stream
+    # through the bounded-memory external-sort builder
+    ReferenceIndex.build_external(
+        ((r[0], r[1]) for r in fastx_read(ref)), out, k=k, w=w
+    )
     print(f"index written to {out}")
     return 0
 
