@@ -232,7 +232,16 @@ int align2p_native_eqx(
     *n_ops = k; *q_end = Q; *t_end = T; *score_out = 0;
     return 0;
   }
-  const int64_t w = glob ? (std::llabs(Q - T) + 1002) : bw;
+  // Adaptive band for global fills: the reference's k_cigar runs bw=-1
+  // (full DP), but inter-anchor fill paths hug the main diagonal.  Start
+  // narrow and escalate whenever the traceback touches a clipped band
+  // edge — the final level reproduces the original full-width behaviour,
+  // so escalation converges to the bw=-1 result (fuzz-verified).
+  static const int64_t kBandLevels[3] = {64, 250, 1002};
+  int band_attempt = 0;
+retry_band:
+  const int64_t w =
+      glob ? (std::llabs(Q - T) + kBandLevels[band_attempt]) : bw;
   int64_t dlo = std::min<int64_t>(0, Q - T) - w;
   int64_t dhi = std::max<int64_t>(0, Q - T) + w;
   dlo = std::max<int64_t>(dlo, -T);
@@ -393,6 +402,7 @@ int align2p_native_eqx(
   // traceback (state machine identical to affine_ref._traceback)
   int64_t i = ei, j = ej;
   int state = 0;
+  int64_t p_min = INT64_MAX, p_max = INT64_MIN;
   std::vector<std::pair<int, int64_t>> rev;
   auto push = [&](int op, int64_t len) {
     if (!rev.empty() && rev.back().first == op) rev.back().second += len;
@@ -402,6 +412,8 @@ int align2p_native_eqx(
     if (i == 0) { push(1, j); break; }
     if (j == 0) { push(2, i); break; }
     const int64_t p = j - i - dlo;
+    p_min = std::min(p_min, p);
+    p_max = std::max(p_max, p);
     const uint8_t b = tb[(size_t)(i - 1) * Wb + p];
     if (state == 0) {
       const int op = b & 7;
@@ -428,6 +440,16 @@ int align2p_native_eqx(
       const bool ext = b & (state == 3 ? 32 : 64);
       j--;
       if (!ext) state = 0;
+    }
+  }
+  // escalate when the optimal path touched a clipped band edge (the full
+  // matrix extends beyond the band there): results may be band-limited
+  if (glob && band_attempt + 1 < 3) {
+    const bool lo_clipped = (dlo > -T);
+    const bool hi_clipped = (dhi < Q);
+    if ((lo_clipped && p_min <= 0) || (hi_clipped && p_max >= Wb - 1)) {
+      band_attempt++;
+      goto retry_band;
     }
   }
   int64_t k = 0;
@@ -1168,13 +1190,257 @@ extern "C" int chain_dp_fast_native(
 // out_ops shared, per-pair [ops_off, n_ops] written to ops_meta.
 // ---------------------------------------------------------------------------
 
+#if defined(__AVX2__)
+// ---------------------------------------------------------------------------
+// 16-lane inter-sequence striped two-piece affine global DP (int16 AVX2).
+// Each SIMD lane aligns a DIFFERENT (target, query) pair over the FULL
+// matrix — exact bw=-1 (k_cigar global) semantics, tie-breaking identical
+// to align2p_native_eqx / ops/affine_ref.py.  Traceback bits are packed
+// per cell (16 lanes -> 16 bytes) and walked per lane on completion.
+// ---------------------------------------------------------------------------
+
+static const int16_t SNEG16 = -30000;
+
+// state-machine traceback for one stripe lane (same rules as the scalar
+// banded path: op 0=DIAG 1=E1 2=E2 3=F1 4=F2; ext flags 8/16/32/64)
+static int stripe_traceback(
+    const uint8_t* bits, int64_t Qmax, int lane,
+    const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
+    int eqx, int32_t* out_ops, int64_t max_ops, int64_t* n_ops) {
+  int64_t i = T, j = Q;
+  int state = 0;
+  std::vector<std::pair<int, int64_t>> rev;
+  auto push = [&](int op, int64_t len) {
+    if (!rev.empty() && rev.back().first == op) rev.back().second += len;
+    else rev.push_back({op, len});
+  };
+  while (i > 0 || j > 0) {
+    if (i == 0) { push(1, j); break; }
+    if (j == 0) { push(2, i); break; }
+    const uint8_t b = bits[(((size_t)(i - 1) * Qmax) + (j - 1)) * 16 + lane];
+    if (state == 0) {
+      const int op = b & 7;
+      if (op == 0) {
+        if (eqx) {
+          const bool eq = (target[i - 1] == query[j - 1] && target[i - 1] < 4);
+          push(eq ? 3 : 4, 1);
+        } else {
+          push(0, 1);
+        }
+        i--; j--;
+      }
+      else if (op == 1) state = 1;
+      else if (op == 2) state = 2;
+      else if (op == 3) state = 3;
+      else state = 4;
+    } else if (state == 1 || state == 2) {
+      push(2, 1);
+      const bool ext = b & (state == 1 ? 8 : 16);
+      i--;
+      if (!ext) state = 0;
+    } else {
+      push(1, 1);
+      const bool ext = b & (state == 3 ? 32 : 64);
+      j--;
+      if (!ext) state = 0;
+    }
+  }
+  int64_t k = 0;
+  for (auto it = rev.rbegin(); it != rev.rend(); ++it) {
+    if (k >= max_ops) return -2;
+    out_ops[k * 2] = it->first;
+    out_ops[k * 2 + 1] = (int32_t)it->second;
+    k++;
+  }
+  *n_ops = k;
+  return 0;
+}
+
+// Run one stripe of up to 16 jobs.  jobs[l] indexes the batch arrays;
+// n_jobs <= 16 (missing lanes run a 1x1 dummy).
+static int run_stripe16(
+    const uint8_t* seqs, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* q_off, const int64_t* q_len,
+    const int64_t* jobs, int n_jobs,
+    int match, int mismatch, int o1, int e1, int o2, int e2, int eqx,
+    int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta, int64_t* cursor) {
+  int64_t Tmax = 1, Qmax = 1;
+  for (int l = 0; l < n_jobs; l++) {
+    Tmax = std::max(Tmax, t_len[jobs[l]]);
+    Qmax = std::max(Qmax, q_len[jobs[l]]);
+  }
+  // transposed char planes (int16), pad char 4 (mismatches everything)
+  static thread_local std::vector<int16_t> tT, tQ;
+  static thread_local std::vector<int16_t> Hprev, Hcur, E1prev, E1cur,
+      E2prev, E2cur;
+  static thread_local std::vector<uint8_t> bits;
+  tT.assign((size_t)Tmax * 16, 4);
+  tQ.assign((size_t)Qmax * 16, 4);
+  for (int l = 0; l < n_jobs; l++) {
+    const uint8_t* t = seqs + t_off[jobs[l]];
+    const uint8_t* q = seqs + q_off[jobs[l]];
+    for (int64_t i = 0; i < t_len[jobs[l]]; i++)
+      tT[(size_t)i * 16 + l] = t[i] < 4 ? t[i] : 4;
+    for (int64_t j = 0; j < q_len[jobs[l]]; j++)
+      tQ[(size_t)j * 16 + l] = q[j] < 4 ? q[j] : 4;
+  }
+  const size_t rowlen = (size_t)(Qmax + 1) * 16;
+  Hprev.resize(rowlen); Hcur.resize(rowlen);
+  E1prev.assign(rowlen, SNEG16); E1cur.resize(rowlen);
+  E2prev.assign(rowlen, SNEG16); E2cur.resize(rowlen);
+  bits.resize((size_t)Tmax * Qmax * 16);
+
+  auto gapf = [&](int64_t l) -> int16_t {
+    return (int16_t)std::min((int64_t)o1 + (int64_t)e1 * l,
+                             (int64_t)o2 + (int64_t)e2 * l);
+  };
+  // row 0: H(0, j) = -gapf(j)
+  for (int64_t j = 0; j <= Qmax; j++) {
+    const int16_t v = (j == 0) ? 0 : (int16_t)-gapf(j);
+    for (int l = 0; l < 16; l++) Hprev[(size_t)j * 16 + l] = v;
+  }
+  const __m256i ve1 = _mm256_set1_epi16((int16_t)e1);
+  const __m256i ve2 = _mm256_set1_epi16((int16_t)e2);
+  const __m256i vo1e1 = _mm256_set1_epi16((int16_t)(o1 + e1));
+  const __m256i vo2e2 = _mm256_set1_epi16((int16_t)(o2 + e2));
+  const __m256i vmat = _mm256_set1_epi16((int16_t)match);
+  const __m256i vmis = _mm256_set1_epi16((int16_t)mismatch);
+  const __m256i vneg = _mm256_set1_epi16(SNEG16);
+  const __m256i vfour = _mm256_set1_epi16(4);
+  const __m256i v1 = _mm256_set1_epi16(1);
+  const __m256i v2 = _mm256_set1_epi16(2);
+  const __m256i v3 = _mm256_set1_epi16(3);
+  const __m256i v4 = _mm256_set1_epi16(4);
+  const __m256i v8 = _mm256_set1_epi16(8);
+  const __m256i v16 = _mm256_set1_epi16(16);
+  const __m256i v32 = _mm256_set1_epi16(32);
+  const __m256i v64 = _mm256_set1_epi16(64);
+
+  int16_t score16[16] = {0};
+  for (int64_t i = 1; i <= Tmax; i++) {
+    const __m256i tvec = _mm256_loadu_si256(
+        (const __m256i*)&tT[(size_t)(i - 1) * 16]);
+    const __m256i tvalid = _mm256_cmpgt_epi16(vfour, tvec);
+    const int16_t hg = (int16_t)-gapf(i);
+    // F gaps open from the pre-F maximum H0 of the previous column (the
+    // prefix-max formulation of affine_ref.py); at j=0, H0 = boundary
+    __m256i H0_jm1 = _mm256_set1_epi16(hg);  // H0(i, 0)
+    _mm256_storeu_si256((__m256i*)&Hcur[0], H0_jm1);
+    __m256i diag_carry = _mm256_loadu_si256((const __m256i*)&Hprev[0]);
+    __m256i F1 = vneg, F2 = vneg;
+    uint8_t* bits_row = &bits[(size_t)(i - 1) * Qmax * 16];
+    for (int64_t j = 1; j <= Qmax; j++) {
+      const __m256i Hp_j =
+          _mm256_loadu_si256((const __m256i*)&Hprev[(size_t)j * 16]);
+      const __m256i E1p =
+          _mm256_loadu_si256((const __m256i*)&E1prev[(size_t)j * 16]);
+      const __m256i E2p =
+          _mm256_loadu_si256((const __m256i*)&E2prev[(size_t)j * 16]);
+      const __m256i E1ext_cand = _mm256_subs_epi16(E1p, ve1);
+      const __m256i E2ext_cand = _mm256_subs_epi16(E2p, ve2);
+      const __m256i E1 =
+          _mm256_max_epi16(E1ext_cand, _mm256_subs_epi16(Hp_j, vo1e1));
+      const __m256i E2 =
+          _mm256_max_epi16(E2ext_cand, _mm256_subs_epi16(Hp_j, vo2e2));
+      const __m256i qvec = _mm256_loadu_si256(
+          (const __m256i*)&tQ[(size_t)(j - 1) * 16]);
+      const __m256i eqm = _mm256_and_si256(
+          _mm256_cmpeq_epi16(qvec, tvec), tvalid);
+      const __m256i sub = _mm256_blendv_epi8(vmis, vmat, eqm);
+      const __m256i diag = _mm256_adds_epi16(diag_carry, sub);
+      const __m256i F1ext_cand = _mm256_subs_epi16(F1, ve1);
+      const __m256i F2ext_cand = _mm256_subs_epi16(F2, ve2);
+      F1 = _mm256_max_epi16(F1ext_cand, _mm256_subs_epi16(H0_jm1, vo1e1));
+      F2 = _mm256_max_epi16(F2ext_cand, _mm256_subs_epi16(H0_jm1, vo2e2));
+      const __m256i H0 = _mm256_max_epi16(diag, _mm256_max_epi16(E1, E2));
+      const __m256i H = _mm256_max_epi16(H0, _mm256_max_epi16(F1, F2));
+      // op priority DIAG > E1 > E2 > F1 > F2 (blend order reversed)
+      __m256i op = v4;
+      op = _mm256_blendv_epi8(op, v3, _mm256_cmpeq_epi16(H, F1));
+      op = _mm256_blendv_epi8(op, v2, _mm256_cmpeq_epi16(H, E2));
+      op = _mm256_blendv_epi8(op, v1, _mm256_cmpeq_epi16(H, E1));
+      op = _mm256_blendv_epi8(op, _mm256_setzero_si256(),
+                              _mm256_cmpeq_epi16(H, diag));
+      __m256i b = op;
+      b = _mm256_or_si256(b, _mm256_and_si256(
+          _mm256_cmpeq_epi16(E1, E1ext_cand), v8));
+      b = _mm256_or_si256(b, _mm256_and_si256(
+          _mm256_cmpeq_epi16(E2, E2ext_cand), v16));
+      b = _mm256_or_si256(b, _mm256_and_si256(
+          _mm256_cmpeq_epi16(F1, F1ext_cand), v32));
+      b = _mm256_or_si256(b, _mm256_and_si256(
+          _mm256_cmpeq_epi16(F2, F2ext_cand), v64));
+      // pack 16x int16 -> 16x uint8 and store
+      const __m256i packed = _mm256_packus_epi16(b, b);
+      const __m256i perm = _mm256_permute4x64_epi64(packed, 0x08);
+      _mm_storeu_si128((__m128i*)&bits_row[(size_t)(j - 1) * 16],
+                       _mm256_castsi256_si128(perm));
+      _mm256_storeu_si256((__m256i*)&Hcur[(size_t)j * 16], H);
+      _mm256_storeu_si256((__m256i*)&E1cur[(size_t)j * 16], E1);
+      _mm256_storeu_si256((__m256i*)&E2cur[(size_t)j * 16], E2);
+      diag_carry = Hp_j;
+      H0_jm1 = H0;
+    }
+    for (int l = 0; l < n_jobs; l++)
+      if (t_len[jobs[l]] == i)
+        score16[l] = Hcur[(size_t)q_len[jobs[l]] * 16 + l];
+    std::swap(Hprev, Hcur);
+    std::swap(E1prev, E1cur);
+    std::swap(E2prev, E2cur);
+  }
+  (void)score16;  // per-pair score available if a caller ever needs it
+  for (int l = 0; l < n_jobs; l++) {
+    const int64_t p = jobs[l];
+    int64_t n_ops = 0;
+    const int rc = stripe_traceback(
+        bits.data(), Qmax, l,
+        seqs + t_off[p], t_len[p], seqs + q_off[p], q_len[p], eqx,
+        out_ops + *cursor * 2, ops_cap - *cursor, &n_ops);
+    if (rc != 0) return rc;
+    ops_meta[p * 2] = *cursor;
+    ops_meta[p * 2 + 1] = n_ops;
+    *cursor += n_ops;
+  }
+  return 0;
+}
+#endif  // __AVX2__
+
 extern "C" int align2p_batch_native(
     const uint8_t* seqs, const int64_t* t_off, const int64_t* t_len,
     const int64_t* q_off, const int64_t* q_len, int64_t n_pairs,
     int match, int mismatch, int o1, int e1, int o2, int e2, int eqx,
     int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta /* (n,2) */) {
   int64_t cursor = 0;
+#if defined(__AVX2__)
+  // jobs small enough for the striped kernel (full-matrix int16): group
+  // size-sorted so stripe dims hug each lane's true dims
+  static const int64_t STRIPE_MAX = 768;
+  static thread_local std::vector<int64_t> striped, scalar_jobs;
+  striped.clear(); scalar_jobs.clear();
   for (int64_t p = 0; p < n_pairs; p++) {
+    const int64_t mx = std::max(t_len[p], q_len[p]);
+    if (mx <= STRIPE_MAX && t_len[p] > 0 && q_len[p] > 0 && n_pairs >= 4)
+      striped.push_back(p);
+    else
+      scalar_jobs.push_back(p);
+  }
+  std::sort(striped.begin(), striped.end(), [&](int64_t a, int64_t b) {
+    return std::max(t_len[a], q_len[a]) > std::max(t_len[b], q_len[b]);
+  });
+  for (size_t s = 0; s < striped.size(); s += 16) {
+    const int n_jobs = (int)std::min<size_t>(16, striped.size() - s);
+    const int rc = run_stripe16(
+        seqs, t_off, t_len, q_off, q_len, &striped[s], n_jobs,
+        match, mismatch, o1, e1, o2, e2, eqx,
+        out_ops, ops_cap, ops_meta, &cursor);
+    if (rc != 0) return rc;
+  }
+#else
+  static thread_local std::vector<int64_t> scalar_jobs;
+  scalar_jobs.clear();
+  for (int64_t p = 0; p < n_pairs; p++) scalar_jobs.push_back(p);
+#endif
+  for (const int64_t p : scalar_jobs) {
     int64_t n_ops = 0, q_end = 0, t_end = 0, score = 0;
     int zdropped = 0;
     const int64_t room = ops_cap - cursor;

@@ -70,7 +70,22 @@ def divergence_exceeds(a: np.ndarray, b: np.ndarray, max_ratio: float) -> bool:
     cap = int(max_ratio * mn)
     from .. import native
 
-    d = native.edit_distance_native(a, b, cap=cap) if native.available() else None
-    if d is None:
-        d = edit_distance(a, b, cap=cap)
+    have_native = native.available()
+
+    def dist(c: int) -> int:
+        if have_native:
+            d = native.edit_distance_native(a, b, cap=c)
+            if d is not None:
+                return d
+        return edit_distance(a, b, cap=c)
+
+    # adaptive cap ladder: a banded pass with cap' < cap whose result is
+    # <= cap' is value-exact, so the decision is already settled; only
+    # high-divergence pairs pay for the full-cap pass (band cost ~ cap)
+    if cap > 512:
+        half = cap // 2
+        d = dist(half)
+        if d <= half:
+            return d > cap
+    d = dist(cap)
     return d > cap

@@ -84,18 +84,19 @@ def harvest_anchors(
     contig_starts: np.ndarray,
     contig_lens: np.ndarray,
     kmersize: int = 9,
-) -> List[Tuple[int, int, int, int]]:
+) -> np.ndarray:
     """Harvest merged k=9 anchors for one guide chain.
 
     guide: (m,4) anchor array (any order).  read/rc/ref codes: uint8 base
-    codes; ref_codes is the whole concatenated reference.  Returns a list
-    of (readpos, refpos_global, strand, len) anchors.
+    codes; ref_codes is the whole concatenated reference.  Returns an
+    (m, 4) int64 array of (readpos, refpos_global, strand, len) anchors.
     """
     k = kmersize
     read_len = len(read_codes)
+    empty = np.zeros((0, 4), np.int64)
     windows = _ref_windows(guide, contig_starts, contig_lens)
     if not windows:
-        return []
+        return empty
 
     # --- reference k-mer table over the windows -------------------------
     ref_kmers_parts, ref_pos_parts = [], []
@@ -108,7 +109,7 @@ def harvest_anchors(
     ref_kmers = np.concatenate(ref_kmers_parts)
     ref_pos = np.concatenate(ref_pos_parts)
     if len(ref_kmers) == 0:
-        return []
+        return empty
     order = np.argsort(ref_kmers, kind="stable")
     ref_kmers, ref_pos = ref_kmers[order], ref_pos[order]
 
@@ -117,7 +118,7 @@ def harvest_anchors(
     readstart = max(0, int(rp_sorted[0]) - LOOK_SPAN)
     readend = min(read_len - k + 1, int(rp_sorted[-1]) + LOOK_SPAN)
     if readend <= readstart:
-        return []
+        return empty
 
     # native fast path: table + scan + proximity + merge in one C++ call
     from .. import native
@@ -129,7 +130,7 @@ def harvest_anchors(
             g_by_read[:, 0], g_by_read[:, 1], k,
         )
         if merged is not None:
-            return [tuple(row) for row in merged.tolist()]
+            return merged
 
     pos = np.arange(readstart, readend, dtype=np.int64)
     km_all, ok_all = kmer_codes(read_codes, k)
@@ -140,7 +141,7 @@ def harvest_anchors(
     valid = okf & ~palindrome
     pos, fwd, rc = pos[valid], fwd[valid], rc[valid]
     if len(pos) == 0:
-        return []
+        return empty
 
     # --- guide proximity precomputation ---------------------------------
     g_by_read = guide[np.argsort(guide[:, 0], kind="stable")]
@@ -182,6 +183,7 @@ def harvest_anchors(
         return src, ref_pos[ridx]
 
     out: List[Tuple[int, int, int, int]] = []
+    out_arrays: List[np.ndarray] = []
     for strand, kmers in ((1, fwd), (-1, rc)):
         src, refloc = matches(kmers)
         if len(src) == 0:
@@ -207,10 +209,14 @@ def harvest_anchors(
         if native.available():
             merged = native.merge_diag_runs_native(rpos, refloc, diag, strand, k)
             if merged is not None:
-                out.extend(map(tuple, merged.tolist()))
+                out_arrays.append(merged)
                 continue
         out.extend(_merge_diagonal_runs(rpos, refloc, diag, strand, k))
-    return out
+    if out:
+        out_arrays.append(np.asarray(out, np.int64).reshape(-1, 4))
+    if not out_arrays:
+        return empty
+    return np.concatenate(out_arrays, axis=0)
 
 
 def _merge_diagonal_runs(rpos, refloc, diag, strand, k):

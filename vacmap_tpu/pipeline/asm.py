@@ -272,7 +272,7 @@ def _map_contig_streaming(
                 idx.contig_starts, idx.contig_lens,
                 kmersize=cfg.local_kmersize,
             )
-            if not anchors:
+            if len(anchors) == 0:
                 continue
             A = np.asarray(anchors, np.int64)
             yield A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]

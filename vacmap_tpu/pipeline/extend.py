@@ -558,18 +558,12 @@ def _host_global_batch(pairs, eqx):
         if all(len(t) and len(q) for t, q in pairs):
             res = native.align2p_batch_native(pairs, eqx=eqx)
             if res is not None:
-                out = []
-                for ops, (t, q) in zip(res, pairs):
-                    cig = native.ops_to_cigar(ops)
-                    opc, lens = ops[:, 0], ops[:, 1]
-                    out.append(
-                        AlignResult(
-                            cig, False, len(q), len(t),
-                            int(lens[opc == 2].sum()),
-                            int(lens[opc == 1].sum()), 0,
-                        )
-                    )
-                return out
+                # n_del/n_ins left 0: refine_chain only consumes .cigar
+                return [
+                    AlignResult(native.ops_to_cigar(ops), False, len(q),
+                                len(t), 0, 0, 0)
+                    for ops, (t, q) in zip(res, pairs)
+                ]
     return [align2p(t, q, eqx=eqx, **_GLOBAL_KW) for t, q in pairs]
 
 

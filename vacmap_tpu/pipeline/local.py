@@ -118,11 +118,11 @@ def local_rechain(
     paths.sort(key=len, reverse=True)  # getcounts = 1/len (stable)
     multi = len(paths) > 1
 
-    anchors: List[tuple] = []
+    parts: List[np.ndarray] = []
     for i, guide in enumerate(paths):
         if guide_cap and i >= guide_cap:
             break
-        anchors.extend(
+        parts.append(
             harvest_anchors(
                 np.asarray(guide, np.int64),
                 read_codes,
@@ -133,9 +133,9 @@ def local_rechain(
                 kmersize=kmersize,
             )
         )
-    if not anchors:
+    A = np.concatenate(parts, axis=0) if parts else np.zeros((0, 4), np.int64)
+    if len(A) == 0:
         return 0.0, []
-    A = np.asarray(anchors, np.int64)
     A = A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
     return chain_local(
         A,
