@@ -54,12 +54,16 @@ def revcomp(s):
     return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
 
 
-def _map_chunk(args):
-    idx, cfg, chunk = args
+_G = {}
+
+
+def _map_chunk(chunk_id):
     from vacmap_tpu.pipeline.mapper import Mapper
 
-    m = Mapper(idx, cfg)
-    return [1 if m.map_read(n, s) else 0 for n, s in chunk]
+    # index/config shared with the workers by fork COW (same shape as the
+    # CLI deployment, cli.py worker processes)
+    m = Mapper(_G["idx"], _G["cfg"])
+    return [1 if m.map_read(n, s) else 0 for n, s in _G["chunks"][chunk_id]]
 
 
 def main():
@@ -99,9 +103,10 @@ def main():
 
     n_workers = min(4, mp_.cpu_count())
     chunks = [reads[i::n_workers] for i in range(n_workers)]
+    _G.update(idx=idx, cfg=cfg, chunks=chunks)
     t0 = time.time()
     with mp_.get_context("fork").Pool(n_workers) as pool:
-        results = pool.map(_map_chunk, [(idx, cfg, c) for c in chunks])
+        results = pool.map(_map_chunk, range(n_workers))
     dt = time.time() - t0
     n_aligned = sum(sum(r) for r in results)
     total_bases = sum(len(s) for _, s in reads)

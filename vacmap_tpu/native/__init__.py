@@ -137,8 +137,81 @@ def align2p_native(
 
 
 def ops_to_cigar(ops: np.ndarray) -> str:
+    lib = get_lib()
+    if lib is not None and len(ops):
+        if not hasattr(lib, "_cig_bound"):
+            _bind_cigar(lib)
+        o = np.ascontiguousarray(ops, np.int32)
+        cap = 24 * len(o)
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.ops_to_cigar_ascii(o.ctypes.data, len(o), buf, cap)
+        if n >= 0:
+            return buf.raw[:n].decode("ascii")
     ol = ops.tolist()
     return "".join(str(l) + _OPCHARS[o] for o, l in ol)
+
+
+def _bind_cigar(lib):
+    lib.ops_to_cigar_ascii.restype = ctypes.c_int64
+    lib.ops_to_cigar_ascii.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.cigar_finish.restype = ctypes.c_int
+    lib.cigar_finish.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.cigar_qspan.restype = ctypes.c_int64
+    lib.cigar_qspan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib._cig_bound = True
+
+
+def cigar_finish_native(cigar: str, collapse_eqx: bool):
+    """(merged, n_ops, nm_or_None, collapsed) like sam.merge_nm_collapse,
+    or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cig_bound"):
+        _bind_cigar(lib)
+    raw = cigar.encode("ascii")
+    cap = len(raw) + 32
+    merged = ctypes.create_string_buffer(cap)
+    collapsed = ctypes.create_string_buffer(cap)
+    ml = ctypes.c_int64()
+    cl = ctypes.c_int64()
+    nrm = ctypes.c_int64()
+    nrc = ctypes.c_int64()
+    nm = ctypes.c_int64()
+    rc = lib.cigar_finish(
+        raw, len(raw), 1 if collapse_eqx else 0,
+        merged, cap, ctypes.byref(ml),
+        collapsed, cap, ctypes.byref(cl),
+        ctypes.byref(nrm), ctypes.byref(nrc), ctypes.byref(nm),
+    )
+    if rc != 0:
+        return None
+    m = merged.raw[: ml.value].decode("ascii")
+    nm_v = None if nm.value < 0 else int(nm.value)
+    if collapse_eqx:
+        return m, int(nrc.value), nm_v, collapsed.raw[: cl.value].decode("ascii")
+    return m, int(nrm.value), nm_v, m
+
+
+def cigar_qspan_native(cigar: str, with_clips: bool):
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cig_bound"):
+        _bind_cigar(lib)
+    raw = cigar.encode("ascii")
+    n = lib.cigar_qspan(raw, len(raw), 1 if with_clips else 0)
+    return None if n < 0 else int(n)
 
 
 def _bind_chain(lib):

@@ -1190,6 +1190,115 @@ extern "C" int chain_dp_fast_native(
 // out_ops shared, per-pair [ops_off, n_ops] written to ops_meta.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// CIGAR string utilities (host SAM layer): ASCII emission from op arrays,
+// one-pass merge + NM + =/X->M collapse (pipeline/sam.merge_nm_collapse),
+// and query-span accounting.  Counterpart of the reference's mergecigar_n
+// and nm_from_cigar (mammap_clrnano.py:5425; output_functions.py:300).
+// ---------------------------------------------------------------------------
+
+static const char OPCHARS[5] = {'M', 'I', 'D', '=', 'X'};
+
+static inline char* put_run(char* w, int64_t ln, char op) {
+  char tmp[20];
+  int t = 0;
+  if (ln == 0) tmp[t++] = '0';
+  while (ln > 0) { tmp[t++] = (char)('0' + ln % 10); ln /= 10; }
+  while (t > 0) *w++ = tmp[--t];
+  *w++ = op;
+  return w;
+}
+
+// ops: (n,2) int32 (opcode, len) with opcodes indexing OPCHARS.
+extern "C" int64_t ops_to_cigar_ascii(const int32_t* ops, int64_t n,
+                                      char* out, int64_t cap) {
+  char* w = out;
+  for (int64_t i = 0; i < n; i++) {
+    if (w - out + 24 > cap) return -1;
+    w = put_run(w, ops[i * 2 + 1], OPCHARS[ops[i * 2]]);
+  }
+  return w - out;
+}
+
+// One pass over an ASCII cigar: merged cigar, merged-op count, NM
+// (X+I+D; -1 when M runs are present), =/X->M collapsed cigar and its op
+// count.  Returns 0 or -1 on overflow/parse error.
+extern "C" int cigar_finish(
+    const char* cig, int64_t len, int collapse,
+    char* out_merged, int64_t merged_cap, int64_t* merged_len,
+    char* out_collapsed, int64_t collapsed_cap, int64_t* collapsed_len,
+    int64_t* n_runs_merged, int64_t* n_runs_collapsed, int64_t* nm_out) {
+  int64_t nm = 0;
+  bool has_m = false;
+  char* wm = out_merged;
+  char* wc = out_collapsed;
+  int64_t runs_m = 0, runs_c = 0;
+  char pre_m = 0, pre_c = 0;
+  int64_t acc_m = 0, acc_c = 0;
+  const char* p = cig;
+  const char* end = cig + len;
+  while (p < end) {
+    int64_t ln = 0;
+    if (*p < '0' || *p > '9') return -1;
+    while (p < end && *p >= '0' && *p <= '9') ln = ln * 10 + (*p++ - '0');
+    if (p >= end) return -1;
+    const char op = *p++;
+    if (op == 'M') has_m = true;
+    else if (op == 'X' || op == 'I' || op == 'D') nm += ln;
+    if (op == pre_m) acc_m += ln;
+    else {
+      if (pre_m) {
+        if (wm - out_merged + 24 > merged_cap) return -1;
+        wm = put_run(wm, acc_m, pre_m); runs_m++;
+      }
+      pre_m = op; acc_m = ln;
+    }
+    if (collapse) {
+      const char cop = (op == '=' || op == 'X') ? 'M' : op;
+      if (cop == pre_c) acc_c += ln;
+      else {
+        if (pre_c) {
+          if (wc - out_collapsed + 24 > collapsed_cap) return -1;
+          wc = put_run(wc, acc_c, pre_c); runs_c++;
+        }
+        pre_c = cop; acc_c = ln;
+      }
+    }
+  }
+  if (pre_m) {
+    if (wm - out_merged + 24 > merged_cap) return -1;
+    wm = put_run(wm, acc_m, pre_m); runs_m++;
+  }
+  if (collapse && pre_c) {
+    if (wc - out_collapsed + 24 > collapsed_cap) return -1;
+    wc = put_run(wc, acc_c, pre_c); runs_c++;
+  }
+  *merged_len = wm - out_merged;
+  *collapsed_len = wc - out_collapsed;
+  *n_runs_merged = runs_m;
+  *n_runs_collapsed = runs_c;
+  *nm_out = has_m ? -1 : nm;
+  return 0;
+}
+
+// query span of a cigar: consumed query bases (M/I/=/X, plus S/H when
+// with_clips).  Returns -1 on parse error.
+extern "C" int64_t cigar_qspan(const char* cig, int64_t len, int with_clips) {
+  int64_t span = 0;
+  const char* p = cig;
+  const char* end = cig + len;
+  while (p < end) {
+    int64_t ln = 0;
+    if (*p < '0' || *p > '9') return -1;
+    while (p < end && *p >= '0' && *p <= '9') ln = ln * 10 + (*p++ - '0');
+    if (p >= end) return -1;
+    const char op = *p++;
+    if (op == 'M' || op == 'I' || op == '=' || op == 'X') span += ln;
+    else if ((op == 'S' || op == 'H') && with_clips) span += ln;
+  }
+  return span;
+}
+
 #if defined(__AVX2__)
 // ---------------------------------------------------------------------------
 // 16-lane inter-sequence striped two-piece affine global DP (int16 AVX2).

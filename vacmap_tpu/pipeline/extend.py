@@ -632,6 +632,12 @@ def records_from_segments(
 
 
 def _cigar_query_span(cigar: str, with_clips: bool) -> int:
+    from .. import native
+
+    if native.available():
+        n = native.cigar_qspan_native(cigar, with_clips)
+        if n is not None:
+            return n
     import re
 
     n = 0

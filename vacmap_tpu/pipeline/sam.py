@@ -38,6 +38,12 @@ def merge_nm_collapse(cigar: str, collapse_eqx: bool):
     """One-pass cigar finishing for =/X cigars: merged cigar, op count,
     NM (X+I+D sum), and the M-collapsed output cigar.  Falls back to the
     multi-pass path when M runs are present (NM then needs sequences)."""
+    from .. import native
+
+    if native.available():
+        res = native.cigar_finish_native(cigar, collapse_eqx)
+        if res is not None:
+            return res
     runs: List[list] = []
     pre_op = None
     nm = 0
