@@ -145,3 +145,42 @@ def test_prebuilt_directory_vmi_ref(tmp_path, cli_world):
     assert rc == 0
     body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
     assert len(body) == 3
+
+
+def test_cli_dedup_by_name_all_branches(cli_world, tmp_path):
+    """Duplicate read names are dropped in EVERY execution branch, like the
+    reference main loop (vacmap:430-517) — not just the multiprocess one."""
+    d, ref, reads, genome = cli_world
+    dup = tmp_path / "dup.fa"
+    frag = genome[5_000:9_000]
+    dup.write_text(f">same\n{frag}\n>same\n{frag}\n>other\n{genome[20_000:24_000]}\n")
+    for t, suffix in (("1", "a"), ("2", "b")):
+        out = tmp_path / f"dedup_{suffix}.sam"
+        rc = run_cli(["-ref", ref, "-read", dup, "-mode", "H", "-t", t,
+                      "-o", out, "--force", "--nowriteindex"])
+        assert rc == 0
+        names = [l.split("\t")[0] for l in out.read_text().splitlines()
+                 if not l.startswith("@")]
+        assert names.count("same") == 1, f"-t {t}: {names}"
+        assert names.count("other") == 1
+
+
+def test_cli_asm_refuses_existing_workdir(cli_world, tmp_path):
+    """A pre-existing -workdir is refused (mammap_asm.py:23208-23210), and
+    a fresh one is removed after the run."""
+    d, ref, reads, genome = cli_world
+    contig = tmp_path / "contig.fa"
+    contig.write_text(f">ctg\n{genome[2_000:42_000]}\n")
+    wd = tmp_path / "wd"
+    wd.mkdir()
+    (wd / "precious.txt").write_text("do not delete")
+    out = tmp_path / "asm.sam"
+    rc = run_cli(["-ref", ref, "-read", contig, "-mode", "asm", "-t", "1",
+                  "-o", out, "--force", "--nowriteindex", "-workdir", wd])
+    assert rc == 1
+    assert (wd / "precious.txt").exists()
+    wd2 = tmp_path / "wd2"
+    rc = run_cli(["-ref", ref, "-read", contig, "-mode", "asm", "-t", "1",
+                  "-o", out, "--force", "--nowriteindex", "-workdir", wd2])
+    assert rc == 0
+    assert not wd2.exists()

@@ -178,6 +178,23 @@ def _read_records(path: str, cfg):
         yield from fastx_read(path, read_comment=cfg.copycomments)
 
 
+def _dedup_records(paths, cfg, on_read=None):
+    """Records across all read files, de-duplicated by name hash exactly
+    like the reference main loop (vacmap:430-517) — shared by every
+    execution branch (single-worker, multiprocess, and batched executor)."""
+    seen = set()
+    for path in paths:
+        log.info("Reading %s", path)
+        for rec in _read_records(path, cfg):
+            h = hash(rec[0])
+            if h in seen:
+                continue
+            seen.add(h)
+            if on_read is not None:
+                on_read()
+            yield rec
+
+
 def _worker(raw_q, cooked_q, index, cfg):
     mapper = Mapper(index, cfg)
     map_fn = mapper.map_contig if cfg.mode == "asm" else mapper.map_read
@@ -241,6 +258,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise ValueError("Output must end with .sam/.bam/.sorted.bam or '-'")
         if os.path.isfile(args.o) and not args.force:
             raise ValueError("Output file exists; use --force to overwrite")
+    created_workdir = None
+    if cfg.mode == "asm" and cfg.workdir:
+        # refuse a pre-existing workdir exactly like the reference
+        # (mammap_asm.py:23208-23210) — protects user data from the
+        # end-of-run cleanup
+        if os.path.exists(cfg.workdir):
+            log.error(
+                "Working directory %s already exists; refusing to reuse it",
+                cfg.workdir,
+            )
+            return 1
+        os.makedirs(cfg.workdir)
+        created_workdir = cfg.workdir
 
     index = load_or_build_index(args.ref, args.k, args.w,
                                 not args.nowriteindex, lowmem=args.lowmem)
@@ -263,32 +293,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         runtime.enable_compilation_cache()
         ex = BatchExecutor(mapper0)
         batch = []
-        for path in read_paths:
-            log.info("Reading %s", path)
-            for rec in _read_records(path, cfg):
-                batch.append(rec)
-                count += 1
-                if len(batch) >= cfg.batch_reads:
-                    for lines in ex.map_batch(batch, n_threads=cfg.threads):
-                        if lines:
-                            writer.write_lines(lines)
-                    batch = []
+        for rec in _dedup_records(read_paths, cfg):
+            batch.append(rec)
+            count += 1
+            if len(batch) >= cfg.batch_reads:
+                for lines in ex.map_batch(batch, n_threads=cfg.threads):
+                    if lines:
+                        writer.write_lines(lines)
+                batch = []
         if batch:
             for lines in ex.map_batch(batch, n_threads=cfg.threads):
                 if lines:
                     writer.write_lines(lines)
         writer.close()
     elif n_workers == 1:
-        for path in read_paths:
-            log.info("Reading %s", path)
-            for rec in _read_records(path, cfg):
-                name, seq = rec[0], rec[1]
-                qual = rec[2] if len(rec) > 2 else None
-                comment = rec[3] if len(rec) > 3 else None
-                lines = map_fn0(name, seq, qual, comment)
-                if lines:
-                    writer.write_lines(lines)
-                count += 1
+        for rec in _dedup_records(read_paths, cfg):
+            name, seq = rec[0], rec[1]
+            qual = rec[2] if len(rec) > 2 else None
+            comment = rec[3] if len(rec) > 3 else None
+            lines = map_fn0(name, seq, qual, comment)
+            if lines:
+                writer.write_lines(lines)
+            count += 1
         writer.close()
     else:
         ctx = mp.get_context("fork")
@@ -302,27 +328,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             w.start()
         wproc = ctx.Process(target=_writer, args=(cooked_q, writer, n_workers))
         wproc.start()
-        seen = set()
-        for path in read_paths:
-            log.info("Reading %s", path)
-            for rec in _read_records(path, cfg):
-                name, seq = rec[0], rec[1]
-                if hash(name) in seen:
-                    continue
-                seen.add(hash(name))
-                qual = rec[2] if len(rec) > 2 else None
-                comment = rec[3] if len(rec) > 3 else None
-                raw_q.put((name, seq, qual, comment))
-                count += 1
-                if count % 100_000 == 0:
-                    dt = max(time.time() - st, 1e-3)
-                    log.info("%d reads queued (%.0f/s)", count, count / dt)
+        for rec in _dedup_records(read_paths, cfg):
+            name, seq = rec[0], rec[1]
+            qual = rec[2] if len(rec) > 2 else None
+            comment = rec[3] if len(rec) > 3 else None
+            raw_q.put((name, seq, qual, comment))
+            count += 1
+            if count % 100_000 == 0:
+                dt = max(time.time() - st, 1e-3)
+                log.info("%d reads queued (%.0f/s)", count, count / dt)
         for _ in workers:
             raw_q.put(0)
         for w in workers:
             w.join()
         wproc.join()
 
+    if created_workdir is not None:
+        import shutil
+
+        shutil.rmtree(created_workdir, ignore_errors=True)
     dt = max(time.time() - st, 1e-3)
     log.info(
         "Done: %d sequences in %dh%dm%ds (%.1f/s)",

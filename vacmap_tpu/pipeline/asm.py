@@ -261,9 +261,18 @@ def _map_contig_streaming(
     guide = np.asarray(path[::-1], np.int64)  # ascending
 
     def round2_batches():
+        from ..ops.harvest import LOOK_SPAN
+
         skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
         for st in range(0, read_len, BATCH):
-            sel = (guide[:, 0] >= st) & (guide[:, 0] < st + BATCH)
+            # collect guide anchors with a LOOK_SPAN margin so sparse
+            # windows still get the neighbourhoods of nearby guides (the
+            # reference's per-guide collection, mammap_asm.py:22444-22478);
+            # harvested anchors are clipped back to the window so batches
+            # stay disjoint and barrier-sorted for the streaming DP
+            sel = (guide[:, 0] >= st - LOOK_SPAN) & (
+                guide[:, 0] < st + BATCH + LOOK_SPAN
+            )
             g = guide[sel]
             if len(g) < 2:
                 continue
@@ -275,6 +284,9 @@ def _map_contig_streaming(
             if len(anchors) == 0:
                 continue
             A = np.asarray(anchors, np.int64)
+            A = A[(A[:, 0] >= st) & (A[:, 0] < st + BATCH)]
+            if len(A) == 0:
+                continue
             yield A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
 
     skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
