@@ -10,6 +10,7 @@ natively; when samtools IS present it is still preferred for .sorted.bam
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import struct
@@ -195,9 +196,13 @@ def _reg2bin(beg: int, end: int) -> int:
 class OutputWriter:
     """Unified writer: '-' / .sam = text; .bam = native BGZF BAM;
     .sorted.bam = coordinate-sorted BAM (samtools when available,
-    otherwise native in-memory sort)."""
+    otherwise a native external merge sort: sorted runs spill to temp
+    files past ``spill_bytes``, k-way merged at close — constant memory
+    like the reference's ``samtools sort`` pipe,
+    output_functions.py:202-208)."""
 
-    def __init__(self, path: str, header_lines: List[str]):
+    def __init__(self, path: str, header_lines: List[str],
+                 spill_bytes: int = 256 << 20):
         self.path = path
         self.header_lines = header_lines
         self.ref_names: List[str] = []
@@ -210,6 +215,9 @@ class OutputWriter:
         self.ref_ids = {n: i for i, n in enumerate(self.ref_names)}
         self.mode = self._mode(path)
         self._pending: List[str] = []
+        self._pending_bytes = 0
+        self.spill_bytes = spill_bytes
+        self._runs: List[str] = []
         self._proc = None
         self._fh = None
         self._bgzf = None
@@ -265,8 +273,55 @@ class OutputWriter:
                 self._bgzf.write(
                     encode_bam_record(line.rstrip("\n").split("\t"), self.ref_ids)
                 )
-        else:  # native sorted: buffer, sort at close
+        else:  # native sorted: buffer; spill sorted runs past the cap
             self._pending.extend(lines)
+            self._pending_bytes += sum(len(l) for l in lines)
+            if self._pending_bytes > self.spill_bytes:
+                self._spill_run()
+
+    # ---- native external sort ----------------------------------------
+    def _sort_key(self, line: str):
+        f = line.split("\t", 4)
+        rid = self.ref_ids.get(f[2], 1 << 30)
+        return (rid, int(f[3]))
+
+    def _spill_run(self):
+        import tempfile
+
+        self._pending.sort(key=self._sort_key)
+        fd, p = tempfile.mkstemp(prefix="vacmap_sortrun_", suffix=".sam")
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(self._pending))
+            f.write("\n")
+        self._runs.append(p)
+        self._pending = []
+        self._pending_bytes = 0
+
+    def _sorted_stream(self):
+        """All records in coordinate order: k-way merge of spilled runs
+        plus the in-memory tail."""
+        import heapq
+
+        self._pending.sort(key=self._sort_key)
+        streams = []
+        fhs = []
+        for p in self._runs:
+            fh = open(p)
+            fhs.append(fh)
+            streams.append(l.rstrip("\n") for l in fh)
+        streams.append(iter(self._pending))
+        try:
+            yield from heapq.merge(*streams, key=self._sort_key)
+        finally:
+            for fh in fhs:
+                fh.close()
+            for p in self._runs:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            self._runs = []
+            self._pending = []
 
     def close(self):
         if self.mode == "sam":
@@ -280,16 +335,10 @@ class OutputWriter:
                 print(f"Error: samtools exited with code {rc}", file=sys.stderr)
             return
         if self.mode == "sorted.bam":
-            def key(line):
-                f = line.split("\t")
-                rid = self.ref_ids.get(f[2], 1 << 30)
-                return (rid, int(f[3]))
-
-            self._pending.sort(key=key)
             htext = "\n".join(self.header_lines) + "\n"
             self._write_bam_header(htext)
             bai = BaiBuilder(len(self.ref_names))
-            for line in self._pending:
+            for line in self._sorted_stream():
                 fields = line.rstrip("\n").split("\t")
                 v0 = self._bgzf.tell_virtual()
                 self._bgzf.write(encode_bam_record(fields, self.ref_ids))
@@ -301,7 +350,6 @@ class OutputWriter:
                     if m.group(2) in "MDN=X":
                         end += int(m.group(1))
                 bai.add(refid, beg, max(end, beg + 1), v0, v1)
-            self._pending = []
             self._bgzf.close()
             self._fh.close()
             bai.write(self.path + ".bai")

@@ -203,6 +203,50 @@ def cigar_finish_native(cigar: str, collapse_eqx: bool):
     return m, int(nrm.value), nm_v, m
 
 
+def decode_tb_ops(packed: np.ndarray, pairs, eqx: bool = False):
+    """Decode device traceback streams (ops/affine_pallas.py) into merged
+    (op, len) int32 arrays, one per job; None when lib unavailable."""
+    lib = get_lib()
+    if lib is None or not len(pairs):
+        return None
+    if not hasattr(lib, "_tb_bound"):
+        lib.decode_tb_ops_batch.restype = ctypes.c_int
+        lib.decode_tb_ops_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._tb_bound = True
+    packed = np.ascontiguousarray(packed, np.uint8)
+    S4, B = packed.shape
+    n = len(pairs)
+    t_off = np.zeros(n, np.int64)
+    t_len = np.zeros(n, np.int64)
+    q_off = np.zeros(n, np.int64)
+    q_len = np.zeros(n, np.int64)
+    total = 0
+    for i, (t, q) in enumerate(pairs):
+        t_off[i] = total; t_len[i] = len(t); total += len(t)
+        q_off[i] = total; q_len[i] = len(q); total += len(q)
+    seqs = np.empty(max(total, 1), np.uint8)
+    for i, (t, q) in enumerate(pairs):
+        seqs[t_off[i] : t_off[i] + t_len[i]] = t
+        seqs[q_off[i] : q_off[i] + q_len[i]] = q
+    ops_cap = 2 * total + 32 * n
+    out_ops = np.zeros((ops_cap, 2), np.int32)
+    meta = np.zeros((n, 2), np.int64)
+    rc = lib.decode_tb_ops_batch(
+        packed.ctypes.data, S4, B, n,
+        seqs.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+        q_off.ctypes.data, q_len.ctypes.data, 1 if eqx else 0,
+        out_ops.ctypes.data, ops_cap, meta.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return [out_ops[meta[i, 0] : meta[i, 0] + meta[i, 1]] for i in range(n)]
+
+
 def cigar_qspan_native(cigar: str, with_clips: bool):
     lib = get_lib()
     if lib is None:

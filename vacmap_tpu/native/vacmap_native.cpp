@@ -1281,6 +1281,71 @@ extern "C" int cigar_finish(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Decode the device traceback op streams (ops/affine_pallas.py): packed
+// (S4, B) bytes hold 2-bit codes per step (0=M 1=I 2=D 3=done), emitted
+// path-end-first.  Emits merged (op, len) int32 pairs per job, with =/X
+// expansion against the sequences when eqx != 0.
+// ---------------------------------------------------------------------------
+
+extern "C" int decode_tb_ops_batch(
+    const uint8_t* packed, int64_t S4, int64_t B, int64_t n_jobs,
+    const uint8_t* seqs, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* q_off, const int64_t* q_len, int eqx,
+    int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta /* (n,2) */) {
+  int64_t cursor = 0;
+  static thread_local std::vector<uint8_t> stream;
+  for (int64_t b = 0; b < n_jobs; b++) {
+    // collect this job's codes in forward (alignment) order
+    stream.clear();
+    for (int64_t g = S4 - 1; g >= 0; g--) {
+      const uint8_t byte = packed[g * B + b];
+      for (int k = 3; k >= 0; k--) {
+        const uint8_t c = (byte >> (2 * k)) & 3;
+        if (c != 3) stream.push_back(c);
+      }
+    }
+    const uint8_t* t = seqs + t_off[b];
+    const uint8_t* q = seqs + q_off[b];
+    int64_t i = 0, j = 0;
+    int64_t k = 0;
+    int32_t pre_op = -1;
+    int64_t acc = 0;
+    auto flush = [&]() -> bool {
+      if (pre_op >= 0 && acc > 0) {
+        if (k >= ops_cap - cursor) return false;
+        out_ops[(cursor + k) * 2] = pre_op;
+        out_ops[(cursor + k) * 2 + 1] = (int32_t)acc;
+        k++;
+      }
+      return true;
+    };
+    for (const uint8_t c : stream) {
+      int32_t op;
+      if (c == 0) {
+        op = eqx ? ((t[i] == q[j] && t[i] < 4) ? 3 : 4) : 0;
+        i++; j++;
+      } else if (c == 1) {
+        op = 1; j++;
+      } else {
+        op = 2; i++;
+      }
+      if (op == pre_op) acc++;
+      else {
+        if (!flush()) return -2;
+        pre_op = op; acc = 1;
+      }
+    }
+    if (!flush()) return -2;
+    // sanity: the walk must consume exactly the sequences
+    if (i != t_len[b] || j != q_len[b]) return -3;
+    ops_meta[b * 2] = cursor;
+    ops_meta[b * 2 + 1] = k;
+    cursor += k;
+  }
+  return 0;
+}
+
 // query span of a cigar: consumed query bases (M/I/=/X, plus S/H when
 // with_clips).  Returns -1 on parse error.
 extern "C" int64_t cigar_qspan(const char* cig, int64_t len, int with_clips) {
