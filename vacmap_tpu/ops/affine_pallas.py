@@ -46,24 +46,34 @@ def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
     """One program fills the full N x N DP for TB jobs and writes
     per-row traceback bits.  Bit layout identical to the host kernel:
     op in bits 0-2 (0=DIAG 1=E1 2=E2 3=F1 4=F2), ext flags 8/16/32/64."""
-    f_mat = jnp.float32(match)
-    f_mis = jnp.float32(mismatch)
-    f_e1 = jnp.float32(e1)
-    f_e2 = jnp.float32(e2)
-    f_o1e1 = jnp.float32(o1 + e1)
-    f_o2e2 = jnp.float32(o2 + e2)
-    f_o1 = jnp.float32(o1)
-    f_o2 = jnp.float32(o2)
+    # plain python floats: 0-D jnp constants need replicated layouts this
+    # Mosaic build cannot produce
+    f_mat = float(match)
+    f_mis = float(mismatch)
+    f_e1 = float(e1)
+    f_e2 = float(e2)
+    f_o1e1 = float(o1 + e1)
+    f_o2e2 = float(o2 + e2)
+    f_o1 = float(o1)
+    f_o2 = float(o2)
 
     tQ = tQ_ref[:, :]  # (TB, N) int32 query chars (lane l = position j-1)
     tT = tT_ref[:, :]  # (TB, N) int32 target chars
     iota = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
     iota_f = iota.astype(jnp.float32)
-    jpos = iota_f + 1.0  # j of lane l
-    # gap tables as vectors (traced scalars can't broadcast on this
-    # toolchain): lane l holds gapf(l) / gapf(l+1)
-    gap_l = jnp.minimum(f_o1 + f_e1 * iota_f, f_o2 + f_e2 * iota_f)
-    gap_l1 = jnp.minimum(f_o1 + f_e1 * jpos, f_o2 + f_e2 * jpos)
+
+    def unrepl(v):
+        # iota-derived values carry a sublane-replicated layout that this
+        # Mosaic build cannot relayout at loop back-edges; tying them to
+        # an input forces the standard layout (value unchanged: tT >= 0)
+        return jnp.where(tT < 0, 0.0, v)
+
+    jpos = unrepl(iota_f + 1.0)  # j of lane l
+    # gap tables as vectors (traced scalars can't broadcast here):
+    # lane l holds gapf(l) / gapf(l+1)
+    gap_l = unrepl(jnp.minimum(f_o1 + f_e1 * iota_f, f_o2 + f_e2 * iota_f))
+    gap_l1 = unrepl(jnp.minimum(f_o1 + f_e1 * (iota_f + 1.0),
+                                f_o2 + f_e2 * (iota_f + 1.0)))
 
     def shift1(x, fill):
         r = pltpu.roll(x, shift=1, axis=1)
