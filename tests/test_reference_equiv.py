@@ -141,3 +141,41 @@ def test_local_rechain_matches_reference(ref, seed, variant):
     )
     assert abs(score - score_ref) < 1e-6
     assert [tuple(p) for p in path] == [tuple(p) for p in path_ref]
+
+
+@pytest.mark.parametrize("seed", [30, 31, 32, 33, 34, 35])
+def test_hit2work_driver_matches_reference(ref, seed):
+    """Full chaining driver vs the reference's hit2work_1
+    (mammap_clrnano.py:23491-23734): multi-path backtrack, primary
+    clustering, the exact MAPQ formula, and secondary selection."""
+    from vacmap_tpu.pipeline.chaining import chain_read, normalize_strand
+
+    rng = np.random.default_rng(seed)
+    read_len = 2100
+    A_raw = make_anchors(rng, 180, read_span=read_len - 100,
+                         n_segments=int(rng.integers(2, 5)))
+    # decode_hit strand-normalizes before hit2work_1 (:23986); our
+    # chain_read normalizes internally with the same rule
+    _, A_norm = normalize_strand(A_raw, read_len)
+
+    (path_list, primary_idx, _pscores, _all_idx, mapq_ref, scores_list,
+     _factor, secondary_paths) = ref.hit2work_1(
+        A_norm, ["c1"], {"c1": 0}, read_len, (40.0, 30.0), (50, 30),
+        1000, 100, 5000, 100, 15, 0.5, False, H=False,
+    )
+
+    gc = chain_read(A_raw, read_len, kmersize=15, skipcost=40.0,
+                    maxdiff=50, maxgap=1000, accept_score=60.0)
+    if gc is None:
+        assert len(path_list) == 0 or len(primary_idx) == 0 or (
+            max(scores_list) <= 60.0
+        )
+        return
+    assert len(primary_idx) > 0
+    base = primary_idx[0]
+    assert gc.mapq == mapq_ref
+    assert abs(abs(gc.score) - scores_list[base]) < 1e-6
+    ref_paths = [path_list[base]] + list(secondary_paths)
+    assert len(gc.paths) == len(ref_paths)
+    for ours, theirs in zip(gc.paths, ref_paths):
+        assert [tuple(p) for p in ours] == [tuple(p) for p in theirs]
