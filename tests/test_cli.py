@@ -184,3 +184,39 @@ def test_cli_asm_refuses_existing_workdir(cli_world, tmp_path):
                   "-o", out, "--force", "--nowriteindex", "-workdir", wd2])
     assert rc == 0
     assert not wd2.exists()
+
+
+def test_cli_multihost_read_sharding(cli_world, tmp_path):
+    """Two processes of a multi-host run (--num-processes 2) partition the
+    deduplicated reads round-robin into per-process part outputs whose
+    union equals the single-process output (VERDICT.md next-step 4;
+    reference counterpart: queue-pull DP, vacmap:390-420)."""
+    d, ref, reads, genome = cli_world
+    many = tmp_path / "many.fa"
+    with open(many, "w") as f:
+        for i in range(6):
+            st = 3_000 + i * 8_000
+            f.write(f">m{i}\n{genome[st : st + 4_000]}\n")
+        f.write(f">m0\n{genome[3_000:7_000]}\n")  # duplicate name: dropped
+    single = tmp_path / "single.sam"
+    rc = run_cli(["-ref", ref, "-read", many, "-mode", "H", "-t", "1",
+                  "-o", single, "--force", "--nowriteindex"])
+    assert rc == 0
+    names_single = {l.split("\t")[0] for l in single.read_text().splitlines()
+                    if not l.startswith("@")}
+    assert names_single == {f"m{i}" for i in range(6)}
+
+    got = {}
+    for pid in (0, 1):
+        out = tmp_path / "mh.sam"
+        rc = run_cli(["-ref", ref, "-read", many, "-mode", "H", "-t", "1",
+                      "-o", out, "--force", "--nowriteindex",
+                      "--num-processes", "2", "--process-id", str(pid)])
+        assert rc == 0
+        part = tmp_path / f"mh.part{pid}.sam"
+        assert part.exists()
+        got[pid] = {l.split("\t")[0] for l in part.read_text().splitlines()
+                    if not l.startswith("@")}
+    assert got[0] == {"m0", "m2", "m4"}
+    assert got[1] == {"m1", "m3", "m5"}
+    assert (got[0] | got[1]) == names_single

@@ -178,11 +178,19 @@ def _read_records(path: str, cfg):
         yield from fastx_read(path, read_comment=cfg.copycomments)
 
 
-def _dedup_records(paths, cfg, on_read=None):
+def _dedup_records(paths, cfg, shard=(0, 1)):
     """Records across all read files, de-duplicated by name hash exactly
     like the reference main loop (vacmap:430-517) — shared by every
-    execution branch (single-worker, multiprocess, and batched executor)."""
+    execution branch (single-worker, multiprocess, and batched executor).
+
+    ``shard = (process_id, num_processes)``: in a multi-host run every
+    process reads the same inputs; de-duplication happens first (it is
+    input-order deterministic, so consistent across processes) and the
+    surviving records round-robin over processes — the multi-host analog
+    of the reference's queue-pull data parallelism (vacmap:390-420)."""
+    pid, n_proc = shard
     seen = set()
+    i = 0
     for path in paths:
         log.info("Reading %s", path)
         for rec in _read_records(path, cfg):
@@ -190,9 +198,10 @@ def _dedup_records(paths, cfg, on_read=None):
             if h in seen:
                 continue
             seen.add(h)
-            if on_read is not None:
-                on_read()
-            yield rec
+            take = (i % n_proc) == pid
+            i += 1
+            if take:
+                yield rec
 
 
 def _worker(raw_q, cooked_q, index, cfg):
@@ -244,6 +253,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .parallel.mesh import initialize_distributed
 
         initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    # multi-host read sharding works with or without jax.distributed
+    # (collectives need it; pure read-DP does not)
+    n_proc = args.num_processes or 1
+    proc_id = args.process_id or 0
+    shard = (proc_id, n_proc)
+    if n_proc > 1 and args.o != "-":
+        # per-process outputs, merged externally (samtools cat/merge)
+        base, ext = args.o, ""
+        for suffix in (".sorted.bam", ".sam", ".bam"):
+            if args.o.endswith(suffix):
+                base, ext = args.o[: -len(suffix)], suffix
+                break
+        args.o = f"{base}.part{proc_id}{ext}"
+        log.info("process %d/%d writes %s", proc_id, n_proc, args.o)
     cfg = config_from_args(args)
     read_paths = expand_read_paths(args.read)
     for f in read_paths:
@@ -293,7 +316,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         runtime.enable_compilation_cache()
         ex = BatchExecutor(mapper0)
         batch = []
-        for rec in _dedup_records(read_paths, cfg):
+        for rec in _dedup_records(read_paths, cfg, shard=shard):
             batch.append(rec)
             count += 1
             if len(batch) >= cfg.batch_reads:
@@ -307,7 +330,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     writer.write_lines(lines)
         writer.close()
     elif n_workers == 1:
-        for rec in _dedup_records(read_paths, cfg):
+        for rec in _dedup_records(read_paths, cfg, shard=shard):
             name, seq = rec[0], rec[1]
             qual = rec[2] if len(rec) > 2 else None
             comment = rec[3] if len(rec) > 3 else None
@@ -328,7 +351,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             w.start()
         wproc = ctx.Process(target=_writer, args=(cooked_q, writer, n_workers))
         wproc.start()
-        for rec in _dedup_records(read_paths, cfg):
+        for rec in _dedup_records(read_paths, cfg, shard=shard):
             name, seq = rec[0], rec[1]
             qual = rec[2] if len(rec) > 2 else None
             comment = rec[3] if len(rec) > 3 else None

@@ -93,6 +93,60 @@ class ShardedChainStep:
         )
 
 
+@dataclasses.dataclass
+class ShardedMappingStep:
+    """The FULL device side of the mapping pipeline jitted over the mesh:
+    global chain DP -> local (fine) re-chain DP -> batched affine fill —
+    every device kernel the production pipeline uses, sharded dp over the
+    batch axis in ONE jit.  Host glue (backtrack, harvest, SAM) runs
+    between production calls; here the kernels chain directly so the
+    dryrun proves the whole device step compiles and executes under an
+    n-device mesh (VERDICT.md next-step 4)."""
+
+    mesh: Mesh
+    kmersize: int = 15
+    local_kmersize: int = 9
+    fill_len: int = 128
+    fill_band: int = 32
+
+    def __post_init__(self):
+        from ..ops.affine_jax import _affine_batch
+        from ..ops.chain_jax import chain_scores_batch
+
+        mesh = self.mesh
+        bs = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+
+        def step(anchors, n_valid, skip_i, maxdiff_i,
+                 l_anchors, l_valid, l_skip, l_maxdiff,
+                 targets, queries, t_len, q_len):
+            S_g, P_g = chain_scores_batch(
+                anchors, n_valid, skip_i, maxdiff_i,
+                kmersize=self.kmersize, maxdiff=50, maxgap=1000,
+                skipcost=40.0, variant="global",
+            )
+            S_l, P_l = chain_scores_batch(
+                l_anchors, l_valid, l_skip, l_maxdiff,
+                kmersize=self.local_kmersize, maxdiff=30, maxgap=99,
+                skipcost=30.0, variant="fine",
+            )
+            tb, best, best_i, best_j, dead, dlo = _affine_batch(
+                targets, queries, t_len, q_len, W=self.fill_band,
+                zdrop=-1, glob=True,
+            )
+            n_mapped = jnp.sum((jnp.max(S_g, axis=1) > 60.0).astype(jnp.int32))
+            return S_g, P_g, S_l, P_l, best, n_mapped
+
+        self._fn = jax.jit(
+            step,
+            in_shardings=(bs,) * 12,
+            out_shardings=(bs, bs, bs, bs, bs, rep),
+        )
+
+    def __call__(self, *args):
+        return self._fn(*args)
+
+
 def initialize_distributed(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
