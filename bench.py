@@ -1,13 +1,16 @@
 """vacmap-tpu benchmark: maps synthetic ONT-like reads end-to-end and
 reports aligned-bases throughput vs the reference CPU baseline.
 
-Baseline (BASELINE.md): reference VACmap maps HG002 50x ONT — ~155 Gbp —
-in 5.8 h on 40 CPU threads = 7.42 Mbp/s.  vs_baseline is our Mbp/s over
-that number.
+Baseline (BASELINE.md, derived there): reference VACmap maps HG002 50x
+ONT (~155 Gbp) in 5.8 h on 40 CPU threads = 7.42 Mbp/s.  vs_baseline is
+our Mbp/s over that number.
 
-Prints exactly ONE JSON line:
-  {"metric": "e2e_throughput_mbp_per_s", "value": ..., "unit": "Mbp/s",
-   "vs_baseline": ..., ...extra diagnostics...}
+Scale (VERDICT.md next-step 7): a 100 Mb genome bearing tandem-repeat
+arrays and a segmental duplication (exercises the occ-cutoff and the
+bucketed fast DP), 1,000 x 20 kb reads at 5% error, one third carrying a
+mid-read SV (inversion or 3 kb deletion).
+
+Prints exactly ONE JSON line.
 """
 
 import json
@@ -17,88 +20,121 @@ import time
 import numpy as np
 
 BASELINE_MBP_PER_S = 7.42
-GENOME_MB = 2.0
-N_READS = 64
+GENOME_MB = 100.0
+N_READS = 1000
 READ_LEN = 20_000
 ERR = 0.05
+_BASES = np.frombuffer(b"ACGT", np.uint8)
 
 
-def make_genome(rng, n):
-    return "".join(np.array(list("ACGT"))[rng.integers(0, 4, n)])
+def make_genome_codes(rng, n):
+    g = rng.integers(0, 4, n, dtype=np.uint8)
+    # tandem-repeat arrays: 200 sites, 300-800 bp unit x 8-20 copies
+    for _ in range(200):
+        unit = rng.integers(0, 4, int(rng.integers(300, 800)), dtype=np.uint8)
+        copies = int(rng.integers(8, 20))
+        arr = np.tile(unit, copies)
+        st = int(rng.integers(0, n - len(arr)))
+        g[st : st + len(arr)] = arr
+    # segmental duplication: one 50 kb block copied twice elsewhere
+    st = int(rng.integers(0, n - 50_000))
+    block = g[st : st + 50_000].copy()
+    for _ in range(2):
+        dst = int(rng.integers(0, n - 50_000))
+        g[dst : dst + 50_000] = block
+    return g
 
 
-def mutate(rng, s, err):
-    """ONT-like errors: ~40% mismatch, 30% ins, 30% del."""
-    out = []
-    i = 0
-    arr = list(s)
-    bases = "ACGT"
-    while i < len(arr):
-        r = rng.random()
-        if r < err * 0.4:
-            out.append(bases[rng.integers(0, 4)])
-            i += 1
-        elif r < err * 0.7:
-            out.append(arr[i])
-            out.append(bases[rng.integers(0, 4)])
-            i += 1
-        elif r < err:
-            i += 1
-        else:
-            out.append(arr[i])
-            i += 1
-    return "".join(out)
+def codes_to_str(codes):
+    return _BASES[codes].tobytes().decode("ascii")
 
 
-def revcomp(s):
-    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+def mutate_codes(rng, codes, err):
+    """ONT-like errors, vectorized: ~40% mismatch, 30% ins, 30% del."""
+    n = len(codes)
+    r = rng.random(n)
+    sub = r < err * 0.4
+    ins = (r >= err * 0.4) & (r < err * 0.7)
+    dele = (r >= err * 0.7) & (r < err)
+    out = codes.copy()
+    out[sub] = rng.integers(0, 4, int(sub.sum()), dtype=np.uint8)
+    # insertion after position: build via repeat counts
+    rep = np.ones(n, np.int64)
+    rep[ins] = 2
+    rep[dele] = 0
+    expanded = np.repeat(out, rep)
+    # inserted bases are random, not copies: find the second slot of each
+    # duplicated position and randomize it
+    if ins.any():
+        pos = np.cumsum(rep) - 1
+        ins_slots = pos[ins]  # index of the inserted (second) copy
+        expanded[ins_slots] = rng.integers(0, 4, len(ins_slots), dtype=np.uint8)
+    return expanded
+
+
+def revcomp_codes(c):
+    return (3 - c)[::-1]
 
 
 _G = {}
 
 
 def _map_chunk(chunk_id):
+    import re as _re
+
     from vacmap_tpu.pipeline.mapper import Mapper
 
     # index/config shared with the workers by fork COW (same shape as the
     # CLI deployment, cli.py worker processes)
     m = Mapper(_G["idx"], _G["cfg"])
-    return [1 if m.map_read(n, s) else 0 for n, s in _G["chunks"][chunk_id]]
+    out = []
+    for name, seq in _G["chunks"][chunk_id]:
+        lines = m.map_read(name, seq)
+        max_del = 0
+        for line in lines:
+            cig = line.split("\t")[5]
+            for mm in _re.finditer(r"(\d+)D", cig):
+                max_del = max(max_del, int(mm.group(1)))
+        out.append((1 if lines else 0, len(lines), max_del))
+    return out
 
 
 def main():
+    from vacmap_tpu import trace
     from vacmap_tpu.config import AlignerConfig
     from vacmap_tpu.index import ReferenceIndex
     from vacmap_tpu.pipeline.mapper import Mapper
 
     rng = np.random.default_rng(20260816)
     glen = int(GENOME_MB * 1e6)
-    genome = {"chr1": make_genome(rng, glen)}
+    gcodes = make_genome_codes(rng, glen)
+    genome = {"chr1": codes_to_str(gcodes)}
     t_idx = time.time()
     idx = ReferenceIndex.build(genome, k=15, w=10)
     idx_build_mbp_s = glen / (time.time() - t_idx) / 1e6
 
     reads = []
+    sv_kind = []
     for i in range(N_READS):
-        st = int(rng.integers(0, glen - READ_LEN))
-        frag = genome["chr1"][st : st + READ_LEN]
-        # a third of reads carry an SV (inversion or deletion) mid-read
+        st = int(rng.integers(0, glen - READ_LEN - 4000))
+        frag = gcodes[st : st + READ_LEN].copy()
         kind = i % 3
         if kind == 1:
             a, b = READ_LEN // 3, 2 * READ_LEN // 3
-            frag = frag[:a] + revcomp(frag[a:b]) + frag[b:]
+            frag[a:b] = revcomp_codes(frag[a:b])
         elif kind == 2:
             a = READ_LEN // 2
-            frag = frag[:a] + genome["chr1"][st + a + 3000 : st + READ_LEN + 3000]
-        reads.append((f"read_{i}", mutate(rng, frag, ERR)))
+            frag = np.concatenate(
+                [frag[:a], gcodes[st + a + 3000 : st + READ_LEN + 3000]]
+            )
+        sv_kind.append(kind)
+        reads.append((f"read_{i}", codes_to_str(mutate_codes(rng, frag, ERR))))
 
     cfg = AlignerConfig(mode="H", backend="auto")
     mapper = Mapper(idx, cfg)
+    mapper.map_read(reads[0][0], reads[0][1])  # warm-up
 
-    # warm-up (native build, jit compile paths)
-    mapper.map_read(reads[0][0], reads[0][1])
-
-    # throughput measured with the CLI's process-parallel deployment
+    # throughput with the CLI's process-parallel deployment
     import multiprocessing as mp_
 
     n_workers = min(4, mp_.cpu_count())
@@ -108,18 +144,47 @@ def main():
     with mp_.get_context("fork").Pool(n_workers) as pool:
         results = pool.map(_map_chunk, range(n_workers))
     dt = time.time() - t0
-    n_aligned = sum(sum(r) for r in results)
+    flat = {}
+    for w, res in enumerate(results):
+        for j, r in enumerate(res):
+            flat[w + j * n_workers] = r
+    n_aligned = sum(v[0] for v in flat.values())
+    # SV detection: an inversion must split into >= 2 records; a deletion
+    # counts when split OR carried inside a record as a >= 1 kb D run
+    sv_total = sv_split = 0
+    for i, kind in enumerate(sv_kind):
+        if kind == 0 or i not in flat:
+            continue
+        sv_total += 1
+        n_rec, max_del = flat[i][1], flat[i][2]
+        if n_rec >= 2 or (kind == 2 and max_del >= 1000):
+            sv_split += 1
     total_bases = sum(len(s) for _, s in reads)
     mbp_s = total_bases / dt / 1e6
 
-    # chain-kernel-only throughput on the same reads' anchors
+    # per-stage wall shares (single-process, traced sample)
+    trace.enable()
+    trace.reset()
+    for name, seq in reads[:24]:
+        mapper.map_read(name, seq)
+    import re as _re
+
+    shares = {}
+    for line in trace.summary().splitlines()[1:]:
+        parts = line.split()
+        if len(parts) >= 5:
+            shares[parts[0]] = float(parts[4].rstrip("%"))
+    trace.enable(False)
+
+    # chain-kernel-only throughput (lax.scan and Pallas, on-device)
     from vacmap_tpu.ops.chain_jax import chain_scores_batch, prepare_batch
 
     alist = []
-    for name, seq in reads:
+    for name, seq in reads[:64]:
         a = idx.seeds(seq, check_num=100)
         a = a[np.argsort(a[:, 0], kind="stable")]
         alist.append(a.astype(np.int32))
+    kbases = sum(len(s) for _, s in reads[:64])
     batch = prepare_batch(alist, "global", 40.0, 50)
     S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
     S.block_until_ready()
@@ -128,26 +193,58 @@ def main():
     for _ in range(reps):
         S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
         S.block_until_ready()
-    chain_dt = (time.time() - t0) / reps
-    chain_mbp_s = total_bases / chain_dt / 1e6
+    chain_mbp_s = kbases / ((time.time() - t0) / reps) / 1e6
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_throughput_mbp_per_s",
-                "value": round(mbp_s, 3),
-                "unit": "Mbp/s",
-                "vs_baseline": round(mbp_s / BASELINE_MBP_PER_S, 3),
-                "n_reads": N_READS,
-                "read_len": READ_LEN,
-                "aligned_frac": n_aligned / N_READS,
-                "chain_kernel_mbp_per_s": round(chain_mbp_s, 1),
-                "index_build_mbp_per_s": round(idx_build_mbp_s, 1),
-                "ms_per_read": round(dt / N_READS * 1000, 1),
-                "padded_anchors": int(batch[0].shape[1]),
-            }
+    # Pallas chain at its production operating point: the executor
+    # dispatches bucketed batches (N <= 2048); oversized reads take the
+    # scan kernel / host fast path
+    pallas_mbp_s = None
+    try:
+        import jax
+
+        from vacmap_tpu.ops.chain_pallas import (
+            chain_scores_pallas, pad_for_pallas,
         )
-    )
+
+        small = [a_ for a_ in alist if len(a_) <= 2048]
+        pbases = int(np.mean([len(s_) for _, s_ in reads[:64]])) * len(small)
+        pbatch = prepare_batch(small, "global", 40.0, 50)
+        Ss, Ps = chain_scores_batch(*pbatch)
+        a, nv, sk, md, Bn = pad_for_pallas(*pbatch)
+        kw = dict(kmersize=15, maxdiff=50, maxgap=1000, skipcost=40.0,
+                  variant="global")
+        Sp, Pp = chain_scores_pallas(a, nv, sk, md, **kw)
+        jax.block_until_ready((Sp, Pp))
+        # correctness on hardware vs the scan kernel
+        p_agree = float(np.mean(np.asarray(Pp)[:Bn] == np.asarray(Ps)))
+        t0 = time.time()
+        for _ in range(reps):
+            Sp, Pp = chain_scores_pallas(a, nv, sk, md, **kw)
+            jax.block_until_ready((Sp, Pp))
+        pallas_mbp_s = pbases / ((time.time() - t0) / reps) / 1e6
+    except Exception:
+        p_agree = None
+
+    out = {
+        "metric": "e2e_throughput_mbp_per_s",
+        "value": round(mbp_s, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbp_s / BASELINE_MBP_PER_S, 3),
+        "n_reads": N_READS,
+        "read_len": READ_LEN,
+        "genome_mb": GENOME_MB,
+        "aligned_frac": round(n_aligned / N_READS, 4),
+        "sv_split_frac": round(sv_split / max(sv_total, 1), 4),
+        "ms_per_read": round(dt / N_READS * 1000, 2),
+        "stage_shares_pct": shares,
+        "chain_kernel_mbp_per_s": round(chain_mbp_s, 1),
+        "index_build_mbp_per_s": round(idx_build_mbp_s, 1),
+        "padded_anchors": int(batch[0].shape[1]),
+    }
+    if pallas_mbp_s is not None:
+        out["pallas_chain_mbp_per_s"] = round(pallas_mbp_s, 1)
+        out["pallas_P_agree"] = round(p_agree, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -70,8 +70,11 @@ def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
 
     jpos = unrepl(iota_f + 1.0)  # j of lane l
     # gap tables as vectors (traced scalars can't broadcast here):
-    # lane l holds gapf(l) / gapf(l+1)
-    gap_l = unrepl(jnp.minimum(f_o1 + f_e1 * iota_f, f_o2 + f_e2 * iota_f))
+    # lane l holds gapf(l) / gapf(l+1), with gapf(0) = 0 (H(0,0) = 0)
+    gap_l = unrepl(jnp.where(
+        iota == 0, 0.0,
+        jnp.minimum(f_o1 + f_e1 * iota_f, f_o2 + f_e2 * iota_f),
+    ))
     gap_l1 = unrepl(jnp.minimum(f_o1 + f_e1 * (iota_f + 1.0),
                                 f_o2 + f_e2 * (iota_f + 1.0)))
 
@@ -132,7 +135,8 @@ def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "match", "mismatch", "o1", "e1", "o2", "e2"),
+    static_argnames=("N", "match", "mismatch", "o1", "e1", "o2", "e2",
+                     "interpret"),
 )
 def _fill_and_traceback(
     tT: jnp.ndarray,  # (B, N) int32
@@ -146,6 +150,7 @@ def _fill_and_traceback(
     e1: int = 2,
     o2: int = 24,
     e2: int = 1,
+    interpret: bool = False,
 ):
     B = tT.shape[0]
     bits = pl.pallas_call(
@@ -162,6 +167,7 @@ def _fill_and_traceback(
             (N, TB, N), lambda b: (0, b, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, B, N), jnp.uint8),
+        interpret=interpret,
     )(tT.astype(jnp.int32), tQ.astype(jnp.int32))
 
     # ---- lockstep traceback scan (XLA): one 2-bit op per step ---------
@@ -218,11 +224,12 @@ class PallasFillAligner:
 
     def __init__(self, buckets: Sequence[int] = (256, 512),
                  match=2, mismatch=-4, o1=4, e1=2, o2=24, e2=1,
-                 max_batch: int = 4096):
+                 max_batch: int = 4096, interpret: bool = False):
         self.buckets = sorted(buckets)
         self.kw = dict(match=match, mismatch=mismatch, o1=o1, e1=e1,
                        o2=o2, e2=e2)
         self.max_batch = max_batch
+        self.interpret = interpret
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -274,7 +281,7 @@ class PallasFillAligner:
             _fill_and_traceback(
                 jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
                 jnp.asarray(t_len), jnp.asarray(q_len),
-                N=bucket, **self.kw,
+                N=bucket, interpret=self.interpret, **self.kw,
             )
         )  # (S//4, B) uint8
         decoded = native.decode_tb_ops(

@@ -26,7 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .chain_jax import NEG, _pair_scores
 
-BB = 8  # reads per program (VPU sublane tile)
+BB = 8  # default reads per program (VPU sublane tile)
+
+
+def _bb_for(N: int, B: int) -> int:
+    """Wider programs amortize the sequential anchor loop across more
+    sublanes; VMEM (~12 arrays of (bb, N) int32/f32) bounds bb at large
+    N.  Never wider than the batch itself."""
+    # measured on v5e (DESIGN.md): wider tiles LOSE above N~2048 (VMEM
+    # pressure / layout spills dominate); 8 is robust across sizes
+    return 8
 
 
 def _chain_kernel(
@@ -40,6 +49,7 @@ def _chain_kernel(
     S_ref,  # out (BB, N) float32
     P_ref,  # out (BB, N) int32
     *,
+    BB: int,
     N: int,
     kmersize: int,
     maxgap: int,
@@ -108,6 +118,7 @@ def _chain_kernel(
     jax.jit,
     static_argnames=(
         "kmersize", "maxdiff", "maxgap", "skipcost", "variant", "interpret",
+        "bb",
     ),
 )
 def chain_scores_pallas(
@@ -121,12 +132,15 @@ def chain_scores_pallas(
     skipcost: float = 40.0,
     variant: str = "global",
     interpret: bool = False,
+    bb: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, N, _ = anchors.shape
-    assert B % BB == 0, "pad batch to a multiple of BB"
+    BB = bb or _bb_for(N, B)
+    assert B % BB == 0, "pad batch to a multiple of the program tile"
     grid = (B // BB,)
     kernel = functools.partial(
         _chain_kernel,
+        BB=BB,
         N=N,
         kmersize=kmersize,
         maxgap=maxgap,
@@ -156,10 +170,12 @@ def chain_scores_pallas(
     return S, P
 
 
-def pad_for_pallas(anchors, n_valid, skip_i, maxdiff_i):
-    """Pad the batch dim to a multiple of BB."""
+def pad_for_pallas(anchors, n_valid, skip_i, maxdiff_i, bb: int = 0):
+    """Pad the batch dim to a multiple of the program tile."""
     B = anchors.shape[0]
-    Bp = ((B + BB - 1) // BB) * BB
+    t = bb or _bb_for(anchors.shape[1], max(B, 1))
+    t = max(t, 32)  # pad enough for any tile choice downstream
+    Bp = ((B + t - 1) // t) * t
     if Bp != B:
         pad = Bp - B
         anchors = np.pad(anchors, ((0, pad), (0, 0), (0, 0)))

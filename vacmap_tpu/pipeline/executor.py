@@ -29,10 +29,19 @@ N_BUCKETS = (512, 2048, 8192)
 
 class BatchExecutor:
     def __init__(self, mapper: Mapper, use_pallas: bool = True,
-                 max_device_batch: int = 128):
+                 max_device_batch: int = 128, device_fills: bool = True):
         self.mapper = mapper
         self.use_pallas = use_pallas
         self.max_device_batch = max_device_batch
+        # TPU present: base-level CIGAR fills run on device too — the
+        # Pallas fill kernel behind a cross-read aggregator (the finish
+        # threads' per-read batches merge into mega-calls)
+        if device_fills and mapper.global_aligner is None:
+            from ..parallel.device_service import device_fill_aligner
+
+            dfa = device_fill_aligner()
+            if dfa is not None:
+                mapper.global_aligner = dfa
 
     # ------------------------------------------------------------------
     def _device_chain(self, arrays: List[np.ndarray], variant: str,
