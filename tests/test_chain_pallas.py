@@ -25,12 +25,25 @@ def test_pallas_matches_oracle(rng, variant):
         variant=variant, interpret=True,
     )
     S, P = np.asarray(S), np.asarray(P)
+    # vs the float64 oracle: scores within f32 tolerance, predecessors
+    # near-exact (ties can flip under f32).  vs the f32 SCAN kernel the
+    # agreement must be EXACT — same arithmetic, same tie-breaks.
+    from vacmap_tpu.ops.chain_jax import chain_scores_batch
+
+    S2, P2 = chain_scores_batch(
+        *prepare_batch(alist, variant, 40.0, 50),
+        kmersize=15, maxdiff=50, maxgap=1000, skipcost=40.0,
+        variant=variant,
+    )
+    S2, P2 = np.asarray(S2), np.asarray(P2)
     for b, a in enumerate(alist):
         ref = chain_dp_numpy(a, 15, 40.0, 50, 1000, variant)
         n = len(a)
         np.testing.assert_allclose(S[b, :n], ref.S, atol=2e-3, rtol=1e-6)
         agree = np.mean(P[b, :n] == ref.P)
         assert agree > 0.95
+        assert np.array_equal(P[b, :n], P2[b, :n]), "pallas != scan kernel"
+        np.testing.assert_array_equal(S[b, :n], S2[b, :n])
 
 
 def test_pallas_chainy(rng):

@@ -28,7 +28,13 @@ N_BUCKETS = (512, 2048, 8192)
 
 
 class BatchExecutor:
-    def __init__(self, mapper: Mapper, use_pallas: bool = True,
+    # use_pallas default False: measured on v5e (DESIGN.md cost model),
+    # the fused-scan chain kernel beats the Pallas chain kernel ~50x at
+    # production anchor counts (the scan body fuses; the Pallas program
+    # tile serializes).  The Pallas CHAIN kernel stays as a validated
+    # alternative (P agreement 1.0 on hardware, bench.py); the Pallas
+    # FILL kernel (affine_pallas) is the one that wins on device.
+    def __init__(self, mapper: Mapper, use_pallas: bool = False,
                  max_device_batch: int = 128, device_fills: bool = True):
         self.mapper = mapper
         self.use_pallas = use_pallas
