@@ -39,3 +39,14 @@ def test_executor_matches_per_read_mapper(world):
         for a, b in zip(sorted(lines), sorted(single)):
             fa, fb = a.split("\t"), b.split("\t")
             assert fa[1:6] == fb[1:6], name
+
+
+def test_map_stream_matches_map_batch(world):
+    """The pipelined stream (seeding overlapped with finish) yields the
+    same results as per-batch mapping, across batch boundaries."""
+    genome, idx, reads = world
+    cfg = AlignerConfig(mode="H")
+    ex = BatchExecutor(Mapper(idx, cfg), use_pallas=False)
+    got = list(ex.map_stream(iter(reads), batch_reads=3, n_threads=2))
+    expect = ex.map_batch(reads, n_threads=2)
+    assert got == expect

@@ -315,19 +315,18 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         runtime.enable_compilation_cache()
         ex = BatchExecutor(mapper0)
-        batch = []
-        for rec in _dedup_records(read_paths, cfg, shard=shard):
-            batch.append(rec)
-            count += 1
-            if len(batch) >= cfg.batch_reads:
-                for lines in ex.map_batch(batch, n_threads=cfg.threads):
-                    if lines:
-                        writer.write_lines(lines)
-                batch = []
-        if batch:
-            for lines in ex.map_batch(batch, n_threads=cfg.threads):
-                if lines:
-                    writer.write_lines(lines)
+
+        def counted():
+            nonlocal count
+            for rec in _dedup_records(read_paths, cfg, shard=shard):
+                count += 1
+                yield rec
+
+        for lines in ex.map_stream(
+            counted(), cfg.batch_reads, n_threads=cfg.threads
+        ):
+            if lines:
+                writer.write_lines(lines)
         writer.close()
     elif n_workers == 1:
         for rec in _dedup_records(read_paths, cfg, shard=shard):

@@ -114,19 +114,10 @@ class BatchExecutor:
         )
 
     # ------------------------------------------------------------------
-    def map_batch(
-        self, reads: Sequence[Tuple], n_threads: int = 4
-    ) -> List[List[str]]:
-        """reads: sequence of (name, seq[, qual[, comment]]).  Returns SAM
-        lines per read (same order)."""
+    def _prepare(self, reads: Sequence[Tuple]):
+        """Stage 1 (host): seeding + strand normalization for a batch."""
         m = self.mapper
         cfg = m.config
-        p = cfg.preset
-        kmersize = m.index.k
-        skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
-        variant = "refund" if p.refund_penalty else "global"
-
-        # stage 1 (host): seeding + normalization
         prepped = []
         for r in reads:
             name, seq = r[0], r[1].upper()
@@ -137,8 +128,17 @@ class BatchExecutor:
             need_reverse, A = prepare_read_anchors(anchors, len(seq))
             dense = len(A) / max(len(seq), 1) > 5 or len(A) > N_BUCKETS[-1]
             prepped.append((name, seq, need_reverse, A, dense))
+        return prepped
 
-        # stage 2 (device): batched global chain for the non-dense reads
+    def _run_prepared(self, reads, prepped, n_threads: int) -> List[List[str]]:
+        """Stages 2+3: batched device chain, then threaded host finish."""
+        m = self.mapper
+        cfg = m.config
+        p = cfg.preset
+        kmersize = m.index.k
+        skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
+        variant = "refund" if p.refund_penalty else "global"
+
         dev_idx = [
             i for i, pr in enumerate(prepped) if pr is not None and not pr[4]
         ]
@@ -148,7 +148,6 @@ class BatchExecutor:
         )
         res_by_read = {i: r for i, r in zip(dev_idx, dev_results)}
 
-        # stage 3 (host threads): everything downstream
         def finish(i: int) -> List[str]:
             pr = prepped[i]
             if pr is None:
@@ -164,6 +163,36 @@ class BatchExecutor:
 
         with concurrent.futures.ThreadPoolExecutor(n_threads) as pool:
             return list(pool.map(finish, range(len(reads))))
+
+    def map_batch(
+        self, reads: Sequence[Tuple], n_threads: int = 4
+    ) -> List[List[str]]:
+        """reads: sequence of (name, seq[, qual[, comment]]).  Returns SAM
+        lines per read (same order)."""
+        return self._run_prepared(reads, self._prepare(reads), n_threads)
+
+    def map_stream(self, records, batch_reads: int, n_threads: int = 4):
+        """Pipelined mapping over a record stream: batch N+1's seeding
+        runs on a background thread while batch N's device dispatch and
+        host refinement proceed (the executor's stages otherwise
+        serialize per batch).  Yields per-read SAM line lists in input
+        order."""
+        import itertools
+
+        it = iter(records)
+
+        def take():
+            batch = list(itertools.islice(it, batch_reads))
+            return batch, (self._prepare(batch) if batch else [])
+
+        with concurrent.futures.ThreadPoolExecutor(1) as seeder:
+            fut = seeder.submit(take)
+            while True:
+                batch, prepped = fut.result()
+                if not batch:
+                    break
+                fut = seeder.submit(take)
+                yield from self._run_prepared(batch, prepped, n_threads)
 
     # ------------------------------------------------------------------
     def _finish_read(self, name, seq, qual, comment, precomputed):
