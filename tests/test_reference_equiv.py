@@ -179,3 +179,102 @@ def test_hit2work_driver_matches_reference(ref, seed):
     assert len(gc.paths) == len(ref_paths)
     for ours, theirs in zip(gc.paths, ref_paths):
         assert [tuple(p) for p in ours] == [tuple(p) for p in theirs]
+
+
+def _mut_str(rng, s, err=0.04):
+    bases = "ACGT"
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < err * 0.4:
+            out.append(bases[int(rng.integers(0, 4))])
+        elif r < err * 0.7:
+            out.append(ch)
+            out.append(bases[int(rng.integers(0, 4))])
+        elif r < err:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+@pytest.mark.parametrize("seed", [40, 41, 42, 43, 44])
+def test_extend_func_matches_reference(ref, seed):
+    """Refinement driver vs the reference's extend_func
+    (mammap_clrnano.py:19238-19303): identical SAM-ready records
+    (contig/strand/q-span/ref-span/CIGAR) from the same chain path, with
+    edlib and k_cigar backed by this repo's kernels in BOTH pipelines."""
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.chaining import chain_read
+    from vacmap_tpu.pipeline.extend import RefView, refine_chain
+    from vacmap_tpu.pipeline.local import local_rechain
+    from vacmap_tpu.seq import encode, revcomp, revcomp_codes
+
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 60_000)])
+    st = int(rng.integers(2_000, 30_000))
+    frag = genome[st : st + 12_000]
+    # inversion mid-read
+    a, b = 4_000, 7_000
+    frag = frag[:a] + revcomp(frag[a:b]) + frag[b:]
+    if seed % 2 == 0:
+        frag = revcomp(frag)  # reverse-dominant read: need_reverse path
+    read = _mut_str(rng, frag)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    anchors = idx.seeds(read, check_num=100)
+    gc = chain_read(anchors, len(read), kmersize=15, skipcost=40.0,
+                    maxdiff=50, maxgap=1000, accept_score=60.0)
+    assert gc is not None
+    codes = encode(read)
+    rc_codes = revcomp_codes(codes)
+    if gc.need_reverse:
+        fwd_codes, rev_codes = rc_codes, codes
+        testseq, rc_testseq = revcomp(read), read
+    else:
+        fwd_codes, rev_codes = codes, rc_codes
+        testseq, rc_testseq = read, revcomp(read)
+    score, path_desc = local_rechain(
+        gc.paths, fwd_codes, rev_codes, idx.seq_codes, idx.contig_starts,
+        idx.contig_lens, kmersize=9, skipcost=30.0, maxdiff=30, maxgap=99,
+        guide_cap=5,
+    )
+    assert len(path_desc) > 1
+    path_asc = path_desc[::-1]
+
+    # ---- ours ---------------------------------------------------------
+    rv = RefView(idx.seq_codes, idx.contig_starts, idx.contig_lens,
+                 idx.contig_names)
+    segs, records, filtered = refine_chain(
+        path_asc, "rd", gc.mapq, fwd_codes, rev_codes, len(read), rv,
+        maxdiff=30, need_reverse=gc.need_reverse, max_divergence=0.3,
+        use_hardclip=False, nofilter=False, eqx=True,
+    )
+
+    # ---- reference ----------------------------------------------------
+    from tests.refshim import _TypedDict, _TypedList
+
+    contig2start = _TypedDict()
+    contig2start["c1"] = 0
+    contig2seq = _TypedDict()
+    contig2seq["c1"] = genome.upper()
+    raw = _TypedList([np.array(p, dtype=np.int64) for p in path_asc])
+    option = {"H": False, "maxdivergence": 0.3, "nodiscard": False}
+    _aln, onemapinfolist, _tra, filtered_ref = ref.extend_func(
+        raw, "rd", gc.mapq, testseq, rc_testseq, len(read), 9,
+        ref.pos2contig, contig2start, contig2seq, 30, gc.need_reverse,
+        maxdiffratio=0.3, option=option, H=False, nofilter=False, eqx=True,
+    )
+
+    assert filtered == bool(filtered_ref)
+    assert len(records) == len(onemapinfolist), (
+        f"{len(records)} records vs reference {len(onemapinfolist)}"
+    )
+    for ours, theirs in zip(records, onemapinfolist):
+        t = list(theirs)
+        assert ours[1] == t[1]                      # contig
+        assert str(ours[2]) == str(t[2])            # strand
+        assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]]
+        assert ours[8] == t[8], f"CIGAR ours={ours[8][:80]} ref={t[8][:80]}"
