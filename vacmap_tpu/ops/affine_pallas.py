@@ -266,7 +266,12 @@ class PallasFillAligner:
 
     def _run_group(self, pairs, idxs, bucket, eqx, results, native):
         n = len(idxs)
-        B = max(TB, ((n + TB - 1) // TB) * TB)
+        # batch dim padded to power-of-two buckets: _fill_and_traceback
+        # compiles per (B, N) shape and Mosaic compiles are minutes-fresh
+        # on this platform — bound the shape universe
+        B = 64
+        while B < n:
+            B *= 2
         tT = np.full((B, bucket), 4, np.uint8)
         tQ = np.full((B, bucket), 4, np.uint8)
         t_len = np.ones(B, np.int32)
