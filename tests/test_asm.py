@@ -83,3 +83,27 @@ def test_streaming_contig_disk_spill(rng, tmp_path):
     import os
 
     assert not any("spillctg" in d for d in os.listdir(tmp_path))
+
+
+def test_stream_chain_device_backend_matches_native(rng):
+    """The warm-start device chain (JaxStreamChainBackend) reproduces the
+    native streaming result — same frontier carry, same path — the
+    device analog of the reference's linked_* DPs (mammap_asm.py:21687)."""
+    from vacmap_tpu.ops.chain_jax import JaxStreamChainBackend
+
+    r = np.arange(0, 6000, 23)
+    y = r + 54321 + rng.integers(-3, 4, len(r))
+    # an SV jump mid-chain exercises non-colinear moves across the carry
+    y[len(y) // 2 :] += 40_000
+    a = np.stack([r, y, np.ones_like(r), np.full_like(r, 15)], 1).astype(np.int64)
+    batches = [a[: len(a) // 3], a[len(a) // 3 : 2 * len(a) // 3],
+               a[2 * len(a) // 3 :]]
+    p_native = stream_chain(
+        iter(batches), 15, 40.0, 50, 1000, "global", None
+    )
+    p_device = stream_chain(
+        iter(batches), 15, 40.0, 50, 1000, "global", None,
+        chain_backend=JaxStreamChainBackend(),
+    )
+    assert p_device == p_native
+    assert len(p_device) > 50

@@ -220,6 +220,110 @@ def chain_scores_batch(
     return S, P
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kmersize", "maxdiff", "maxgap", "skipcost", "variant"),
+)
+def chain_scores_batch_warm(
+    anchors: jnp.ndarray,  # (B, N, 4) int32
+    n_valid: jnp.ndarray,  # (B,) int32
+    skip_i: jnp.ndarray,  # (B, N) float32
+    maxdiff_i: jnp.ndarray,  # (B, N) int32
+    warm_S: jnp.ndarray,  # (B, N) float32 — fixed scores of frontier rows
+    warm_P: jnp.ndarray,  # (B, N) int32 — their (negative) pred codes
+    n_warm: jnp.ndarray,  # (B,) int32
+    kmersize: int = 15,
+    maxdiff: int = 50,
+    maxgap: int = 1000,
+    skipcost: float = 40.0,
+    variant: str = "global",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warm-start (frontier-carry) batched chaining for the streaming
+    (asm long-contig) chain: the first n_warm rows per read are carried
+    frontier anchors with FIXED scores and pass-through predecessor codes
+    — they act as candidates but are never re-scored.  Device analog of
+    the reference's linked_* DPs (mammap_asm.py:21505/:21687) and of the
+    native chain_dp_native_warm kernel."""
+    B, N, _ = anchors.shape
+    local = variant in ("fine", "mismatch")
+    barrier = anchors[:, :, 0] + (anchors[:, :, 3] if local else 0)
+    params = dict(
+        kmersize=kmersize, maxgap=maxgap, skipcost=skipcost, variant=variant
+    )
+    jidx = jnp.arange(N, dtype=jnp.int32)
+
+    def step(S, i):
+        ai = anchors[:, i, :]
+        test, _colinear, _bonus = jax.vmap(
+            lambda a, Aj, Sj, sk, md: _pair_scores(
+                (a[0], a[1], a[2], a[3]),
+                (Aj[..., 0], Aj[..., 1], Aj[..., 2], Aj[..., 3]),
+                Sj, sk, md, params,
+            )
+        )(ai, anchors, S, skip_i[:, i], maxdiff_i[:, i])
+        barrier_i = jnp.take(barrier, i, axis=1)[:, None]
+        mask = (barrier < barrier_i) & (jidx[None, :] < n_valid[:, None])
+        test = jnp.where(mask, test, NEG)
+        l_i = ai[:, 3].astype(jnp.float32)
+        m = jnp.max(test, axis=1)
+        has_pred = m > l_i
+        is_max = test == m[:, None]
+        s_masked = jnp.where(is_max, S, NEG)
+        s_best = jnp.max(s_masked, axis=1)
+        cand = is_max & (S == s_best[:, None])
+        p = jnp.max(jnp.where(cand, jidx[None, :], -1), axis=1)
+        S_i = jnp.where(has_pred, m, l_i)
+        P_i = jnp.where(has_pred, p, -1)
+        frozen = i < n_warm  # carried frontier rows keep their values
+        active = (i < n_valid) & ~frozen
+        S_col = jnp.take(S, i, axis=1)
+        S = S.at[:, i].set(jnp.where(active, S_i, S_col))
+        P_out = jnp.where(
+            frozen, warm_P[:, i], jnp.where(active, P_i, -1)
+        )
+        return S, P_out
+
+    S, P_cols = jax.lax.scan(
+        step, warm_S.astype(jnp.float32), jnp.arange(N, dtype=jnp.int32)
+    )
+    return S, jnp.transpose(P_cols)
+
+
+class JaxStreamChainBackend:
+    """stream_chain-compatible device backend for the asm frontier-carry
+    chain: one warm-start batched call per anchor block, N padded to
+    power-of-two buckets so the jit shape universe stays bounded."""
+
+    def __init__(self, max_anchors: int = 1 << 20):
+        self.max_anchors = max_anchors
+
+    def __call__(self, linked: np.ndarray, variant: str, kmersize: int,
+                 skipcost: float, maxdiff: int, maxgap: int,
+                 warm_S: np.ndarray, warm_P: np.ndarray):
+        n = len(linked)
+        if n == 0 or n > self.max_anchors:
+            return None
+        anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
+            [linked.astype(np.int64)], variant, skipcost, maxdiff
+        )
+        N = anchors.shape[1]
+        w_S = np.zeros((1, N), np.float32)
+        w_P = np.zeros((1, N), np.int32)
+        w_S[0, : len(warm_S)] = warm_S
+        w_P[0, : len(warm_P)] = warm_P
+        S, P = chain_scores_batch_warm(
+            anchors, n_valid, skip_i, maxdiff_i,
+            jnp.asarray(w_S), jnp.asarray(w_P),
+            jnp.asarray([len(warm_S)], np.int32),
+            kmersize=kmersize, maxdiff=maxdiff, maxgap=maxgap,
+            skipcost=skipcost, variant=variant,
+        )
+        return (
+            np.asarray(S[0][:n], np.float64),
+            np.asarray(P[0][:n], np.int64),
+        )
+
+
 # ---------------------------------------------------------------------------
 # host-facing wrapper
 # ---------------------------------------------------------------------------

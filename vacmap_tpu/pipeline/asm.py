@@ -85,6 +85,7 @@ def stream_chain(
     maxgap: int,
     variant: str,
     workdir: Optional[str] = None,
+    chain_backend=None,
 ) -> List[tuple]:
     """Frontier-carry streaming chain over an iterator of barrier-sorted
     anchor batches.  Returns the best path in DESCENDING read order.
@@ -105,13 +106,24 @@ def stream_chain(
             linked = (
                 np.concatenate([frontier_a, one]) if len(frontier_a) else one
             )
-            res = native.chain_dp_native_warm(
-                linked, kmersize, skipcost, maxdiff, maxgap, variant,
-                frontier_S, frontier_P,
-            )
-            if res is None:
-                raise RuntimeError("asm streaming requires the native library")
-            S, P, _ = res
+            S = P = None
+            if chain_backend is not None:
+                dev = chain_backend(
+                    linked, variant, kmersize, skipcost, maxdiff, maxgap,
+                    frontier_S, frontier_P,
+                )
+                if dev is not None:
+                    S, P = dev
+            if S is None:
+                res = native.chain_dp_native_warm(
+                    linked, kmersize, skipcost, maxdiff, maxgap, variant,
+                    frontier_S, frontier_P,
+                )
+                if res is None:
+                    raise RuntimeError(
+                        "asm streaming requires the native library"
+                    )
+                S, P, _ = res
             g = int(np.argmax(S))
             last_g = g
             # frontier: anchors scoring within (skipcost + 36 + 20) of max
