@@ -319,8 +319,8 @@ class JaxStreamChainBackend:
             skipcost=skipcost, variant=variant,
         )
         return (
-            np.asarray(S[0][:n], np.float64),
-            np.asarray(P[0][:n], np.int64),
+            np.asarray(S, np.float64)[0][:n],
+            np.asarray(P, np.int64)[0][:n],
         )
 
 
@@ -376,7 +376,9 @@ class JaxChainBackend:
             skipcost=skipcost, variant=variant,
         )
         n = len(A)
-        S = np.asarray(S[0][:n], np.float64)
-        P = np.asarray(P[0][:n], np.int64)
+        # convert BEFORE slicing: eager slices of device arrays compile a
+        # tiny jit per distinct shape (~0.4 s each on this platform)
+        S = np.asarray(S, np.float64)[0][:n]
+        P = np.asarray(P, np.int64)[0][:n]
         g = int(np.argmax(S)) if n else -1
         return ChainResult(g, S, P)
