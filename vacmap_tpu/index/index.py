@@ -425,6 +425,29 @@ class ReferenceIndex:
         return out
 
     # ---- seeding ---------------------------------------------------------
+    def _lookup_ranges(self, h: np.ndarray):
+        """Native prefix-bucketed range lookup over the sorted hash table
+        (the plain searchsorted is cache-miss bound at genome scale)."""
+        from .. import native
+
+        if not native.available() or len(self.mm_hash) == 0:
+            return None
+        if not hasattr(self, "_prefix_starts"):
+            # hashes are < 4^k: bucket by the top 16 significant bits
+            bits = 2 * self.k
+            self._prefix_shift = max(bits - 16, 0)
+            edges = (
+                np.arange(1 << min(bits, 16), dtype=np.uint64)
+                << self._prefix_shift
+            ).astype(self.mm_hash.dtype)
+            starts = np.searchsorted(self.mm_hash, edges, side="left")
+            self._prefix_starts = np.concatenate(
+                [starts, [len(self.mm_hash)]]
+            ).astype(np.int64)
+        return native.hash_lookup_ranges(
+            self.mm_hash, self._prefix_starts, self._prefix_shift, h
+        )
+
     def seeds(
         self,
         read: str,
@@ -449,8 +472,12 @@ class ReferenceIndex:
         # match the table dtype so searchsorted never upcasts the (large)
         # table array
         h = h.astype(self.mm_hash.dtype, copy=False)
-        lo = np.searchsorted(self.mm_hash, h, side="left")
-        hi = np.searchsorted(self.mm_hash, h, side="right")
+        rng = self._lookup_ranges(h)
+        if rng is not None:
+            lo, hi = rng
+        else:
+            lo = np.searchsorted(self.mm_hash, h, side="left")
+            hi = np.searchsorted(self.mm_hash, h, side="right")
         occ = hi - lo
         keep = (occ > 0) & (occ <= cutoff)
         if not np.any(keep):

@@ -203,6 +203,42 @@ def cigar_finish_native(cigar: str, collapse_eqx: bool):
     return m, int(nrm.value), nm_v, m
 
 
+def hash_lookup_ranges(table: np.ndarray, pstarts: np.ndarray, shift: int,
+                       queries: np.ndarray):
+    """(lo, hi) occurrence ranges of each query hash in the sorted table,
+    via the 16-bit prefix bucket index; None when lib unavailable."""
+    lib = get_lib()
+    if lib is None or len(queries) == 0:
+        return None
+    if not hasattr(lib, "_hlr_bound"):
+        for fn in (lib.hash_lookup_ranges_u32, lib.hash_lookup_ranges_i64):
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+        lib._hlr_bound = True
+    m = len(queries)
+    lo = np.empty(m, np.int64)
+    hi = np.empty(m, np.int64)
+    q = np.ascontiguousarray(queries)
+    ps = np.ascontiguousarray(pstarts, np.int64)
+    if table.dtype == np.uint32:
+        lib.hash_lookup_ranges_u32(
+            table.ctypes.data, ps.ctypes.data, shift,
+            q.ctypes.data, m, lo.ctypes.data, hi.ctypes.data,
+        )
+    elif table.dtype == np.int64:
+        lib.hash_lookup_ranges_i64(
+            table.ctypes.data, ps.ctypes.data, shift,
+            q.ctypes.data, m, lo.ctypes.data, hi.ctypes.data,
+        )
+    else:
+        return None
+    return lo, hi
+
+
 def decode_tb_ops(packed: np.ndarray, pairs, eqx: bool = False):
     """Decode device traceback streams (ops/affine_pallas.py) into merged
     (op, len) int32 arrays, one per job; None when lib unavailable."""

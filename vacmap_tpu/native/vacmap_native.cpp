@@ -1191,6 +1191,50 @@ extern "C" int chain_dp_fast_native(
 // ---------------------------------------------------------------------------
 
 // ---------------------------------------------------------------------------
+// Sorted-hash range lookup with a 16-bit prefix bucket table: the seeding
+// hot loop's searchsorted over the (tens-of-MB) minimizer table is cache-
+// miss bound; bucketing by the top bits keeps the final probes local.
+// pstarts has 65537 entries: bucket p covers table[pstarts[p], pstarts[p+1]).
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static inline void lookup_ranges(const T* table, const int64_t* pstarts,
+                                 int shift, const T* q, int64_t m,
+                                 int64_t* lo_out, int64_t* hi_out) {
+  for (int64_t i = 0; i < m; i++) {
+    const T h = q[i];
+    const uint64_t p = (uint64_t)h >> shift;
+    int64_t lo = pstarts[p], hi = pstarts[p + 1];
+    // lower bound
+    int64_t a = lo, b = hi;
+    while (a < b) {
+      const int64_t mid = (a + b) >> 1;
+      if (table[mid] < h) a = mid + 1; else b = mid;
+    }
+    lo_out[i] = a;
+    // upper bound
+    b = hi;
+    while (a < b) {
+      const int64_t mid = (a + b) >> 1;
+      if (table[mid] <= h) a = mid + 1; else b = mid;
+    }
+    hi_out[i] = a;
+  }
+}
+
+extern "C" void hash_lookup_ranges_u32(
+    const uint32_t* table, const int64_t* pstarts, int shift,
+    const uint32_t* q, int64_t m, int64_t* lo_out, int64_t* hi_out) {
+  lookup_ranges(table, pstarts, shift, q, m, lo_out, hi_out);
+}
+
+extern "C" void hash_lookup_ranges_i64(
+    const int64_t* table, const int64_t* pstarts, int shift,
+    const int64_t* q, int64_t m, int64_t* lo_out, int64_t* hi_out) {
+  lookup_ranges(table, pstarts, shift, q, m, lo_out, hi_out);
+}
+
+// ---------------------------------------------------------------------------
 // CIGAR string utilities (host SAM layer): ASCII emission from op arrays,
 // one-pass merge + NM + =/X->M collapse (pipeline/sam.merge_nm_collapse),
 // and query-span accounting.  Counterpart of the reference's mergecigar_n
