@@ -151,6 +151,28 @@ def ops_to_cigar(ops: np.ndarray) -> str:
     return "".join(str(l) + _OPCHARS[o] for o, l in ol)
 
 
+def ops_to_cigars_many(ops_list) -> Optional[list]:
+    """ASCII cigars for many (n,2) op arrays with one shared buffer (the
+    per-call create_string_buffer dominates at ~2k tiny calls per read)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cig_bound"):
+        _bind_cigar(lib)
+    cap = 24 * max((len(o) for o in ops_list), default=1) + 16
+    buf = ctypes.create_string_buffer(cap)
+    fn = lib.ops_to_cigar_ascii
+    addr = ctypes.addressof(buf)
+    out = []
+    for o in ops_list:
+        o = np.ascontiguousarray(o, np.int32)
+        n = fn(o.ctypes.data, len(o), buf, cap)
+        if n < 0:
+            return None
+        out.append(ctypes.string_at(addr, n).decode("ascii"))
+    return out
+
+
 def _bind_cigar(lib):
     lib.ops_to_cigar_ascii.restype = ctypes.c_int64
     lib.ops_to_cigar_ascii.argtypes = [

@@ -98,21 +98,6 @@ def harvest_anchors(
     if not windows:
         return empty
 
-    # --- reference k-mer table over the windows -------------------------
-    ref_kmers_parts, ref_pos_parts = [], []
-    for lo, hi in windows:
-        seg = ref_codes[lo:hi]
-        km, ok = kmer_codes(seg, k)
-        idx = np.flatnonzero(ok)
-        ref_kmers_parts.append(km[idx])
-        ref_pos_parts.append(idx + lo)
-    ref_kmers = np.concatenate(ref_kmers_parts)
-    ref_pos = np.concatenate(ref_pos_parts)
-    if len(ref_kmers) == 0:
-        return empty
-    order = np.argsort(ref_kmers, kind="stable")
-    ref_kmers, ref_pos = ref_kmers[order], ref_pos[order]
-
     # --- read scan span (guide read span +/- LOOK_SPAN) ------------------
     rp_sorted = np.sort(guide[:, 0])
     readstart = max(0, int(rp_sorted[0]) - LOOK_SPAN)
@@ -131,6 +116,21 @@ def harvest_anchors(
         )
         if merged is not None:
             return merged
+
+    # --- reference k-mer table over the windows (numpy fallback) --------
+    ref_kmers_parts, ref_pos_parts = [], []
+    for lo, hi in windows:
+        seg = ref_codes[lo:hi]
+        km, ok = kmer_codes(seg, k)
+        idx = np.flatnonzero(ok)
+        ref_kmers_parts.append(km[idx])
+        ref_pos_parts.append(idx + lo)
+    ref_kmers = np.concatenate(ref_kmers_parts)
+    ref_pos = np.concatenate(ref_pos_parts)
+    if len(ref_kmers) == 0:
+        return empty
+    order = np.argsort(ref_kmers, kind="stable")
+    ref_kmers, ref_pos = ref_kmers[order], ref_pos[order]
 
     pos = np.arange(readstart, readend, dtype=np.int64)
     km_all, ok_all = kmer_codes(read_codes, k)

@@ -558,12 +558,13 @@ def _host_global_batch(pairs, eqx):
         if all(len(t) and len(q) for t, q in pairs):
             res = native.align2p_batch_native(pairs, eqx=eqx)
             if res is not None:
-                # n_del/n_ins left 0: refine_chain only consumes .cigar
-                return [
-                    AlignResult(native.ops_to_cigar(ops), False, len(q),
-                                len(t), 0, 0, 0)
-                    for ops, (t, q) in zip(res, pairs)
-                ]
+                cigs = native.ops_to_cigars_many(res)
+                if cigs is not None:
+                    # n_del/n_ins left 0: refine_chain only consumes .cigar
+                    return [
+                        AlignResult(c, False, len(q), len(t), 0, 0, 0)
+                        for c, (t, q) in zip(cigs, pairs)
+                    ]
     return [align2p(t, q, eqx=eqx, **_GLOBAL_KW) for t, q in pairs]
 
 
