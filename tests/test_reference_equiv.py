@@ -278,3 +278,86 @@ def test_extend_func_matches_reference(ref, seed):
         assert str(ours[2]) == str(t[2])            # strand
         assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]]
         assert ours[8] == t[8], f"CIGAR ours={ours[8][:80]} ref={t[8][:80]}"
+
+
+@pytest.mark.parametrize("seed,mdcs", [(50, True), (51, False), (52, True),
+                                       (53, False)])
+def test_sam_emission_matches_reference(ref, seed, mdcs):
+    """SAM text emission vs the reference's get_bam_dict_str
+    (mammap_clrnano.py:20841-21021): flags, primary ordering, NM/MD/cs,
+    SA tags, and reassign_mapq, from identical record lists.  Run with
+    eqx end-to-end so both sides emit =/X cigars (this repo otherwise
+    collapses to M on output, a documented deviation)."""
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.chaining import chain_read
+    from vacmap_tpu.pipeline.extend import RefView, refine_chain
+    from vacmap_tpu.pipeline.local import local_rechain
+    from vacmap_tpu.pipeline.sam import records_to_sam
+    from vacmap_tpu.seq import encode, revcomp, revcomp_codes
+
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 60_000)])
+    st = int(rng.integers(2_000, 30_000))
+    frag = genome[st : st + 12_000]
+    a, b = 4_000, 7_000
+    frag = frag[:a] + revcomp(frag[a:b]) + frag[b:]
+    if seed % 2:
+        frag = revcomp(frag)
+    read = _mut_str(rng, frag)
+    qual = "".join(chr(33 + int(rng.integers(10, 40))) for _ in read)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    anchors = idx.seeds(read, check_num=100)
+    gc = chain_read(anchors, len(read), kmersize=15, skipcost=40.0,
+                    maxdiff=50, maxgap=1000, accept_score=60.0)
+    assert gc is not None
+    codes = encode(read)
+    rc_codes = revcomp_codes(codes)
+    fwd, rev = (rc_codes, codes) if gc.need_reverse else (codes, rc_codes)
+    _, path_desc = local_rechain(
+        gc.paths, fwd, rev, idx.seq_codes, idx.contig_starts,
+        idx.contig_lens, kmersize=9, skipcost=30.0, maxdiff=30, maxgap=99,
+        guide_cap=5,
+    )
+    rv = RefView(idx.seq_codes, idx.contig_starts, idx.contig_lens,
+                 idx.contig_names)
+    _segs, records, _f = refine_chain(
+        path_desc[::-1], "rd", gc.mapq, fwd, rev, len(read), rv,
+        maxdiff=30, need_reverse=gc.need_reverse, max_divergence=0.3,
+        use_hardclip=False, nofilter=False, eqx=True,
+    )
+    assert records
+
+    def fetch(contig, s, e):
+        return genome[s:e]
+
+    ours = records_to_sam(
+        records, read, qual, fetch, md=mdcs, cs=mdcs, short_cs=True,
+        cigar2cg=False, markunbalancetra=True, hardclip=False,
+        fakecigar=False, rg_id=None, comment=None, collapse_eqx=False,
+    )
+
+    from tests.refshim import _TypedDict
+
+    contig2seq = _TypedDict()
+    contig2seq["c1"] = genome.upper()
+    contig2iloc = {"c1": 0}
+    theirs = ref.get_bam_dict_str(
+        [list(r) for r in records], read, qual, contig2iloc, contig2seq,
+        mdcs, True, False, True, {"fakecigar": False, "H": False},
+    )
+    assert len(ours) == len(theirs)
+    assert len(ours) >= 2, "SV read should emit supplementary records"
+    joined = "\n".join(ours)
+    assert "SA:Z:" in joined
+    if mdcs:
+        assert "MD:Z:" in joined and "cs:Z:" in joined
+    for o, t in zip(ours, theirs):
+        of, tf = o.split("\t"), t.rstrip("\n").split("\t")
+        assert of[:11] == tf[:11], f"core fields differ:\n{of[:9]}\n{tf[:9]}"
+        # optional tags independent of order
+        assert sorted(of[11:]) == sorted(tf[11:]), (
+            f"tags differ:\n{sorted(of[11:])}\n{sorted(tf[11:])}"
+        )
