@@ -217,3 +217,29 @@ def test_chain_read_rejects_weak(rng):
     a = random_anchors(rng, 20)
     gc = chain_read(a, 2000, kmersize=15, skipcost=40.0, maxdiff=50)
     assert gc is None or gc.score > 60
+
+
+def test_prepare_read_anchors_sort_skip(rng):
+    """The already-sorted fast path returns exactly what the stable sort
+    would (including equal-readpos order)."""
+    from vacmap_tpu.pipeline.chaining import prepare_read_anchors
+
+    n = 500
+    a_sorted = np.stack([
+        np.sort(rng.integers(0, 200, n)),
+        rng.integers(1, 10_000, n),
+        np.where(rng.random(n) < 0.8, 1, -1),
+        np.full(n, 15),
+    ], axis=1).astype(np.int64)
+    nr1, A1 = prepare_read_anchors(a_sorted, 2_000)
+    order = np.argsort(a_sorted[:, 0], kind="stable")
+    nr2, A2 = prepare_read_anchors(a_sorted[order], 2_000)
+    assert nr1 == nr2
+    assert np.array_equal(A1, A2)
+    # shuffled input still lands on the same canonical order
+    perm = rng.permutation(n)
+    nr3, A3 = prepare_read_anchors(a_sorted[perm], 2_000)
+    assert nr3 == nr1
+    # equal-readpos groups may permute under shuffling (stable sort of a
+    # different input order); the sorted keys must still agree
+    assert np.array_equal(A3[:, 0], A1[:, 0])

@@ -146,7 +146,12 @@ def prepare_read_anchors(anchors: np.ndarray, read_len: int):
     Returns (need_reverse, sorted_anchors) — the exact array the DP (host
     or device) must run on."""
     need_reverse, anchors = normalize_strand(anchors, read_len)
-    order0 = np.argsort(anchors[:, 0], kind="stable")
+    # index.seeds emits readpos-sorted anchors: skipping the re-sort when
+    # already nondecreasing preserves the exact stable order
+    rp = anchors[:, 0]
+    if len(rp) and np.all(rp[1:] >= rp[:-1]):
+        return need_reverse, anchors
+    order0 = np.argsort(rp, kind="stable")
     return need_reverse, anchors[order0]
 
 
