@@ -30,3 +30,42 @@ def test_reference_testdata(testdata_dir):
     assert len(recs) == 1
     assert recs[0][0] == "chr1"
     assert len(recs[0][1]) == 29830
+
+
+def test_native_reader_matches_python(tmp_path):
+    """The C (zlib) reader yields byte-identical records to the Python
+    parser across FASTA/FASTQ, gzip, comments, multi-line and CRLF."""
+    import gzip as _gz
+
+    from vacmap_tpu import native
+    from vacmap_tpu.io.fastx import fastx_read, _open, _read_fasta, _read_fastq
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(
+        ">r1 a comment here\nACGTACGT\nTTTT\n>r2\nGGGG\n>empty\n>r3\t tabbed\nCCAA\n"
+    )
+    fq = tmp_path / "t.fq.gz"
+    with _gz.open(fq, "wt") as f:
+        f.write("@q1 c1\nACGT\n+\nIIII\n@q2\nGGTT\n+q2 junk\nJJJJ\n")
+    crlf = tmp_path / "t2.fa"
+    crlf.write_bytes(b">w1 x\r\nAC\r\nGT\r\n>w2\r\nTT\r\n")
+
+    def python_read(path, rc):
+        with _open(str(path)) as fh:
+            first = fh.read(1)
+            while first in ("\n", "\r", " "):
+                first = fh.read(1)
+            if first == ">":
+                return list(_read_fasta(fh, rc))
+            return list(_read_fastq(fh, rc))
+
+    for path in (fa, fq, crlf):
+        for rc in (False, True):
+            nat = list(native.fastx_read_native(str(path), rc))
+            py = python_read(path, rc)
+            assert nat == py, (path, rc, nat, py)

@@ -26,8 +26,18 @@ def fastx_read(
     """Yield (name, seq, qual) or (name, seq, qual, comment) per record.
 
     qual is None for FASTA.  Auto-detects FASTA vs FASTQ from the first
-    non-blank character.
+    non-blank character.  Uses the native (C, zlib) kseq-style reader
+    when available — the counterpart of the reference's ``mp.fastx_read``
+    (vacmap:445) — with this pure-Python parser as the fallback.
     """
+    from .. import native
+
+    if native.available():
+        try:
+            yield from native.fastx_read_native(path, read_comment)
+            return
+        except (RuntimeError, AttributeError):
+            pass
     with _open(path) as fh:
         first = fh.read(1)
         while first in ("\n", "\r", " "):

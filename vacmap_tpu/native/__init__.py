@@ -29,7 +29,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-funroll-loops", "-fno-math-errno", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO],
+             _SRC, "-o", _SO, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -223,6 +223,66 @@ def cigar_finish_native(cigar: str, collapse_eqx: bool):
     if collapse_eqx:
         return m, int(nrc.value), nm_v, collapsed.raw[: cl.value].decode("ascii")
     return m, int(nrm.value), nm_v, m
+
+
+def fastx_read_native(path: str, read_comment: bool = False,
+                      chunk_bytes: int = 8 << 20, chunk_recs: int = 512):
+    """Streaming FASTA/FASTQ(.gz) records via the C reader (zlib gzFile
+    handles plain and gzip transparently).  Yields the same tuples as
+    io.fastx.fastx_read; raises RuntimeError when the lib is missing
+    (callers check available() first)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib, "_fx_bound"):
+        lib.fastx_open.restype = ctypes.c_void_p
+        lib.fastx_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.fastx_close.restype = None
+        lib.fastx_close.argtypes = [ctypes.c_void_p]
+        lib.fastx_read_chunk.restype = ctypes.c_int64
+        lib.fastx_read_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._fx_bound = True
+    h = lib.fastx_open(path.encode(), 1 << 20)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        cap = chunk_bytes
+        while True:
+            chars = np.empty(cap, np.uint8)
+            offs = np.empty((chunk_recs, 5), np.int64)
+            n = lib.fastx_read_chunk(
+                h, chars.ctypes.data, cap, offs.ctypes.data, chunk_recs
+            )
+            if n == -1:
+                raise ValueError(f"malformed FASTA/FASTQ: {path}")
+            if n == -2:  # single record larger than the buffer: grow
+                cap *= 4
+                continue
+            if n == 0:
+                return
+            used = int(offs[n - 1, 4])
+            blob = chars[:used].tobytes().decode("latin-1")
+            ol = offs[:n].tolist()
+            for r in range(n):
+                o = ol[r]
+                name = blob[o[0] : o[1]]
+                comment = blob[o[1] : o[2]]
+                seq = blob[o[2] : o[3]]
+                qual = blob[o[3] : o[4]]
+                if not name or not seq:
+                    continue
+                # record shapes identical to io.fastx._emit
+                if read_comment:
+                    yield (name, seq, qual or None, comment or None)
+                elif qual:
+                    yield (name, seq, qual)
+                else:
+                    yield (name, seq)
+    finally:
+        lib.fastx_close(h)
 
 
 def hash_lookup_ranges(table: np.ndarray, pstarts: np.ndarray, shift: int,

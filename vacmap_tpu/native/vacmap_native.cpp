@@ -1191,6 +1191,171 @@ extern "C" int chain_dp_fast_native(
 // ---------------------------------------------------------------------------
 
 // ---------------------------------------------------------------------------
+// kseq-style FASTA/FASTQ reader (plain or gzip via zlib gzFile) — the
+// native data loader matching the reference's C `mp.fastx_read`
+// (vacmap:445).  Records are packed into a caller buffer per chunk:
+// per record 5 int64 offsets (name, comment, seq, qual, end) into the
+// char buffer; fields are NUL-free slices (comment/qual may be empty).
+// ---------------------------------------------------------------------------
+
+#include <zlib.h>
+#include <string>
+#include <cstring>
+
+struct FastxHandle {
+  gzFile f = nullptr;     // gzip path
+  FILE* pf = nullptr;     // plain path (gzFile caps plain reads ~100MB/s)
+  std::vector<char> buf;  // raw read buffer
+  int64_t pos = 0, len = 0;
+  bool eof = false;
+  // a record parsed but not yet emitted (chunk buffer was full)
+  bool pending = false;
+  std::string p_name, p_comment, p_seq, p_qual;
+};
+
+static bool fx_fill(FastxHandle* h) {
+  if (h->pos < h->len) return true;
+  if (h->eof) return false;
+  if (h->pf)
+    h->len = (int64_t)fread(h->buf.data(), 1, h->buf.size(), h->pf);
+  else
+    h->len = gzread(h->f, h->buf.data(), (unsigned)h->buf.size());
+  h->pos = 0;
+  if (h->len <= 0) { h->eof = true; return false; }
+  return true;
+}
+
+// append the next line (without newline / trailing CR) to out via
+// memchr over the buffered data; returns false at EOF with nothing read
+static bool fx_read_line(FastxHandle* h, std::string& out) {
+  bool any = false;
+  for (;;) {
+    if (!fx_fill(h)) break;
+    const char* base = h->buf.data() + h->pos;
+    const int64_t avail = h->len - h->pos;
+    const char* nl = (const char*)memchr(base, '\n', (size_t)avail);
+    if (nl == nullptr) {
+      out.append(base, (size_t)avail);
+      h->pos = h->len;
+      any = true;
+      continue;
+    }
+    out.append(base, (size_t)(nl - base));
+    h->pos += (nl - base) + 1;
+    any = true;
+    break;
+  }
+  if (any && !out.empty() && out.back() == '\r') out.pop_back();
+  return any || !out.empty();
+}
+
+// peek the first character of the next non-empty line (-1 at EOF)
+static int fx_peek(FastxHandle* h) {
+  for (;;) {
+    if (!fx_fill(h)) return -1;
+    const char c = h->buf[h->pos];
+    if (c == '\n' || c == '\r' || c == ' ') { h->pos++; continue; }
+    return (unsigned char)c;
+  }
+}
+
+extern "C" void* fastx_open(const char* path, int64_t bufsize) {
+  FILE* pf = fopen(path, "rb");
+  if (!pf) return nullptr;
+  unsigned char magic[2] = {0, 0};
+  const size_t got = fread(magic, 1, 2, pf);
+  auto* h = new FastxHandle();
+  h->buf.resize(bufsize > 0 ? bufsize : (1 << 20));
+  if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+    fclose(pf);
+    h->f = gzopen(path, "rb");
+    if (!h->f) { delete h; return nullptr; }
+    gzbuffer(h->f, 1 << 20);
+  } else {
+    rewind(pf);
+    h->pf = pf;
+  }
+  return h;
+}
+
+extern "C" void fastx_close(void* hp) {
+  auto* h = (FastxHandle*)hp;
+  if (!h) return;
+  if (h->pf) fclose(h->pf);
+  if (h->f) gzclose(h->f);
+  delete h;
+}
+
+// Fills out_chars (cap chars) and out_offs (max_recs * 5 int64).
+// Returns number of records, 0 at EOF, -1 on malformed input, -2 when
+// the next record would overflow the buffers (caller grows and retries).
+extern "C" int64_t fastx_read_chunk(void* hp, char* out_chars, int64_t cap,
+                                    int64_t* out_offs, int64_t max_recs) {
+  auto* h = (FastxHandle*)hp;
+  int64_t n = 0, w = 0;
+  std::string& name = h->p_name;
+  std::string& comment = h->p_comment;
+  std::string& seq = h->p_seq;
+  std::string& qual = h->p_qual;
+  static thread_local std::string line;
+  while (n < max_recs) {
+    if (!h->pending) {
+      const int c = fx_peek(h);
+      if (c < 0) break;
+      if (c != '>' && c != '@') return -1;
+      const bool fastq = (c == '@');
+      h->pos++;  // consume the marker
+      name.clear(); comment.clear(); seq.clear(); qual.clear();
+      line.clear();
+      if (!fx_read_line(h, line)) break;
+      // split header at the first space/tab
+      size_t sp = line.find_first_of(" \t");
+      if (sp == std::string::npos) {
+        name = line;
+      } else {
+        name.assign(line, 0, sp);
+        comment.assign(line, sp + 1, std::string::npos);
+      }
+      if (fastq) {
+        line.clear();
+        if (fx_read_line(h, line)) seq = line;
+        line.clear();
+        fx_read_line(h, line);  // '+' separator line
+        while (qual.size() < seq.size()) {
+          line.clear();
+          if (!fx_read_line(h, line)) break;
+          qual += line;
+        }
+      } else {
+        for (;;) {
+          const int c2 = fx_peek(h);
+          if (c2 < 0 || c2 == '>') break;
+          line.clear();
+          if (!fx_read_line(h, line)) break;
+          seq += line;
+        }
+      }
+    }
+    const int64_t need = (int64_t)(name.size() + comment.size() +
+                                   seq.size() + qual.size());
+    if (w + need > cap) {
+      if (n == 0) return -2;  // caller grows the buffer and retries
+      h->pending = true;      // emit this record on the next call
+      break;
+    }
+    h->pending = false;
+    int64_t* o = out_offs + n * 5;
+    o[0] = w; memcpy(out_chars + w, name.data(), name.size()); w += name.size();
+    o[1] = w; memcpy(out_chars + w, comment.data(), comment.size()); w += comment.size();
+    o[2] = w; memcpy(out_chars + w, seq.data(), seq.size()); w += seq.size();
+    o[3] = w; memcpy(out_chars + w, qual.data(), qual.size()); w += qual.size();
+    o[4] = w;
+    n++;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // Sorted-hash range lookup with a 16-bit prefix bucket table: the seeding
 // hot loop's searchsorted over the (tens-of-MB) minimizer table is cache-
 // miss bound; bucketing by the top bits keeps the final probes local.
