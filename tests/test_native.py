@@ -256,3 +256,42 @@ def test_native_fast_chain_matches_python(rng, variant):
         np.testing.assert_allclose(S, ref.S, atol=1e-5)
         agree = np.mean(P == ref.P)
         assert agree > 0.97, agree
+
+
+def test_rebuild_chain_break_native_matches_python(rng):
+    """C++ segmentation == python rebuild_chain_break, including the
+    pop cascade at breaks and the dup-overlap anchor skip."""
+    import vacmap_tpu.native as nat
+    from vacmap_tpu.pipeline.extend import RefView, rebuild_chain_break
+
+    if not nat.available():
+        pytest.skip("native lib unavailable")
+    starts = np.array([0, 500_000], np.int64)
+    lens = np.array([500_000, 500_000], np.int64)
+    rv = RefView(None, starts, lens, ["c1", "c2"])
+    for trial in range(60):
+        n = int(rng.integers(2, 80))
+        rp = np.sort(rng.integers(0, 3000, n))
+        strand = np.where(rng.random(n) < 0.8, 1, -1)
+        y = rng.integers(100, 900_000, n)
+        # make runs colinear-ish so segments actually form
+        for i in range(1, n):
+            if rng.random() < 0.7:
+                strand[i] = strand[i - 1]
+                y[i] = y[i - 1] + (rp[i] - rp[i - 1]) * strand[i - 1] + int(
+                    rng.integers(-40, 40)
+                )
+        ln = rng.integers(9, 21, n)
+        path = [(int(rp[i]), int(abs(y[i])), int(strand[i]), int(ln[i]))
+                for i in range(n)]
+        expect = rebuild_chain_break.__wrapped__(path, rv, 30) if hasattr(
+            rebuild_chain_break, "__wrapped__") else None
+        # compare native-backed vs pure-python (native disabled)
+        got = rebuild_chain_break(path, rv, 30)
+        real = nat.available
+        try:
+            nat.available = lambda: False
+            ref_out = rebuild_chain_break(path, rv, 30)
+        finally:
+            nat.available = real
+        assert got == ref_out, trial

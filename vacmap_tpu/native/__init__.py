@@ -225,6 +225,30 @@ def cigar_finish_native(cigar: str, collapse_eqx: bool):
     return m, int(nrm.value), nm_v, m
 
 
+def rebuild_chain_break_native(path_arr: np.ndarray, starts: np.ndarray,
+                               large_cost: int, small_alignment: int = 50):
+    """Per-anchor segment ids (-1 = dropped) and the segment count, or
+    None when the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_rcb_bound"):
+        lib.rebuild_chain_break_native.restype = ctypes.c_int64
+        lib.rebuild_chain_break_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._rcb_bound = True
+    A = np.ascontiguousarray(path_arr, np.int64)
+    st = np.ascontiguousarray(starts, np.int64)
+    seg_id = np.empty(len(A), np.int32)
+    n_segs = lib.rebuild_chain_break_native(
+        A.ctypes.data, len(A), st.ctypes.data, len(st),
+        large_cost, small_alignment, seg_id.ctypes.data,
+    )
+    return seg_id, int(n_segs)
+
+
 def fastx_read_native(path: str, read_comment: bool = False,
                       chunk_bytes: int = 8 << 20, chunk_recs: int = 512):
     """Streaming FASTA/FASTQ(.gz) records via the C reader (zlib gzFile

@@ -1191,6 +1191,75 @@ extern "C" int chain_dp_fast_native(
 // ---------------------------------------------------------------------------
 
 // ---------------------------------------------------------------------------
+// Chain-break segmentation (pipeline/extend.rebuild_chain_break; reference
+// rebuild_chain_break, mammap_clrnano.py:23437-23484): split an ascending
+// chain path into colinear segments, dropping one-anchor and sub-50bp
+// segments and skipping small duplication-overlap anchors.  seg_id_out
+// gets the segment index per anchor (-1 = dropped); returns n_segments.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t rebuild_chain_break_native(
+    const int64_t* path /* (n,4) */, int64_t n,
+    const int64_t* starts, int64_t n_contigs,
+    int64_t large_cost, int64_t small_alignment, int32_t* seg_id_out) {
+  if (n == 0) return 0;
+  auto A = [&](int64_t i, int c) { return path[i * 4 + c]; };
+  auto contig_of = [&](int64_t pos) {
+    int64_t lo = 0, hi = n_contigs;
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (starts[mid] <= pos) lo = mid + 1; else hi = mid;
+    }
+    return lo > 0 ? lo - 1 : 0;
+  };
+  for (int64_t i = 0; i < n; i++) seg_id_out[i] = -1;
+  // python semantics exactly, including the pop cascade at breaks (a
+  // popped 1-anchor segment exposes the PREVIOUS segment to the span
+  // check): keep a real segment stack
+  std::vector<std::vector<int64_t>> segs;
+  auto span_small = [&](const std::vector<int64_t>& m) {
+    const int64_t f = m.front(), l = m.back();
+    return (A(l, 0) + A(l, 3) - A(f, 0)) < small_alignment;
+  };
+  auto break_pops = [&]() {
+    if (!segs.empty() && segs.back().size() == 1) segs.pop_back();
+    if (!segs.empty() && span_small(segs.back())) segs.pop_back();
+  };
+  segs.push_back({0});
+  int64_t pre = 0;
+  int64_t pre_cid = contig_of(A(0, 1));
+  for (int64_t i = 1; i < n; i++) {
+    const int64_t now_cid = contig_of(A(i, 1));
+    if (A(pre, 2) == A(i, 2)) {
+      const int64_t readgap = A(i, 0) - A(pre, 0) - A(pre, 3);
+      const int64_t refgap = (A(pre, 2) == 1)
+          ? A(i, 1) - A(pre, 1) - A(pre, 3)
+          : A(pre, 1) - A(i, 1) - A(i, 3);
+      if (std::llabs(readgap - refgap) <= large_cost && refgap >= -20 &&
+          readgap < 100 && pre_cid == now_cid) {
+        if (refgap >= 0 || readgap > 20) {
+          segs.back().push_back(i);
+          pre = i; pre_cid = now_cid;
+          continue;
+        }
+        // small duplication overlap: skip the anchor entirely
+        continue;
+      }
+    }
+    break_pops();
+    segs.push_back({i});
+    pre = i; pre_cid = now_cid;
+  }
+  break_pops();
+  int32_t seg_id = 0;
+  for (const auto& m : segs) {
+    for (const int64_t i : m) seg_id_out[i] = seg_id;
+    seg_id++;
+  }
+  return seg_id;
+}
+
+// ---------------------------------------------------------------------------
 // kseq-style FASTA/FASTQ reader (plain or gzip via zlib gzFile) — the
 // native data loader matching the reference's C `mp.fastx_read`
 // (vacmap:445).  Records are packed into a caller buffer per chunk:

@@ -61,6 +61,21 @@ def rebuild_chain_break(
     duplication overlaps (refgap<0 with readgap<=20 skips the anchor)."""
     if not path:
         return []
+    from .. import native
+
+    if native.available():
+        A = np.asarray(path, np.int64)
+        res = native.rebuild_chain_break_native(
+            A, ref.starts, large_cost, small_alignment
+        )
+        if res is not None:
+            seg_id, n_segs = res
+            rows = A.tolist()
+            out: List[List[tuple]] = [[] for _ in range(n_segs)]
+            for sid, row in zip(seg_id.tolist(), rows):
+                if sid >= 0:
+                    out[sid].append(tuple(row))
+            return out
     # one vectorized contig lookup for the whole path (pos2contig per
     # junction is a hot spot otherwise)
     refs = np.fromiter((p[1] for p in path), np.int64, len(path))
