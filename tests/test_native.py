@@ -295,3 +295,38 @@ def test_rebuild_chain_break_native_matches_python(rng):
         finally:
             nat.available = real
         assert got == ref_out, trial
+
+
+def test_backtrack_all_native_matches_python(rng):
+    """C++ multi-path backtrack == the python _backtrack_all on fuzzed
+    S/P arrays (disjoint suffix paths, joined-prefix score deduction)."""
+    import vacmap_tpu.native as nat
+    from vacmap_tpu.ops.chain_ref import ChainResult
+    from vacmap_tpu.pipeline import chaining
+
+    if not nat.available():
+        pytest.skip("native lib unavailable")
+    for trial in range(50):
+        n = int(rng.integers(3, 120))
+        S = np.round(rng.random(n) * 300, 3)
+        P = np.full(n, -1, np.int64)
+        for i in range(1, n):
+            if rng.random() < 0.8:
+                P[i] = int(rng.integers(0, i))
+        anchors = np.stack([
+            np.arange(n), rng.integers(0, 10_000, n),
+            np.ones(n, np.int64), np.full(n, 15),
+        ], axis=1).astype(np.int64)
+        res = ChainResult(int(np.argmax(S)), S.astype(np.float64), P)
+        got = chaining._backtrack_all(anchors, res)
+        real = nat.available
+        try:
+            nat.available = lambda: False
+            exp = chaining._backtrack_all(anchors, res)
+        finally:
+            nat.available = real
+        assert len(got[0]) == len(exp[0]), trial
+        for a, b in zip(got[0], exp[0]):
+            assert np.array_equal(a, b), trial
+        assert np.allclose(got[1], exp[1]), trial
+        assert np.allclose(got[2], exp[2]), trial

@@ -225,6 +225,43 @@ def cigar_finish_native(cigar: str, collapse_eqx: bool):
     return m, int(nrm.value), nm_v, m
 
 
+def backtrack_all_native(S: np.ndarray, P: np.ndarray, g_max: int,
+                         order: np.ndarray, min_score: float):
+    """(list of index arrays, scores, best_s_arr) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_bta_bound"):
+        lib.backtrack_all_native.restype = ctypes.c_int64
+        lib.backtrack_all_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._bta_bound = True
+    S = np.ascontiguousarray(S, np.float64)
+    P = np.ascontiguousarray(P, np.int64)
+    order = np.ascontiguousarray(order, np.int64)
+    n = len(S)
+    max_paths = n + 1
+    out_idx = np.empty(n, np.int64)
+    out_off = np.empty(max_paths + 1, np.int64)
+    out_scores = np.empty(max_paths, np.float64)
+    out_sarr = np.empty(n, np.float64)
+    n_paths = lib.backtrack_all_native(
+        S.ctypes.data, P.ctypes.data, n, g_max,
+        order.ctypes.data, len(order), float(min_score),
+        out_idx.ctypes.data, out_off.ctypes.data, out_scores.ctypes.data,
+        out_sarr.ctypes.data, max_paths,
+    )
+    if n_paths == 0:
+        return [], [], []
+    paths = [out_idx[out_off[i] : out_off[i + 1]] for i in range(n_paths)]
+    best_len = int(out_off[1])
+    return paths, out_scores[:n_paths].tolist(), out_sarr[:best_len].tolist()
+
+
 def rebuild_chain_break_native(path_arr: np.ndarray, starts: np.ndarray,
                                large_cost: int, small_alignment: int = 50):
     """Per-anchor segment ids (-1 = dropped) and the segment count, or

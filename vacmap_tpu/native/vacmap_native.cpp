@@ -1191,6 +1191,59 @@ extern "C" int chain_dp_fast_native(
 // ---------------------------------------------------------------------------
 
 // ---------------------------------------------------------------------------
+// Multi-path chain backtrack (pipeline/chaining._backtrack_all; reference
+// hit2work_1 :23588-23640): walk the best path from g_max, then disjoint
+// suffix paths in the given start order, deducting the joined prefix
+// score when a walk hits a used anchor.  Returns the path count.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t backtrack_all_native(
+    const double* S, const int64_t* P, int64_t n, int64_t g_max,
+    const int64_t* order, int64_t n_order, double min_score,
+    int64_t* out_idx, int64_t* out_path_off, double* out_scores,
+    double* out_sarr, int64_t max_paths) {
+  if (n == 0 || g_max < 0) return 0;
+  std::vector<uint8_t> used(n, 0);
+  int64_t w = 0;        // cursor into out_idx
+  int64_t n_paths = 0;
+  auto walk = [&](int64_t start, bool record_sarr) -> double {
+    double score = S[start];
+    int64_t take = start;
+    for (;;) {
+      out_idx[w] = take;
+      if (record_sarr) out_sarr[w - out_path_off[n_paths]] = S[take];
+      w++;
+      used[take] = 1;
+      const int64_t p = P[take];
+      if (p < 0) break;
+      if (used[p]) { score -= S[p]; break; }
+      take = p;
+    }
+    return score;
+  };
+  out_path_off[0] = 0;
+  const double best = walk(g_max, true);
+  if (!(best > min_score)) return 0;
+  out_scores[n_paths++] = best;
+  out_path_off[n_paths] = w;
+  for (int64_t k = 0; k < n_order && n_paths < max_paths; k++) {
+    const int64_t start = order[k];
+    if (used[start]) continue;
+    const int64_t w0 = w;
+    const double sc = walk(start, false);
+    if (sc > min_score) {
+      out_scores[n_paths++] = sc;
+      out_path_off[n_paths] = w;
+    } else {
+      w = w0;  // roll the indices back (anchors stay marked used, like
+               // the python version which marks during the walk)
+      out_path_off[n_paths] = w;
+    }
+  }
+  return n_paths;
+}
+
+// ---------------------------------------------------------------------------
 // Chain-break segmentation (pipeline/extend.rebuild_chain_break; reference
 // rebuild_chain_break, mammap_clrnano.py:23437-23484): split an ascending
 // chain path into colinear segments, dropping one-anchor and sub-50bp

@@ -55,6 +55,17 @@ def _backtrack_all(
     best_S_arr holds the per-anchor chain scores along the best path."""
     S, P = res.S, res.P
     n = len(S)
+    from .. import native
+
+    if native.available():
+        nres = native.backtrack_all_native(
+            S, P, res.g_max_index, final_score_order(S), MIN_PATH_SCORE
+        )
+        if nres is not None:
+            idx_paths, n_scores, best_s_arr = nres
+            return (
+                [anchors[ip] for ip in idx_paths], n_scores, best_s_arr
+            )
     used = np.zeros(n, bool)
     paths: List[np.ndarray] = []
     scores: List[float] = []
