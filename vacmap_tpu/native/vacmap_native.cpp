@@ -403,7 +403,8 @@ retry_band:
   int64_t i = ei, j = ej;
   int state = 0;
   int64_t p_min = INT64_MAX, p_max = INT64_MIN;
-  std::vector<std::pair<int, int64_t>> rev;
+  static thread_local std::vector<std::pair<int, int64_t>> rev;
+  rev.clear();
   auto push = [&](int op, int64_t len) {
     if (!rev.empty() && rev.back().first == op) rev.back().second += len;
     else rev.push_back({op, len});
@@ -1714,7 +1715,8 @@ static int stripe_traceback(
     int eqx, int32_t* out_ops, int64_t max_ops, int64_t* n_ops) {
   int64_t i = T, j = Q;
   int state = 0;
-  std::vector<std::pair<int, int64_t>> rev;
+  static thread_local std::vector<std::pair<int, int64_t>> rev;
+  rev.clear();
   auto push = [&](int op, int64_t len) {
     if (!rev.empty() && rev.back().first == op) rev.back().second += len;
     else rev.push_back({op, len});
@@ -1781,14 +1783,43 @@ static int run_stripe16(
   static thread_local std::vector<uint8_t> bits;
   tT.assign((size_t)Tmax * 16, 4);
   tQ.assign((size_t)Qmax * 16, 4);
-  for (int l = 0; l < n_jobs; l++) {
-    const uint8_t* t = seqs + t_off[jobs[l]];
-    const uint8_t* q = seqs + q_off[jobs[l]];
-    for (int64_t i = 0; i < t_len[jobs[l]]; i++)
-      tT[(size_t)i * 16 + l] = t[i] < 4 ? t[i] : 4;
-    for (int64_t j = 0; j < q_len[jobs[l]]; j++)
-      tQ[(size_t)j * 16 + l] = q[j] < 4 ? q[j] : 4;
-  }
+  // 16x16 byte-block transpose (unpck ladder) for the bulk; scalar tails
+  auto fill_plane = [&](std::vector<int16_t>& plane, bool is_t) {
+    const int64_t* lens = is_t ? t_len : q_len;
+    const int64_t* offs = is_t ? t_off : q_off;
+    int64_t common = INT64_MAX;
+    for (int l = 0; l < n_jobs; l++) common = std::min(common, lens[jobs[l]]);
+    if (n_jobs < 16) common = 0;  // dummy lanes keep pad char
+    int64_t i = 0;
+    for (; i + 16 <= common; i += 16) {
+      __m128i rows[16];
+      for (int l = 0; l < 16; l++)
+        rows[l] = _mm_loadu_si128(
+            (const __m128i*)(seqs + offs[jobs[l]] + i));
+      // transpose 16x16 bytes: 4 unpack layers
+      for (int step = 0; step < 4; step++) {
+        __m128i nr[16];
+        for (int k = 0; k < 8; k++) {
+          nr[2 * k] = _mm_unpacklo_epi8(rows[k], rows[k + 8]);
+          nr[2 * k + 1] = _mm_unpackhi_epi8(rows[k], rows[k + 8]);
+        }
+        for (int k = 0; k < 16; k++) rows[k] = nr[k];
+      }
+      for (int r = 0; r < 16; r++) {
+        // rows[r] = bytes of position i+r across the 16 jobs; clamp >3
+        const __m128i v = _mm_min_epu8(rows[r], _mm_set1_epi8(4));
+        const __m256i w = _mm256_cvtepu8_epi16(v);
+        _mm256_storeu_si256((__m256i*)&plane[(size_t)(i + r) * 16], w);
+      }
+    }
+    for (int l = 0; l < n_jobs; l++) {
+      const uint8_t* src = seqs + offs[jobs[l]];
+      for (int64_t r = i; r < lens[jobs[l]]; r++)
+        plane[(size_t)r * 16 + l] = src[r] < 4 ? src[r] : 4;
+    }
+  };
+  fill_plane(tT, true);
+  fill_plane(tQ, false);
   const size_t rowlen = (size_t)(Qmax + 1) * 16;
   Hprev.resize(rowlen); Hcur.resize(rowlen);
   E1prev.assign(rowlen, SNEG16); E1cur.resize(rowlen);
