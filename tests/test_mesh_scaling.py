@@ -46,3 +46,16 @@ def test_sharded_step_pads_ragged_batch(rng):
     S, P, best, n_acc = step(*batch)
     assert S.shape[0] == 5
     assert n_acc == 5
+
+
+def test_graft_dryrun_multichip_full_step():
+    """The driver's dryrun entry: the FULL device step (global chain +
+    local re-chain + affine fill) jitted over the 8-device CPU mesh."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import dryrun_multichip
+
+    import jax
+
+    dryrun_multichip(len(jax.devices()))
