@@ -164,18 +164,19 @@ def install_stubs():
         sys.modules["pysam"] = pysam
 
 
-_ref_mod = None
+_ref_mods = {}
 
 
-def load_reference():
-    """Import and cache vacmap.mammap_clrnano from the reference tree."""
-    global _ref_mod
-    if _ref_mod is not None:
-        return _ref_mod
+def load_reference(mode: str = "clrnano"):
+    """Import and cache a reference mode module (clrnano/ccs/sensitive/
+    noprefercloser/asm) from the reference tree."""
+    if mode in _ref_mods:
+        return _ref_mods[mode]
     install_stubs()
     if _REF_SRC not in sys.path:
         sys.path.insert(0, _REF_SRC)
     import importlib
 
-    _ref_mod = importlib.import_module("vacmap.mammap_clrnano")
-    return _ref_mod
+    m = importlib.import_module(f"vacmap.mammap_{mode}")
+    _ref_mods[mode] = m
+    return m

@@ -99,10 +99,10 @@ def test_stream_chain_device_backend_matches_native(rng):
     batches = [a[: len(a) // 3], a[len(a) // 3 : 2 * len(a) // 3],
                a[2 * len(a) // 3 :]]
     p_native = stream_chain(
-        iter(batches), 15, 40.0, 50, 1000, "global", None
+        iter(batches), 15, 40.0, 50, 1000, "global_nocov", None
     )
     p_device = stream_chain(
-        iter(batches), 15, 40.0, 50, 1000, "global", None,
+        iter(batches), 15, 40.0, 50, 1000, "global_nocov", None,
         chain_backend=JaxStreamChainBackend(),
     )
     assert p_device == p_native

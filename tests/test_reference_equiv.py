@@ -361,3 +361,98 @@ def test_sam_emission_matches_reference(ref, seed, mdcs):
         assert sorted(of[11:]) == sorted(tf[11:]), (
             f"tags differ:\n{sorted(of[11:])}\n{sorted(tf[11:])}"
         )
+
+
+@pytest.mark.parametrize("seed", [60, 61, 62, 63])
+def test_refund_dp_matches_reference_R_mode(ref, seed):
+    """R-mode (no-prefer-closer) global DP with the penalty-refund ledger
+    vs the REAL mammap_noprefercloser live `_d_all`
+    (mammap_noprefercloser.py:22839): flat SV penalty + fixed/pre penalty
+    refund once enough matched bases accrue after a jump."""
+    from tests.refshim import load_reference
+
+    ref_r = load_reference("noprefercloser")
+    rng = np.random.default_rng(seed)
+    # distant translocation-style segments exercise the refund
+    A = make_anchors(rng, 150, read_span=2400, n_segments=4, noise_frac=0.25)
+    kmersize, skipcost, maxdiff, maxgap = 15, 30.0, 50, 1000
+    g_ref, S_ref, P_ref, _sarg, _factor = (
+        ref_r.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_all(
+            A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    got = chain_dp(A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+                   maxgap=maxgap, variant="refund")
+    assert np.allclose(got.S, S_ref, atol=1e-6), (
+        f"S mismatch max|d|={np.abs(got.S - S_ref).max()}"
+    )
+    assert np.array_equal(got.P, norm_P(P_ref))
+    assert got.g_max_index == g_ref
+
+    from vacmap_tpu import native
+
+    if native.available():
+        nres = native.chain_dp_native(A, kmersize, skipcost, maxdiff,
+                                      maxgap, "refund")
+        assert np.allclose(nres[0], S_ref, atol=1e-6)
+        assert np.array_equal(nres[1], norm_P(P_ref))
+
+
+@pytest.mark.parametrize("seed", [70, 71, 72])
+def test_asm_linked_dp_matches_reference(ref, seed):
+    """The streaming (frontier-carry) chain kernel vs the REAL asm-mode
+    linked DP (mammap_asm.py:21687): warm rows carry fixed scores and
+    pass-through predecessor codes; the new rows chain against them."""
+    from tests.refshim import load_reference
+    from vacmap_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib required")
+    ref_asm = load_reference("asm")
+    rng = np.random.default_rng(seed)
+    # batch 1 anchors, then a frontier carried into batch 2 (the exact
+    # rebase rule the asm driver uses, mammap_asm.py:23256-23272)
+    A1 = make_anchors(rng, 100, read_span=1500, n_segments=2)
+    kmersize, skipcost, maxdiff, maxgap = 15, 30.0, 50, 1000
+    g1, S1, P1, S_arg1, _ = (
+        ref_asm.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_all(
+            A1, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    g_max_scores = S1[S_arg1[-1]]
+    lowest = g_max_scores - skipcost - 36 - 20
+    sl = len(S1) - 1
+    while sl > 0 and lowest < S1[S_arg1[sl]]:
+        sl -= 1
+    pre_S = S1[S_arg1[sl:]] - S1[S_arg1[sl]] + 1000
+    pre_P = -P1[S_arg1[sl:]]
+    pre_A = A1[S_arg1[sl:]]
+    A2 = make_anchors(rng, 80, read_span=1500, n_segments=2)
+    A2[:, 0] += 1600  # strictly after batch 1
+    linked = np.concatenate([pre_A, A2])
+    # the asm driver passes the max FRONTIER readpos (mammap_asm.py:23236)
+    prereadloc = int(pre_A[:, 0].max())
+    g2, S2, P2, _sarg2, _ = (
+        ref_asm.linked_get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_all(
+            float(pre_S[-1]), len(pre_S) - 1, pre_S.astype(np.float64),
+            pre_P.astype(np.int64), prereadloc, linked,
+            kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    # asm kernels use FLAT skipcost (no repeat-coverage adaptation)
+    got = native.chain_dp_native_warm(
+        linked, kmersize, skipcost, maxdiff, maxgap, "global_nocov",
+        pre_S.astype(np.float64), pre_P.astype(np.int64),
+    )
+    assert got is not None and not got[2]
+    S_n, P_n = got[0], got[1]
+    assert np.allclose(S_n, S2, atol=1e-6), (
+        f"S mismatch max|d|={np.abs(S_n - S2).max()}"
+    )
+    # warm rows pass their codes through; new rows link identically
+    nw = len(pre_S)
+    assert np.array_equal(P_n[:nw], pre_P)
+    assert np.array_equal(P_n[nw:], norm_P(P2[nw:]))

@@ -50,6 +50,10 @@ class ModePreset:
     nodiscard: bool
     # asm streaming mode
     streaming: bool = False
+    # asm-mode global DPs use FLAT skipcost (no adaptive repeat coverage:
+    # mammap_asm.py:20552/:21687 have no coverage_dict, unlike the read
+    # modes' mark_a blocks)
+    cov_adapt: bool = True
 
 
 _PRESETS = {
@@ -107,6 +111,7 @@ _PRESETS = {
     ),
     "asm": ModePreset(
         name="asm",
+        cov_adapt=False,
         global_skipcost=30.0,
         local_skipcost=30.0,
         max_divergence=1.0,  # forced for asm (mammap_asm.py:23483)

@@ -447,7 +447,8 @@ def _bind_chain(lib):
     ]
 
 
-_VARIANT_CODE = {"global": 0, "refund": 1, "fine": 2, "mismatch": 3}
+_VARIANT_CODE = {"global": 0, "refund": 1, "fine": 2, "mismatch": 3,
+                 "global_nocov": 4}
 
 
 def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,

@@ -507,6 +507,11 @@ extern "C" int chain_dp_native_warm(
     double* S_out, int64_t* P_out, int64_t max_ops_per_anchor,
     int64_t n_warm, const double* warm_S, const int64_t* warm_P) {
   if (n == 0) return 0;
+  // variant 4 = "global_nocov": asm-mode global scoring WITHOUT the
+  // adaptive repeat coverage (the asm kernels use flat skipcost,
+  // mammap_asm.py:20552/:21687)
+  const bool use_cov = (variant == 0);
+  if (variant == 4) variant = 0;
   const bool local = (variant == 2 || variant == 3);
   const bool refund = (variant == 1);
 
@@ -529,7 +534,7 @@ extern "C" int chain_dp_native_warm(
   // adaptive repeat penalties (global variant)
   std::vector<double> skip_i(n, skipcost);
   std::vector<int> maxdiff_i(n, maxdiff);
-  if (variant == 0) {
+  if (use_cov) {
     int64_t maxr = 0;
     for (int64_t i = 0; i < n; i++) maxr = std::max(maxr, A(i, 0));
     std::vector<int32_t> cov(maxr + 1, 0);
@@ -1003,6 +1008,8 @@ extern "C" int chain_dp_fast_native(
     const float* extra, int64_t extra_size, int64_t fast_t,
     double* S_out, int64_t* P_out) {
   if (n == 0) return 0;
+  const bool use_cov = (variant == 0);  // 4 = global w/o repeat coverage
+  if (variant == 4) variant = 0;
   const bool local = (variant == 2 || variant == 3);
   const bool refund = (variant == 1);
   auto A = [&](int64_t i, int c) { return anchors[i * 4 + c]; };
@@ -1021,7 +1028,7 @@ extern "C" int chain_dp_fast_native(
   int64_t maxr = 0;
   for (int64_t i = 0; i < n; i++) maxr = std::max(maxr, A(i, 0));
   std::vector<int32_t> cov(maxr + 1, 0);
-  if (variant == 0)
+  if (use_cov)
     for (int64_t i = 0; i < n; i++) {
       int64_t r = A(i, 0);
       if (cov[r] < 20) cov[r]++;
@@ -1051,8 +1058,8 @@ extern "C" int chain_dp_fast_native(
   int64_t max_score_i = s0;
   int64_t inserted = 1;
   int64_t prebarrier = barrier[0];
-  double skip_c = skipcost + ((variant == 0) ? cov[A(0, 0)] : 0);
-  int mdiff_c = std::max(maxdiff - (int)((variant == 0) ? cov[A(0, 0)] : 0), 10);
+  double skip_c = skipcost + (use_cov ? cov[A(0, 0)] : 0);
+  int mdiff_c = std::max(maxdiff - (int)(use_cov ? cov[A(0, 0)] : 0), 10);
 
   struct PairScore { double ts; bool col; int64_t bonus; };
   auto score_pair = [&](int64_t i, int64_t j) -> PairScore {
@@ -1115,7 +1122,7 @@ extern "C" int chain_dp_fast_native(
         if (sk > max_score_i) max_score_i = sk;
         inserted++;
       }
-      if (variant == 0) {
+      if (use_cov) {
         skip_c = skipcost + cov[A(i, 0)];
         mdiff_c = std::max(maxdiff - (int)cov[A(i, 0)], 10);
       }

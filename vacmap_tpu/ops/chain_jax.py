@@ -140,6 +140,8 @@ def chain_scores_batch(
     variant: str = "global",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact batched chaining DP; returns (S, P) of shape (B, N)."""
+    if variant == "global_nocov":
+        variant = "global"  # penalties already flat in skip_i/maxdiff_i
     B, N, _ = anchors.shape
     local = variant in ("fine", "mismatch")
     barrier = anchors[:, :, 0] + (anchors[:, :, 3] if local else 0)
@@ -244,6 +246,8 @@ def chain_scores_batch_warm(
     — they act as candidates but are never re-scored.  Device analog of
     the reference's linked_* DPs (mammap_asm.py:21505/:21687) and of the
     native chain_dp_native_warm kernel."""
+    if variant == "global_nocov":
+        variant = "global"  # penalties already flat in skip_i/maxdiff_i
     B, N, _ = anchors.shape
     local = variant in ("fine", "mismatch")
     barrier = anchors[:, :, 0] + (anchors[:, :, 3] if local else 0)
@@ -335,6 +339,7 @@ def prepare_batch(anchor_list, variant: str, skipcost: float, maxdiff: int):
     host (cheap O(n) bincounts)."""
     B = len(anchor_list)
     N = max((len(a) for a in anchor_list), default=1)
+    # "global_nocov" (asm): global scoring, flat penalties
     # bucket N to powers of two (>=128) so each (variant, N) pair compiles
     # exactly once per process
     N = max(128, 1 << int(np.ceil(np.log2(max(N, 1)))))
@@ -351,6 +356,7 @@ def prepare_batch(anchor_list, variant: str, skipcost: float, maxdiff: int):
             cov = np.minimum(np.bincount(rp)[rp], 20)
             skip_i[b, :n] = skipcost + cov
             maxdiff_i[b, :n] = np.maximum(maxdiff - cov, 10)
+        # "global_nocov" keeps the flat defaults
     return anchors, n_valid, skip_i, maxdiff_i
 
 

@@ -134,6 +134,8 @@ def chain_scores_pallas(
     interpret: bool = False,
     bb: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if variant == "global_nocov":
+        variant = "global"  # penalties already flat in skip_i/maxdiff_i
     B, N, _ = anchors.shape
     BB = bb or _bb_for(N, B)
     assert B % BB == 0, "pad batch to a multiple of the program tile"

@@ -209,13 +209,18 @@ def chain_dp_numpy(
     if n == 0:
         return ChainResult(-1, S, P)
 
+    # "global_nocov" = asm-mode global scoring without the adaptive
+    # repeat coverage (mammap_asm.py:20552/:21687 use flat skipcost)
+    use_cov = variant != "global_nocov"
+    if variant == "global_nocov":
+        variant = "global"
     local = variant in ("fine", "mismatch")
     gapcost_list = _gapcost_table(kmersize, maxdiff, local)
     lrg = _large_readgapcost(maxgap) if variant == "mismatch" else None
 
     # adaptive repeat penalties (global variant only, mark_a blocks)
     repeat_weight = 20
-    if variant == "global":
+    if variant == "global" and use_cov:
         cov = np.zeros(int(A[:, 0].max()) + 1, np.int64)
         np.add.at(cov, A[:, 0], 1)
         cov = np.minimum(cov, repeat_weight)
@@ -389,13 +394,16 @@ def chain_dp_fast(
     if n == 0:
         return ChainResult(-1, S, P)
 
+    use_cov = variant != "global_nocov"
+    if variant == "global_nocov":
+        variant = "global"
     local = variant in ("fine", "mismatch")
     refund = variant == "refund"
     gapcost_list = _gapcost_table(kmersize, maxdiff, local)
     lrg = _large_readgapcost(maxgap) if variant == "mismatch" else None
     repeat_weight = 20
     cov = np.zeros(int(A[:, 0].max()) + 1, np.int64)
-    if variant == "global":
+    if variant == "global" and use_cov:
         np.add.at(cov, A[:, 0], 1)
         cov = np.minimum(cov, repeat_weight)
 

@@ -264,7 +264,7 @@ def _map_contig_streaming(
     skip_g, maxdiff_g, _ = cfg.chain_params_global()
     wd1 = os.path.join(workdir, "r1") if workdir else None
     path = stream_chain(
-        round1_batches(), idx.k, skip_g, maxdiff_g, 1000, "global", wd1
+        round1_batches(), idx.k, skip_g, maxdiff_g, 1000, "global_nocov", wd1
     )
     if len(path) <= 1:
         return []

@@ -177,6 +177,7 @@ def chain_read(
     bin_size: int = 100,
     overlap_percentage: float = 0.5,
     refund: bool = False,
+    cov_adapt: bool = True,
     chain_backend=None,
     precomputed=None,
 ) -> Optional[GlobalChains]:
@@ -195,7 +196,7 @@ def chain_read(
         need_reverse, A = prepare_read_anchors(anchors, read_len)
         res = None
 
-    variant = "refund" if refund else "global"
+    variant = "refund" if refund else ("global" if cov_adapt else "global_nocov")
     dense = len(A) / max(read_len, 1) > 5
     if res is None and not dense:
         if chain_backend is not None:

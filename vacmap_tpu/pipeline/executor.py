@@ -137,7 +137,9 @@ class BatchExecutor:
         p = cfg.preset
         kmersize = m.index.k
         skip_g, maxdiff_g, maxgap_g = cfg.chain_params_global()
-        variant = "refund" if p.refund_penalty else "global"
+        variant = "refund" if p.refund_penalty else (
+            "global" if p.cov_adapt else "global_nocov"
+        )
 
         dev_idx = [
             i for i, pr in enumerate(prepped) if pr is not None and not pr[4]

@@ -104,6 +104,7 @@ class Mapper:
                 maxgap=maxgap_g,
                 accept_score=p.accept_score,
                 refund=p.refund_penalty,
+                cov_adapt=p.cov_adapt,
                 chain_backend=self.chain_backend,
                 precomputed=precomputed,
             )
