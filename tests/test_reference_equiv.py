@@ -456,3 +456,86 @@ def test_asm_linked_dp_matches_reference(ref, seed):
     nw = len(pre_S)
     assert np.array_equal(P_n[:nw], pre_P)
     assert np.array_equal(P_n[nw:], norm_P(P2[nw:]))
+
+
+class _FakeIndex:
+    """Serves THIS repo's seeds through the reference's index_object API,
+    so the whole-driver differential isolates everything downstream of
+    anchor generation (both pipelines see identical anchors)."""
+
+    def __init__(self, idx):
+        self._idx = idx
+        self.k = idx.k
+
+    def map(self, seq, check_num=100, mid_occ=-1):
+        return self._idx.seeds(str(seq), check_num=check_num, mid_occ=mid_occ)
+
+
+@pytest.mark.parametrize("mode,seed", [("H", 80), ("H", 81), ("L", 82),
+                                       ("S", 83), ("R", 84)])
+def test_whole_driver_matches_reference(ref, mode, seed):
+    """THE end-to-end differential: the reference's complete per-read
+    driver get_readmap_DP_test (mammap_<mode>.py) vs Mapper.map_read_records
+    on the same genome/read/anchors — identical record lists per mode."""
+    from tests.refshim import _TypedDict, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.mapper import Mapper
+    from vacmap_tpu.seq import revcomp
+
+    mod = load_reference({"H": "clrnano", "L": "ccs", "S": "sensitive",
+                          "R": "noprefercloser"}[mode])
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 80_000)])
+    st = int(rng.integers(2_000, 40_000))
+    frag = genome[st : st + 14_000]
+    a, b = 5_000, 8_000
+    frag = frag[:a] + revcomp(frag[a:b]) + frag[b:]
+    if seed % 2:
+        frag = revcomp(frag)
+    read = _mut_str(rng, frag)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    cfg = AlignerConfig(mode=mode, eqx=True)
+    m = Mapper(idx, cfg)
+    records, _redo = m.map_read_records("rd", read)
+
+    p = cfg.preset
+    option = {
+        "golbal_skipcost": p.global_skipcost,
+        "golbal_maxdiff": cfg.global_maxdiff,
+        "local_skipcost": p.local_skipcost,
+        "local_maxdiff": cfg.local_maxdiff,
+        "maxdivergence": cfg.resolved_max_divergence,
+        "nodiscard": cfg.resolved_nodiscard,
+        "markunbalancetra": cfg.resolved_markunbalancetra,
+        "md": False, "shortcs": True, "cigar2cg": False,
+        "eqx": True, "debug": False, "c": cfg.check_num, "H": False,
+        "fakecigar": False,
+    }
+    contig2start = _TypedDict(); contig2start["c1"] = 0
+    contig2seq = _TypedDict(); contig2seq["c1"] = genome.upper()
+    out = mod.get_readmap_DP_test(
+        "rd", read, contig2start, contig2seq, _FakeIndex(idx), ["c1"],
+        option, hastra=False, eqx=True, check_num=cfg.check_num,
+    )
+    onemapinfolist = out[0]
+    assert len(records) == len(onemapinfolist), (
+        f"{mode}: {len(records)} vs ref {len(onemapinfolist)}"
+    )
+    assert len(records) >= 1
+    for ours, theirs in zip(records, onemapinfolist):
+        t = list(theirs)
+        assert ours[1] == t[1]
+        assert str(ours[2]) == str(t[2])
+        assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]], (
+            f"{mode} spans {ours[:8]} vs {t[:8]}"
+        )
+        # pre-merge piece chunking may differ on score-equal paths; the
+        # SAM layer merges runs, so compare the merged form
+        from vacmap_tpu.pipeline.sam import merge_cigar
+
+        mo, _ = merge_cigar(ours[8])
+        mt, _ = merge_cigar(t[8])
+        assert mo == mt, f"{mode} CIGAR ours={mo[:60]} ref={mt[:60]}"
