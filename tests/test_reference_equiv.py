@@ -468,7 +468,8 @@ class _FakeIndex:
         self.k = idx.k
 
     def map(self, seq, check_num=100, mid_occ=-1):
-        return self._idx.seeds(str(seq), check_num=check_num, mid_occ=mid_occ)
+        cn = 0 if check_num is not None and check_num < 0 else check_num
+        return self._idx.seeds(str(seq), check_num=cn, mid_occ=mid_occ)
 
 
 @pytest.mark.parametrize("mode,seed", [("H", 80), ("H", 81), ("L", 82),
@@ -539,3 +540,130 @@ def test_whole_driver_matches_reference(ref, mode, seed):
         mo, _ = merge_cigar(ours[8])
         mt, _ = merge_cigar(t[8])
         assert mo == mt, f"{mode} CIGAR ours={mo[:60]} ref={mt[:60]}"
+
+
+@pytest.mark.parametrize("mode,seed", [("H", 90), ("S", 91)])
+def test_whole_driver_repeat_dense_matches_reference(ref, mode, seed):
+    """Whole-driver parity on a tandem-repeat genome: anchor density
+    pushes both pipelines through the bucketed fast-DP fallback and the
+    occurrence/cluster machinery."""
+    from tests.refshim import _TypedDict, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.mapper import Mapper
+    from vacmap_tpu.pipeline.sam import merge_cigar
+    from vacmap_tpu.seq import revcomp
+
+    mod = load_reference({"H": "clrnano", "S": "sensitive"}[mode])
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    g = rng.integers(0, 4, 60_000)
+    # implant tandem arrays
+    for _ in range(12):
+        unit = rng.integers(0, 4, int(rng.integers(120, 400)))
+        arr = np.tile(unit, int(rng.integers(6, 14)))
+        st0 = int(rng.integers(0, len(g) - len(arr)))
+        g[st0 : st0 + len(arr)] = arr
+    genome = "".join(bases[g])
+    st = int(rng.integers(2_000, 38_000))
+    frag = genome[st : st + 12_000]
+    frag = frag[:4_000] + revcomp(frag[4_000:7_000]) + frag[7_000:]
+    read = _mut_str(rng, frag)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    cfg = AlignerConfig(mode=mode, eqx=True)
+    m = Mapper(idx, cfg)
+    records, _ = m.map_read_records("rd", read)
+
+    p = cfg.preset
+    option = {
+        "golbal_skipcost": p.global_skipcost,
+        "golbal_maxdiff": cfg.global_maxdiff,
+        "local_skipcost": p.local_skipcost,
+        "local_maxdiff": cfg.local_maxdiff,
+        "maxdivergence": cfg.resolved_max_divergence,
+        "nodiscard": cfg.resolved_nodiscard,
+        "markunbalancetra": cfg.resolved_markunbalancetra,
+        "md": False, "shortcs": True, "cigar2cg": False,
+        "eqx": True, "debug": False, "c": cfg.check_num, "H": False,
+        "fakecigar": False,
+    }
+    c2s = _TypedDict(); c2s["c1"] = 0
+    c2q = _TypedDict(); c2q["c1"] = genome.upper()
+    out = mod.get_readmap_DP_test(
+        "rd", read, c2s, c2q, _FakeIndex(idx), ["c1"], option,
+        hastra=False, eqx=True, check_num=cfg.check_num,
+    )
+    onemapinfolist = out[0]
+    assert len(records) == len(onemapinfolist)
+    assert len(records) >= 1
+    for ours, theirs in zip(records, onemapinfolist):
+        t = list(theirs)
+        assert ours[1] == t[1] and str(ours[2]) == str(t[2])
+        assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]]
+        mo, _ = merge_cigar(ours[8])
+        mt, _ = merge_cigar(t[8])
+        assert mo == mt
+
+
+def test_asm_streaming_driver_matches_reference(ref, tmp_path):
+    """The COMPLETE asm streaming path vs the reference's
+    assembly_get_readmap_DP_test (mammap_asm.py:23204): 600 kb contig ->
+    batched anchors, frontier-carry chain with spill, round-2 local
+    re-chain, ass_extend_func — identical records."""
+    from tests.refshim import _TypedDict, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.asm import map_contig_streaming
+    from vacmap_tpu.pipeline.mapper import Mapper
+    from vacmap_tpu.pipeline.sam import merge_cigar
+    from vacmap_tpu.seq import revcomp
+
+    mod = load_reference("asm")
+    rng = np.random.default_rng(100)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 800_000)])
+    # contig: 600 kb slice with an inversion and a deletion
+    contig = genome[50_000:650_000]
+    contig = contig[:200_000] + revcomp(contig[200_000:215_000]) + contig[215_000:]
+    contig = contig[:400_000] + contig[404_000:]
+    # light mutation so extension has work
+    contig = _mut_str(rng, contig, err=0.01)
+    assert len(contig) >= 500_000
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    cfg = AlignerConfig(mode="asm", eqx=True)
+    m = Mapper(idx, cfg)
+    records = map_contig_streaming(m, "ctg", contig)
+    assert records
+
+    option = {
+        "golbal_skipcost": cfg.preset.global_skipcost,
+        "golbal_maxdiff": cfg.global_maxdiff,
+        "local_skipcost": cfg.preset.local_skipcost,
+        "local_maxdiff": cfg.local_maxdiff,
+        "maxdivergence": cfg.resolved_max_divergence,
+        "nodiscard": cfg.resolved_nodiscard,
+        "markunbalancetra": cfg.resolved_markunbalancetra,
+        "md": False, "shortcs": True, "cigar2cg": False,
+        "eqx": True, "debug": False, "c": -1, "H": False,
+        "fakecigar": False, "local_kmersize": cfg.local_kmersize,
+    }
+    c2s = _TypedDict(); c2s["c1"] = 0
+    c2q = _TypedDict(); c2q["c1"] = genome.upper()
+    wd = str(tmp_path / "refwd")
+    onemapinfolist = mod.assembly_get_readmap_DP_test(
+        wd, "ctg", contig.upper(), revcomp(contig.upper()), len(contig),
+        _FakeIndex(idx), mod.pos2contig, c2s, c2q, ["c1"], option,
+    )
+    assert len(records) == len(onemapinfolist), (
+        f"{len(records)} vs ref {len(onemapinfolist)}: "
+        f"{[r[:8] for r in records]} vs {[list(t)[:8] for t in onemapinfolist]}"
+    )
+    for ours, theirs in zip(records, onemapinfolist):
+        t = list(theirs)
+        assert ours[1] == t[1] and str(ours[2]) == str(t[2])
+        assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]]
+        mo, _ = merge_cigar(ours[8])
+        mt, _ = merge_cigar(t[8])
+        assert mo == mt
