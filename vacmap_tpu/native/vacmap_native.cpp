@@ -887,14 +887,30 @@ extern "C" int64_t harvest_join(
   static thread_local std::vector<int64_t> h_r, h_y, h_d;
 
   auto flush_strand = [&](int64_t strand, int64_t& m) -> bool {
-    // sort hits by (diag, readpos) then merge runs
+    // sort hits by (diag, readpos): hits are emitted in increasing
+    // readpos order, so a STABLE counting sort on the (bounded) diagonal
+    // gives the full (diag, readpos) order in O(n + range)
     const int64_t n = h_r.size();
     std::vector<int64_t> order(n);
-    for (int64_t i = 0; i < n; i++) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-      if (h_d[a] != h_d[b]) return h_d[a] < h_d[b];
-      return h_r[a] < h_r[b];
-    });
+    int64_t dmin = INT64_MAX, dmax = INT64_MIN;
+    for (int64_t i = 0; i < n; i++) {
+      dmin = std::min(dmin, h_d[i]);
+      dmax = std::max(dmax, h_d[i]);
+    }
+    const int64_t range = (n > 0) ? (dmax - dmin + 1) : 0;
+    if (n > 0 && range <= 4 * n + 1024) {
+      static thread_local std::vector<int64_t> counts;
+      counts.assign(range + 1, 0);
+      for (int64_t i = 0; i < n; i++) counts[h_d[i] - dmin + 1]++;
+      for (int64_t k2 = 1; k2 <= range; k2++) counts[k2] += counts[k2 - 1];
+      for (int64_t i = 0; i < n; i++) order[counts[h_d[i] - dmin]++] = i;
+    } else {
+      for (int64_t i = 0; i < n; i++) order[i] = i;
+      std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        if (h_d[a] != h_d[b]) return h_d[a] < h_d[b];
+        return h_r[a] < h_r[b];
+      });
+    }
     int64_t i = 0;
     auto emit = [&](int64_t r, int64_t y, int64_t l) -> bool {
       if (m >= out_cap) return false;
