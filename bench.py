@@ -225,6 +225,51 @@ def main():
     except Exception:
         p_agree = None
 
+    # device base-level alignment (Pallas fill kernel + aggregation):
+    # capture real fill jobs from a few reads and run them on-hardware
+    dev_fill = None
+    try:
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            from vacmap_tpu.parallel import runtime
+
+            runtime.enable_compilation_cache()
+            import vacmap_tpu.pipeline.extend as _E
+            from vacmap_tpu.ops.affine_pallas import PallasFillAligner
+            from vacmap_tpu import native as _nat
+
+            fills = []
+            _orig = _E._host_global_batch
+
+            def _cap(pairs, eqx):
+                fills.extend(pairs)
+                return _orig(pairs, eqx)
+
+            _E._host_global_batch = _cap
+            for name, seq in reads[64:80]:
+                mapper.map_read(name, seq)
+            _E._host_global_batch = _orig
+            fills = [f for f in fills if max(len(f[0]), len(f[1])) <= 512]
+            if fills:
+                pa = PallasFillAligner()
+                r1 = pa.align_batch(fills, eqx=True)  # compile/warm
+                t0 = time.time()
+                r2 = pa.align_batch(fills, eqx=True)
+                dt_d = time.time() - t0
+                host = _nat.align2p_batch_native(fills, eqx=True)
+                n_match = sum(
+                    1 for a, b in zip(r2, host)
+                    if a.cigar == _nat.ops_to_cigar(b)
+                )
+                dev_fill = {
+                    "jobs": len(fills),
+                    "jobs_per_s": round(len(fills) / dt_d, 0),
+                    "cigar_match_frac": round(n_match / len(fills), 4),
+                }
+    except Exception:
+        dev_fill = None
+
     out = {
         "metric": "e2e_throughput_mbp_per_s",
         "value": round(mbp_s, 3),
@@ -244,6 +289,8 @@ def main():
     if pallas_mbp_s is not None:
         out["pallas_chain_mbp_per_s"] = round(pallas_mbp_s, 1)
         out["pallas_P_agree"] = round(p_agree, 4)
+    if dev_fill is not None:
+        out["device_fill"] = dev_fill
     print(json.dumps(out))
 
 

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--backend", choices=["auto", "jax", "numpy"], default="auto",
                     help="Compute backend for the hot kernels")
     fl.add_argument("--batch-reads", type=int, default=64)
+    fl.add_argument("--device-fills", action="store_true",
+                    help="run base-level CIGAR fills on the TPU (Pallas "
+                         "kernel + cross-read aggregation); off by default "
+                         "on relay-attached chips (see DESIGN.md)")
     mh = p.add_argument_group("Multi-host (jax.distributed)")
     mh.add_argument("--coordinator", help="host:port of process 0")
     mh.add_argument("--num-processes", type=int)
@@ -314,7 +318,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .pipeline.executor import BatchExecutor
 
         runtime.enable_compilation_cache()
-        ex = BatchExecutor(mapper0)
+        ex = BatchExecutor(mapper0, device_fills=args.device_fills)
 
         def counted():
             nonlocal count

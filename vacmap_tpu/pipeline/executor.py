@@ -34,8 +34,13 @@ class BatchExecutor:
     # tile serializes).  The Pallas CHAIN kernel stays as a validated
     # alternative (P agreement 1.0 on hardware, bench.py); the Pallas
     # FILL kernel (affine_pallas) is the one that wins on device.
+    # device_fills default False (measured, DESIGN.md): on the relay-
+    # attached chip the aggregated fill calls are latency-dominated and
+    # the deployment loses ~8x vs host fills (0.13 vs 1.09 Mbp/s single-
+    # process, identical outputs).  Opt in with --device-fills on TPU
+    # hosts with direct PCIe/ICI attachment.
     def __init__(self, mapper: Mapper, use_pallas: bool = False,
-                 max_device_batch: int = 128, device_fills: bool = True):
+                 max_device_batch: int = 128, device_fills: bool = False):
         self.mapper = mapper
         self.use_pallas = use_pallas
         self.max_device_batch = max_device_batch
