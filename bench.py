@@ -197,7 +197,25 @@ def main():
 
     # Pallas chain at its production operating point: the executor
     # dispatches bucketed batches (N <= 2048); oversized reads take the
-    # scan kernel / host fast path
+    # scan kernel / host fast path.  Device sections run in daemon
+    # threads with hard timeouts: a congested compile relay must never
+    # hang the bench (the JSON line always prints).
+    import threading
+
+    def _guarded(fn, seconds):
+        box = {}
+
+        def run():
+            try:
+                box["v"] = fn()
+            except Exception:
+                box["v"] = None
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(seconds)
+        return box.get("v")
+
     pallas_mbp_s = None
     try:
         import jax
@@ -213,15 +231,22 @@ def main():
         a, nv, sk, md, Bn = pad_for_pallas(*pbatch)
         kw = dict(kmersize=15, maxdiff=50, maxgap=1000, skipcost=40.0,
                   variant="global")
-        Sp, Pp = chain_scores_pallas(a, nv, sk, md, **kw)
-        jax.block_until_ready((Sp, Pp))
-        # correctness on hardware vs the scan kernel
-        p_agree = float(np.mean(np.asarray(Pp)[:Bn] == np.asarray(Ps)))
-        t0 = time.time()
-        for _ in range(reps):
+
+        def pallas_section():
             Sp, Pp = chain_scores_pallas(a, nv, sk, md, **kw)
             jax.block_until_ready((Sp, Pp))
-        pallas_mbp_s = pbases / ((time.time() - t0) / reps) / 1e6
+            agree = float(np.mean(np.asarray(Pp)[:Bn] == np.asarray(Ps)))
+            t0 = time.time()
+            for _ in range(reps):
+                Sp2, Pp2 = chain_scores_pallas(a, nv, sk, md, **kw)
+                jax.block_until_ready((Sp2, Pp2))
+            return pbases / ((time.time() - t0) / reps) / 1e6, agree
+
+        res = _guarded(pallas_section, 240)
+        if res is not None:
+            pallas_mbp_s, p_agree = res
+        else:
+            p_agree = None
     except Exception:
         p_agree = None
 
@@ -252,21 +277,24 @@ def main():
             _E._host_global_batch = _orig
             fills = [f for f in fills if max(len(f[0]), len(f[1])) <= 512]
             if fills:
-                pa = PallasFillAligner()
-                r1 = pa.align_batch(fills, eqx=True)  # compile/warm
-                t0 = time.time()
-                r2 = pa.align_batch(fills, eqx=True)
-                dt_d = time.time() - t0
-                host = _nat.align2p_batch_native(fills, eqx=True)
-                n_match = sum(
-                    1 for a, b in zip(r2, host)
-                    if a.cigar == _nat.ops_to_cigar(b)
-                )
-                dev_fill = {
-                    "jobs": len(fills),
-                    "jobs_per_s": round(len(fills) / dt_d, 0),
-                    "cigar_match_frac": round(n_match / len(fills), 4),
-                }
+                def fill_section():
+                    pa = PallasFillAligner()
+                    pa.align_batch(fills, eqx=True)  # compile/warm
+                    t0 = time.time()
+                    r2 = pa.align_batch(fills, eqx=True)
+                    dt_d = time.time() - t0
+                    host = _nat.align2p_batch_native(fills, eqx=True)
+                    n_match = sum(
+                        1 for a, b in zip(r2, host)
+                        if a.cigar == _nat.ops_to_cigar(b)
+                    )
+                    return {
+                        "jobs": len(fills),
+                        "jobs_per_s": round(len(fills) / dt_d, 0),
+                        "cigar_match_frac": round(n_match / len(fills), 4),
+                    }
+
+                dev_fill = _guarded(fill_section, 300)
     except Exception:
         dev_fill = None
 
