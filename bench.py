@@ -14,6 +14,7 @@ Prints exactly ONE JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -319,7 +320,10 @@ def main():
         out["pallas_P_agree"] = round(p_agree, 4)
     if dev_fill is not None:
         out["device_fill"] = dev_fill
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    # exit without interpreter teardown: an abandoned (timed-out) device
+    # thread wedged in a remote compile must not crash the exit path
+    os._exit(0)
 
 
 if __name__ == "__main__":
