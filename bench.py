@@ -243,7 +243,7 @@ def main():
                 jax.block_until_ready((Sp2, Pp2))
             return pbases / ((time.time() - t0) / reps) / 1e6, agree
 
-        res = _guarded(pallas_section, 240)
+        res = _guarded(pallas_section, 150)
         if res is not None:
             pallas_mbp_s, p_agree = res
         else:
@@ -295,7 +295,7 @@ def main():
                         "cigar_match_frac": round(n_match / len(fills), 4),
                     }
 
-                dev_fill = _guarded(fill_section, 300)
+                dev_fill = _guarded(fill_section, 240)
     except Exception:
         dev_fill = None
 
