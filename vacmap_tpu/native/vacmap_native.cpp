@@ -70,22 +70,23 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
       b_hi_old = std::max(b_hi_old, b_hi);
     }
     int hin = 1;  // NW boundary (and upper-bound delta when b_lo > 0)
-    for (int64_t w = b_lo; w <= b_hi; w++) {
+    // branchless inner loop; the final (HIGH-masked) block is peeled so
+    // every in-loop block uses bit 63
+    const int64_t w_last = b_hi;
+    for (int64_t w = b_lo; w <= w_last; w++) {
       uint64_t Eq = eqrow[w];
-      uint64_t Pv_w = Pv[w], Mv_w = Mv[w];
-      uint64_t Xv = Eq | Mv_w;
-      if (hin < 0) Eq |= 1ull;
-      uint64_t Xh = (((Eq & Pv_w) + Pv_w) ^ Pv_w) | Eq;
+      const uint64_t Pv_w = Pv[w], Mv_w = Mv[w];
+      const uint64_t Xv = Eq | Mv_w;
+      Eq |= (uint64_t)(hin >> 1) & 1ull;  // hin<0 -> set bit 0
+      const uint64_t Xh = (((Eq & Pv_w) + Pv_w) ^ Pv_w) | Eq;
       uint64_t Ph = Mv_w | ~(Xh | Pv_w);
       uint64_t Mh = Pv_w & Xh;
-      uint64_t high = (w == W - 1) ? HIGH : (1ull << 63);
-      int hout = 0;
-      if (Ph & high) hout = 1;
-      else if (Mh & high) hout = -1;
+      const uint64_t high = (w == W - 1) ? HIGH : (1ull << 63);
+      const int hout = (int)((Ph & high) != 0) - (int)((Mh & high) != 0);
       Ph <<= 1;
       Mh <<= 1;
-      if (hin < 0) Mh |= 1ull;
-      else if (hin > 0) Ph |= 1ull;
+      Mh |= (uint64_t)(hin >> 1) & 1ull;
+      Ph |= (uint64_t)(hin == 1);
       Pv[w] = Mh | ~(Xv | Ph);
       Mv[w] = Ph & Xv;
       hin = hout;
