@@ -143,7 +143,7 @@ def test_local_rechain_matches_reference(ref, seed, variant):
     assert [tuple(p) for p in path] == [tuple(p) for p in path_ref]
 
 
-@pytest.mark.parametrize("seed", [30, 31, 32, 33, 34, 35])
+@pytest.mark.parametrize("seed", [30, 31, 32, 33, 34, 35, 36, 37])
 def test_hit2work_driver_matches_reference(ref, seed):
     """Full chaining driver vs the reference's hit2work_1
     (mammap_clrnano.py:23491-23734): multi-path backtrack, primary
@@ -280,9 +280,10 @@ def test_extend_func_matches_reference(ref, seed):
         assert ours[8] == t[8], f"CIGAR ours={ours[8][:80]} ref={t[8][:80]}"
 
 
-@pytest.mark.parametrize("seed,mdcs", [(50, True), (51, False), (52, True),
-                                       (53, False)])
-def test_sam_emission_matches_reference(ref, seed, mdcs):
+@pytest.mark.parametrize("seed,mdcs,shortcs", [
+    (50, True, True), (51, False, True), (52, True, False),
+    (53, False, True)])
+def test_sam_emission_matches_reference(ref, seed, mdcs, shortcs):
     """SAM text emission vs the reference's get_bam_dict_str
     (mammap_clrnano.py:20841-21021): flags, primary ordering, NM/MD/cs,
     SA tags, and reassign_mapq, from identical record lists.  Run with
@@ -334,7 +335,7 @@ def test_sam_emission_matches_reference(ref, seed, mdcs):
         return genome[s:e]
 
     ours = records_to_sam(
-        records, read, qual, fetch, md=mdcs, cs=mdcs, short_cs=True,
+        records, read, qual, fetch, md=mdcs, cs=mdcs, short_cs=shortcs,
         cigar2cg=False, markunbalancetra=True, hardclip=False,
         fakecigar=False, rg_id=None, comment=None, collapse_eqx=False,
     )
@@ -346,7 +347,7 @@ def test_sam_emission_matches_reference(ref, seed, mdcs):
     contig2iloc = {"c1": 0}
     theirs = ref.get_bam_dict_str(
         [list(r) for r in records], read, qual, contig2iloc, contig2seq,
-        mdcs, True, False, True, {"fakecigar": False, "H": False},
+        mdcs, shortcs, False, True, {"fakecigar": False, "H": False},
     )
     assert len(ours) == len(theirs)
     assert len(ours) >= 2, "SV read should emit supplementary records"
@@ -473,7 +474,8 @@ class _FakeIndex:
 
 
 @pytest.mark.parametrize("mode,seed", [("H", 80), ("H", 81), ("L", 82),
-                                       ("S", 83), ("R", 84)])
+                                       ("S", 83), ("R", 84), ("L", 85),
+                                       ("R", 86), ("S", 87)])
 def test_whole_driver_matches_reference(ref, mode, seed):
     """THE end-to-end differential: the reference's complete per-read
     driver get_readmap_DP_test (mammap_<mode>.py) vs Mapper.map_read_records
