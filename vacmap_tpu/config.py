@@ -54,6 +54,10 @@ class ModePreset:
     # mammap_asm.py:20552/:21687 have no coverage_dict, unlike the read
     # modes' mark_a blocks)
     cov_adapt: bool = True
+    # the R and asm modules carry a STALE fix_simple_inv whose
+    # refen_0 > refst_1 branch is inert (mammap_noprefercloser.py:17155,
+    # mammap_asm.py:17159); H/L/S have the full version
+    simple_inv_full: bool = True
 
 
 _PRESETS = {
@@ -106,12 +110,14 @@ _PRESETS = {
         local_maxgap=99,
         local_skipcost_cap=None,
         refund_penalty=True,
+        simple_inv_full=False,
         markunbalancetra=False,
         nodiscard=True,
     ),
     "asm": ModePreset(
         name="asm",
         cov_adapt=False,
+        simple_inv_full=False,
         global_skipcost=30.0,
         local_skipcost=30.0,
         max_divergence=1.0,  # forced for asm (mammap_asm.py:23483)

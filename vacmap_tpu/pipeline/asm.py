@@ -199,7 +199,7 @@ def refine_chain_asm(
         return []
     extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
     merge_adjacent(segs, ref)
-    fix_simple_inv(segs, read_codes, ref)
+    fix_simple_inv(segs, read_codes, ref, full=False)
     gl_batch = global_aligner or _host_global_batch
     seg_anchor_lists, seg_npairs, all_pairs = [], [], []
     for seg in segs:

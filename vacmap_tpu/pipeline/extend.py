@@ -430,9 +430,15 @@ def merge_adjacent(segs: List[List[tuple]], ref: RefView) -> None:
 # ---------------------------------------------------------------------------
 
 
-def fix_simple_inv(segs: List[List[tuple]], read_codes, ref: RefView) -> None:
+def fix_simple_inv(segs: List[List[tuple]], read_codes, ref: RefView,
+                   full: bool = True) -> None:
     """Detect +/-/+ segment triplets forming a perfectly balanced simple
-    inversion and re-anchor the middle segment's boundary."""
+    inversion and re-anchor the middle segment's boundary.
+
+    ``full=False`` reproduces the STALE revision live in the R and asm
+    modules (mammap_noprefercloser.py:17155, mammap_asm.py:17159): the
+    ``refen_0 > refst_1`` branch computes its probe and does nothing, so
+    only the ``refen_0 < refst_1`` case acts."""
     if len(segs) <= 2:
         return
     iloc = 0
@@ -454,6 +460,9 @@ def fix_simple_inv(segs: List[List[tuple]], read_codes, ref: RefView) -> None:
             ):
                 if refst_1 - refen_0 != 0 and refst_1 - refen_0 + refst_2 - refen_1 == 0:
                     if refen_0 > refst_1:
+                        if not full:
+                            iloc += 1
+                            continue
                         tempref = revcomp_codes(
                             ref.fetch(bias0 + refen_1, bias0 + refen_1 + refen_0 - refst_1)
                         )
@@ -684,6 +693,7 @@ def refine_chain(
     eqx: bool,
     extension_aligner: Optional[Callable] = None,
     global_aligner: Optional[Callable] = None,
+    simple_inv_full: bool = True,
 ) -> Tuple[List[List[tuple]], List[list], bool]:
     """Chain path (ascending read order) -> SAM-ready records.
 
@@ -712,7 +722,7 @@ def refine_chain(
         extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
 
     merge_adjacent(segs, ref)
-    fix_simple_inv(segs, read_codes, ref)
+    fix_simple_inv(segs, read_codes, ref, full=simple_inv_full)
 
     # collect every inter-anchor gap of every segment and align them as
     # ONE batch (the device aligner buckets by length internally)

@@ -161,6 +161,7 @@ class Mapper:
                 eqx=eqx_internal,
                 extension_aligner=self.extension_aligner,
                 global_aligner=self.global_aligner,
+                simple_inv_full=p.simple_inv_full,
             )
         if not records:
             return [], False
@@ -186,6 +187,7 @@ class Mapper:
                 eqx=eqx_internal,
                 extension_aligner=self.extension_aligner,
                 global_aligner=self.global_aligner,
+                simple_inv_full=p.simple_inv_full,
             )
         return records, redo
 
