@@ -669,3 +669,90 @@ def test_asm_streaming_driver_matches_reference(ref, tmp_path):
         mo, _ = merge_cigar(ours[8])
         mt, _ = merge_cigar(t[8])
         assert mo == mt
+
+
+@pytest.mark.parametrize("seed", [95, 96, 97])
+def test_r_mode_local_driver_matches_reference(ref, seed):
+    """R-mode local re-chain driver vs the REAL mammap_noprefercloser
+    guide_list (live def): per-guide +-2kb/+-500 harvest with no
+    merge/drop/cap, readpos sort, and the scar DP (flat penalty + refund
+    ledger) — identical (score, path)."""
+    from tests.refshim import _TypedDict, _TypedList, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.chaining import chain_read
+    from vacmap_tpu.pipeline.local import local_rechain
+    from vacmap_tpu.seq import encode, revcomp, revcomp_codes
+
+    mod = load_reference("noprefercloser")
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 80_000)])
+    st = int(rng.integers(2_000, 40_000))
+    frag = genome[st : st + 12_000]
+    frag = frag[:4_000] + revcomp(frag[4_000:7_000]) + frag[7_000:]
+    # a translocated tail exercises distant-jump refunds
+    st2 = int(rng.integers(45_000, 60_000))
+    frag = frag + genome[st2 : st2 + 2_000]
+    read = _mut_str(rng, frag)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    cfg = AlignerConfig(mode="R", eqx=True)
+    p = cfg.preset
+    anchors = idx.seeds(read, check_num=100)
+    gc = chain_read(anchors, len(read), kmersize=15,
+                    skipcost=p.global_skipcost, maxdiff=cfg.global_maxdiff,
+                    maxgap=1000, accept_score=p.accept_score, refund=True)
+    assert gc is not None
+    codes = encode(read)
+    rc_codes = revcomp_codes(codes)
+    fwd, rev = (rc_codes, codes) if gc.need_reverse else (codes, rc_codes)
+    testseq = revcomp(read) if gc.need_reverse else read
+    skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
+
+    score, path = local_rechain(
+        gc.paths, fwd, rev, idx.seq_codes, idx.contig_starts,
+        idx.contig_lens, kmersize=9, skipcost=skip_l, maxdiff=maxdiff_l,
+        maxgap=maxgap_l, guide_cap=p.guide_chain_cap, scar=True,
+    )
+
+    c2s = _TypedDict(); c2s["c1"] = 0
+    c2q = _TypedDict(); c2q["c1"] = genome.upper()
+    new_path_list = _TypedList([np.array(pp) for pp in gc.paths])
+    score_ref, path_ref = mod.get_localmap_multi_all_forDP_inv_guide_list(
+        new_path_list, testseq, revcomp(testseq), c2s, c2q,
+        kmersize=9, skipcost=skip_l, maxdiff=maxdiff_l, maxgap=maxgap_l,
+        shift=1,
+    )
+    # harvest emission ORDER differs by design (sorted-join vs python
+    # dict scan; DESIGN.md deviation), so score-equal tie paths can
+    # differ; the driver-level guarantee is equal top score
+    assert abs(score - score_ref) < 1e-6, (score, score_ref)
+
+    # on IDENTICAL anchor input the scar DP + backtrack must match the
+    # reference exactly (same tie-breaks, same overlap trimming)
+    from vacmap_tpu.ops.chain_ref import chain_local
+    from vacmap_tpu.ops.harvest import harvest_anchors
+
+    parts = [
+        harvest_anchors(
+            np.asarray(g, np.int64), fwd, rev, idx.seq_codes,
+            idx.contig_starts, idx.contig_lens, kmersize=9,
+            ref_margin=2000, read_margin=500,
+        )
+        for g in gc.paths
+    ]
+    A = np.concatenate(parts, axis=0)
+    A = A[np.argsort(A[:, 0])]
+    s_ours, p_ours = chain_local(
+        A, kmersize=9, skipcost=skip_l, maxdiff=maxdiff_l,
+        maxgap=maxgap_l, variant="scar",
+    )
+    s_ref2, p_ref2 = (
+        mod.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_scar(
+            A, kmersize=9, skipcost=skip_l, maxdiff=maxdiff_l,
+            maxgap=maxgap_l,
+        )
+    )
+    assert abs(s_ours - s_ref2) < 1e-6
+    assert [tuple(x) for x in p_ours] == [tuple(x) for x in p_ref2]

@@ -58,6 +58,10 @@ class ModePreset:
     # refen_0 > refst_1 branch is inert (mammap_noprefercloser.py:17155,
     # mammap_asm.py:17159); H/L/S have the full version
     simple_inv_full: bool = True
+    # R mode's live local re-chain driver skips merge/drop/cap, harvests
+    # with +-2kb/+-500 margins and runs the "scar" DP
+    # (mammap_noprefercloser.py live guide_list/guide_1/fine_list_scar)
+    local_scar: bool = False
 
 
 _PRESETS = {
@@ -111,6 +115,7 @@ _PRESETS = {
         local_skipcost_cap=None,
         refund_penalty=True,
         simple_inv_full=False,
+        local_scar=True,
         markunbalancetra=False,
         nodiscard=True,
     ),

@@ -513,18 +513,26 @@ extern "C" int chain_dp_native_warm(
   // mammap_asm.py:20552/:21687)
   const bool use_cov = (variant == 0);
   if (variant == 4) variant = 0;
-  const bool local = (variant == 2 || variant == 3);
-  const bool refund = (variant == 1);
+  // variant 5 = "scar": the R-mode local re-chain
+  // (mammap_noprefercloser.py:23419) — local barrier/overlap rules,
+  // GLOBAL-style colinear gap table, 0.1*log2(g) readgap term, flat
+  // skipcost SV moves with the refund ledger
+  const bool scar = (variant == 5);
+  const bool local = (variant == 2 || variant == 3 || scar);
+  const bool refund = (variant == 1 || scar);
 
   // colinear gap-cost table
   std::vector<double> gapcost_list(maxdiff + 1, 0.0);
   for (int g = 1; g <= maxdiff; g++) {
-    double coef = (local && g > 10) ? 2.0 : 0.5;
+    double coef = (local && !scar && g > 10) ? 2.0 : 0.5;
     gapcost_list[g] = 0.01 * kmersize * g + coef * std::log2((double)g);
   }
   // fine-variant colinear readgap cost (float32 table in the reference)
   std::vector<double> readgapcost(100, 0.0);
   for (int g = 1; g < 100; g++) readgapcost[g] = (float)(0.1 * std::log2(g + 1.0));
+  // scar-variant readgap cost (mammap_noprefercloser.py:16534-16536)
+  std::vector<double> scarcost(100, 0.0);
+  for (int g = 1; g < 100; g++) scarcost[g] = (float)(0.1 * std::log2((double)g));
   // mismatch-variant large readgap cost
   std::vector<double> lrg(maxgap + 1, 0.0);
   for (int g = 1; g <= maxgap; g++)
@@ -632,12 +640,13 @@ extern "C" int chain_dp_native_warm(
         ts = S[j] + bonus - gapcost_list[gapcost];
         if (variant == 2) ts -= readgapcost[std::min<int64_t>(readgap, 99)];
         else if (variant == 3) ts -= lrg[std::min<int64_t>(readgap, maxgap)];
-        else if (refund && fixed_pen[j] < 0 && fixed_pen[j] + bonus >= 0)
+        else if (scar) ts -= scarcost[std::min<int64_t>(readgap, 99)];
+        if (refund && fixed_pen[j] < 0 && fixed_pen[j] + bonus >= 0)
           ts += pre_pen[j];
       } else {
         const int64_t gc = std::min(gapcost, extra_size);
         if (variant == 0) ts = S[j] - skip_i[i] + bonus - (double)extra[gc];
-        else if (variant == 1) ts = S[j] + bonus - skip_i[i];
+        else if (variant == 1 || scar) ts = S[j] + bonus - skip_i[i];
         else if (variant == 2) {
           const double pen = (same ? skipcost : std::min(50.0, skipcost)) +
                              (double)extra[gc];

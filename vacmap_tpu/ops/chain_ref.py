@@ -75,6 +75,9 @@ _LOG2CACHE = 0.5 * np.log2(np.arange(100000, dtype=np.float64) + 1.0)
 # (mammap_clrnano.py:26567 readgapcost_list, float32 in the reference)
 _READGAPCOST = np.zeros(100, dtype=np.float32)
 _READGAPCOST[1:] = (0.1 * np.log2(np.arange(1, 100) + 1.0)).astype(np.float32)
+# R-mode scar table: 0.1*log2(g) (mammap_noprefercloser.py:16534-16536)
+_READGAPCOST_SCAR = np.zeros(100, dtype=np.float32)
+_READGAPCOST_SCAR[1:] = (0.1 * np.log2(np.arange(1, 100))).astype(np.float32)
 
 
 def _gapcost_table(kmersize: int, maxdiff: int, local: bool) -> np.ndarray:
@@ -214,8 +217,15 @@ def chain_dp_numpy(
     use_cov = variant != "global_nocov"
     if variant == "global_nocov":
         variant = "global"
-    local = variant in ("fine", "mismatch")
-    gapcost_list = _gapcost_table(kmersize, maxdiff, local)
+    # "scar" = the R-mode LOCAL re-chain (mammap_noprefercloser.py:23419):
+    # local barrier/overlap rules, GLOBAL-style colinear gap table, a
+    # 0.1*log2(g) readgap term, flat-skipcost SV moves with the refund
+    # ledger, no fast fallback
+    scar = variant == "scar"
+    local = variant in ("fine", "mismatch", "scar")
+    gapcost_list = _gapcost_table(
+        kmersize, maxdiff, local and not scar
+    )
     lrg = _large_readgapcost(maxgap) if variant == "mismatch" else None
 
     # adaptive repeat penalties (global variant only, mark_a blocks)
@@ -235,7 +245,7 @@ def chain_dp_numpy(
     # barrier value (same-readpos barrier, SURVEY.md Appendix A.1)
     group_start = np.searchsorted(barrier, barrier, side="left")
 
-    refund = variant == "refund"
+    refund = variant in ("refund", "scar")
     if refund:
         fixed_pen = np.zeros(n, np.float64)
         pre_pen = np.zeros(n, np.float64)
@@ -273,6 +283,13 @@ def chain_dp_numpy(
             gidx = np.minimum(gapcost, maxdiff)
             if variant in ("global", "refund"):
                 col = Sj + bonus - gapcost_list[gidx]
+            elif variant == "scar":
+                col = (
+                    Sj
+                    + bonus
+                    - gapcost_list[gidx]
+                    - _READGAPCOST_SCAR[np.minimum(readgap, 99)]
+                )
             elif variant == "fine":
                 col = (
                     Sj
@@ -286,7 +303,7 @@ def chain_dp_numpy(
             eidx = np.minimum(gapcost, _EXTRA_MAX)
             if variant == "global":
                 sv = Sj - skip_i[i] + bonus - EXTRA[eidx]
-            elif variant == "refund":
+            elif variant in ("refund", "scar"):
                 sv = Sj + bonus - skip_i[i]
             elif variant == "fine":
                 flip_pen = np.where(~same, min(50.0, skipcost), skipcost)
@@ -545,6 +562,7 @@ def chain_local(
     maxgap: int = 99,
     mismatch: bool = False,
     chain_backend=None,
+    variant: str = None,
 ) -> Tuple[float, list]:
     """Local k=9 re-chain: returns (score, path) where path is the best
     chain in DESCENDING read-position order with overlapping anchors
@@ -553,7 +571,8 @@ def chain_local(
 
     Expects anchors sorted by readpos+len (mammap_clrnano.py:28585).
     """
-    variant = "mismatch" if mismatch else "fine"
+    if variant is None:
+        variant = "mismatch" if mismatch else "fine"
     res = None
     if chain_backend is not None:
         res = chain_backend(anchors, variant, kmersize, skipcost, maxdiff, maxgap)
@@ -566,7 +585,7 @@ def chain_local(
             maxgap=maxgap,
             variant=variant,
         )
-    if res.aborted:
+    if res.aborted and variant != "scar":  # scar has no fast fallback
         res = chain_dp_fast(
             anchors,
             kmersize=kmersize,

@@ -25,7 +25,8 @@ from ..seq import kmer_codes, rc_kmer
 LOOK_SPAN = 7000  # mammap_clrnano.py:23097 (overrides the computed span)
 
 
-def _ref_windows(guide: np.ndarray, contig_starts: np.ndarray, contig_lens: np.ndarray):
+def _ref_windows(guide: np.ndarray, contig_starts: np.ndarray,
+                 contig_lens: np.ndarray, look_span: int = LOOK_SPAN):
     """Reference windows around the guide chain's ref intervals
     (mammap_clrnano.py:23098-23131): group ref-sorted guide anchors into
     runs with gaps < readgap_threshold, extend each by the look span, clip
@@ -70,8 +71,8 @@ def _ref_windows(guide: np.ndarray, contig_starts: np.ndarray, contig_lens: np.n
         ci = contig_of(a)
         cstart = int(contig_starts[ci])
         cend = cstart + int(contig_lens[ci])
-        lo = max(a - LOOK_SPAN, cstart)
-        hi = min(b + LOOK_SPAN, cend)
+        lo = max(a - look_span, cstart)
+        hi = min(b + look_span, cend)
         windows.append((lo, hi))
     return windows
 
@@ -84,8 +85,14 @@ def harvest_anchors(
     contig_starts: np.ndarray,
     contig_lens: np.ndarray,
     kmersize: int = 9,
+    ref_margin: int = LOOK_SPAN,
+    read_margin: int = LOOK_SPAN,
 ) -> np.ndarray:
     """Harvest merged k=9 anchors for one guide chain.
+
+    The H/L/S modes use +-7 kb margins for both the reference windows and
+    the read scan span (mammap_clrnano.py:23097); R mode's guide_1 uses
+    +-2 kb / +-500 (mammap_noprefercloser.py live def).
 
     guide: (m,4) anchor array (any order).  read/rc/ref codes: uint8 base
     codes; ref_codes is the whole concatenated reference.  Returns an
@@ -94,14 +101,15 @@ def harvest_anchors(
     k = kmersize
     read_len = len(read_codes)
     empty = np.zeros((0, 4), np.int64)
-    windows = _ref_windows(guide, contig_starts, contig_lens)
+    windows = _ref_windows(guide, contig_starts, contig_lens,
+                           look_span=ref_margin)
     if not windows:
         return empty
 
     # --- read scan span (guide read span +/- LOOK_SPAN) ------------------
     rp_sorted = np.sort(guide[:, 0])
-    readstart = max(0, int(rp_sorted[0]) - LOOK_SPAN)
-    readend = min(read_len - k + 1, int(rp_sorted[-1]) + LOOK_SPAN)
+    readstart = max(0, int(rp_sorted[0]) - read_margin)
+    readend = min(read_len - k + 1, int(rp_sorted[-1]) + read_margin)
     if readend <= readstart:
         return empty
 

@@ -107,12 +107,36 @@ def local_rechain(
     maxgap: int = 99,
     guide_cap: int = 5,
     chain_backend=None,
+    scar: bool = False,
 ) -> Tuple[float, list]:
     """Merge/filter guides, harvest, and run the fine-scale DP.
 
     Returns (score, path) with path in descending read-pos order.
     guide_cap = total chains harvested (0 = unlimited, S mode).
+
+    ``scar=True`` is the R-mode local driver
+    (mammap_noprefercloser.py live guide_list): no guide merging,
+    dropping or cap; per-guide harvest with +-2 kb / +-500 margins;
+    anchors sorted by readpos only; the scar DP (flat-penalty + refund
+    ledger) with no fast fallback.
     """
+    if scar:
+        parts = [
+            harvest_anchors(
+                np.asarray(g, np.int64), read_codes, rc_read_codes,
+                ref_codes, contig_starts, contig_lens, kmersize=kmersize,
+                ref_margin=2000, read_margin=500,
+            )
+            for g in paths
+        ]
+        A = np.concatenate(parts, axis=0) if parts else np.zeros((0, 4), np.int64)
+        if len(A) == 0:
+            return 0.0, []
+        A = A[np.argsort(A[:, 0])]  # reference sorts by readpos only
+        return chain_local(
+            A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap, chain_backend=None, variant="scar",
+        )
     paths = merge_guide_chains(paths)
     paths = drop_some_chains(paths)
     paths.sort(key=len, reverse=True)  # getcounts = 1/len (stable)

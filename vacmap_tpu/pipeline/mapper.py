@@ -134,6 +134,7 @@ class Mapper:
                 maxgap=maxgap_l,
                 guide_cap=p.guide_chain_cap,
                 chain_backend=self.chain_backend,
+                scar=p.local_scar,
             )
         if len(path_desc) <= 1:
             return [], False
