@@ -756,3 +756,161 @@ def test_r_mode_local_driver_matches_reference(ref, seed):
     )
     assert abs(s_ours - s_ref2) < 1e-6
     assert [tuple(x) for x in p_ours] == [tuple(x) for x in p_ref2]
+
+
+def _rcb_paths(rng, n_runs=6, contig_break=500_000):
+    """Ascending-read-order anchor paths exercising every rebuild rule:
+    colinear runs joined by junctions with readgap in [-5, 120) and refgap
+    in [-40, 120) (covering the refgap -20..0 duplication-overlap window
+    that distinguishes the clrnano and asm accept rules), strand flips,
+    and contig jumps; ends with a clean long run so the reference's
+    unguarded final pop never sees an empty list."""
+    rows = []
+    rp, y = 10, int(rng.integers(1_000, 20_000))
+    strand = 1
+    for run in range(n_runs):
+        k = int(rng.integers(2, 8))
+        for _ in range(k):
+            ln = int(rng.integers(9, 22))
+            rows.append((rp, y, strand, ln))
+            step = ln + int(rng.integers(-5, 60))
+            rp += max(step, 1)
+            y = y + max(step, 1) if strand == 1 else y - max(step, 1)
+        # junction: perturb the diagonal into the interesting window
+        rp += int(rng.integers(0, 120))
+        y += int(rng.integers(-40, 120))
+        if rng.random() < 0.3:
+            strand = -strand
+            y = int(rng.integers(1_000, 20_000))
+        if rng.random() < 0.2:
+            y = contig_break + int(rng.integers(1_000, 20_000))
+    strand = 1
+    y = int(rng.integers(1_000, 20_000))
+    for _ in range(8):
+        rows.append((rp, y, strand, 15))
+        rp += 40
+        y += 40
+    return rows
+
+
+@pytest.mark.parametrize("mode,seed", [("clrnano", 90), ("clrnano", 91),
+                                       ("asm", 92), ("asm", 93),
+                                       ("asm", 94), ("clrnano", 95)])
+def test_rebuild_chain_break_matches_reference(ref, mode, seed):
+    """Segment splitting vs the reference's rebuild_chain_break on both
+    rule sets: clrnano tolerates refgap >= -20 with a readgap<=20 anchor
+    skip (mammap_clrnano.py live def); asm is a plain refgap >= 0 accept
+    (mammap_asm.py live def).  Exact segment-by-segment equality."""
+    from tests.refshim import _TypedDict, _TypedList, load_reference
+    from vacmap_tpu.pipeline.extend import RefView, rebuild_chain_break
+
+    mod = load_reference(mode)
+    rng = np.random.default_rng(seed)
+    path = _rcb_paths(rng)
+
+    contig2start = _TypedDict()
+    contig2start["c1"] = 0
+    contig2start["c2"] = 500_000
+    kwargs = dict(large_cost=50, small_alignment=30)
+    theirs = mod.rebuild_chain_break(
+        contig2start, _TypedList([tuple(p) for p in path]), 50, 30
+    )
+    rv = RefView(
+        np.zeros(1, np.uint8), np.array([0, 500_000], np.int64),
+        np.array([500_000, 500_000], np.int64), ["c1", "c2"],
+    )
+    ours = rebuild_chain_break(
+        path, rv, allow_dup_overlap=(mode != "asm"), **kwargs
+    )
+    t_segs = [[tuple(int(v) for v in a) for a in seg] for seg in theirs]
+    o_segs = [[tuple(int(v) for v in a) for a in seg] for seg in ours]
+    assert o_segs == t_segs
+
+    # the python fallback must agree with the native path
+    from vacmap_tpu import native
+
+    if native.available():
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "available", return_value=False):
+            o2 = rebuild_chain_break(
+                path, rv, allow_dup_overlap=(mode != "asm"), **kwargs
+            )
+        assert [[tuple(int(v) for v in a) for a in s] for s in o2] == t_segs
+
+
+@pytest.mark.parametrize("mode,seed", [("noprefercloser", 96), ("asm", 97)])
+def test_keep_order_emitter_matches_reference(ref, mode, seed):
+    """The R/asm SAM emitter vs the reference's get_bam_dict_str
+    (mammap_noprefercloser.py / mammap_asm.py live defs): records keep
+    upstream order (sortbycontig = stable no-op) and a mapq-1 first
+    record is demoted when the second isn't mapq 1."""
+    from tests.refshim import _TypedDict, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.chaining import chain_read
+    from vacmap_tpu.pipeline.extend import RefView, refine_chain
+    from vacmap_tpu.pipeline.local import local_rechain
+    from vacmap_tpu.pipeline.sam import records_to_sam
+    from vacmap_tpu.seq import encode, revcomp, revcomp_codes
+
+    mod = load_reference(mode)
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 60_000)])
+    st = int(rng.integers(2_000, 30_000))
+    frag = genome[st : st + 12_000]
+    a, b = 4_000, 7_000
+    frag = frag[:a] + revcomp(frag[a:b]) + frag[b:]
+    read = _mut_str(rng, frag)
+    qual = "".join(chr(33 + int(rng.integers(10, 40))) for _ in read)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    anchors = idx.seeds(read, check_num=100)
+    gc = chain_read(anchors, len(read), kmersize=15, skipcost=40.0,
+                    maxdiff=50, maxgap=1000, accept_score=60.0)
+    assert gc is not None
+    codes = encode(read)
+    rc_codes = revcomp_codes(codes)
+    fwd, rev = (rc_codes, codes) if gc.need_reverse else (codes, rc_codes)
+    _, path_desc = local_rechain(
+        gc.paths, fwd, rev, idx.seq_codes, idx.contig_starts,
+        idx.contig_lens, kmersize=9, skipcost=30.0, maxdiff=30, maxgap=99,
+        guide_cap=5,
+    )
+    rv = RefView(idx.seq_codes, idx.contig_starts, idx.contig_lens,
+                 idx.contig_names)
+    _segs, records, _f = refine_chain(
+        path_desc[::-1], "rd", gc.mapq, fwd, rev, len(read), rv,
+        maxdiff=30, need_reverse=gc.need_reverse, max_divergence=0.3,
+        use_hardclip=False, nofilter=False, eqx=True,
+    )
+    assert len(records) >= 2, "SV read should emit >= 2 records"
+    # force the demotion rule: first record mapq 1, second not
+    records = [list(r) for r in records]
+    records[0][7] = 1
+    records[1][7] = 60
+
+    def fetch(contig, s, e):
+        return genome[s:e]
+
+    ours = records_to_sam(
+        records, read, qual, fetch, md=False, cs=False, short_cs=True,
+        cigar2cg=False, markunbalancetra=False, hardclip=False,
+        fakecigar=False, rg_id=None, comment=None, collapse_eqx=False,
+        keep_order=True, mapq_quantize=(mode == "asm"),
+    )
+    contig2seq = _TypedDict()
+    contig2seq["c1"] = genome.upper()
+    theirs = mod.get_bam_dict_str(
+        [list(r) for r in records], read, qual, {"c1": 0}, contig2seq,
+        False, True, False, False, {"fakecigar": False, "H": False},
+    )
+    assert len(ours) == len(theirs)
+    flags_ours = [int(o.split("\t")[1]) for o in ours]
+    # the demoted record must not be primary
+    assert flags_ours[0] & 2048, "mapq-1 first record must be demoted"
+    for o, t in zip(ours, theirs):
+        of, tf = o.split("\t"), t.rstrip("\n").split("\t")
+        assert of[:11] == tf[:11], f"core fields differ:\n{of[:9]}\n{tf[:9]}"
+        assert sorted(of[11:]) == sorted(tf[11:])

@@ -54,6 +54,13 @@ class ModePreset:
     # mammap_asm.py:20552/:21687 have no coverage_dict, unlike the read
     # modes' mark_a blocks)
     cov_adapt: bool = True
+    # the asm module's rebuild_chain_break uses a plain refgap >= 0 accept
+    # (no -20 duplication-overlap tolerance; mammap_asm.py live def)
+    rebuild_dup_overlap: bool = True
+    # asm's split_alignment_test forces a CIGAR window at junctions with
+    # max(readgap, refgap) >= 2000, bounding per-window DP size on contigs
+    # (mammap_asm.py live def); 0 = no forced split (read modes)
+    split_force_gap: int = 0
     # the R and asm modules carry a STALE fix_simple_inv whose
     # refen_0 > refst_1 branch is inert (mammap_noprefercloser.py:17155,
     # mammap_asm.py:17159); H/L/S have the full version
@@ -62,6 +69,15 @@ class ModePreset:
     # with +-2kb/+-500 margins and runs the "scar" DP
     # (mammap_noprefercloser.py live guide_list/guide_1/fine_list_scar)
     local_scar: bool = False
+    # R and asm SAM emitters keep the upstream record order (their sort
+    # key ``sortbycontig`` returns x[0] = readid, a stable no-op) and
+    # demote a mapq-1 first record when the second isn't mapq 1
+    # (mammap_noprefercloser.py / mammap_asm.py live get_bam_dict_str);
+    # H/L/S sort by query-span length descending, longest = primary
+    emit_keep_order: bool = False
+    # asm's emitter quantizes MAPQ (and SA mq) to 60 when nonzero else 1
+    # (mammap_asm.py live get_bam_dict_str)
+    emit_mapq_quantize: bool = False
 
 
 _PRESETS = {
@@ -116,6 +132,7 @@ _PRESETS = {
         refund_penalty=True,
         simple_inv_full=False,
         local_scar=True,
+        emit_keep_order=True,
         markunbalancetra=False,
         nodiscard=True,
     ),
@@ -123,6 +140,10 @@ _PRESETS = {
         name="asm",
         cov_adapt=False,
         simple_inv_full=False,
+        rebuild_dup_overlap=False,
+        split_force_gap=2000,
+        emit_keep_order=True,
+        emit_mapq_quantize=True,
         global_skipcost=30.0,
         local_skipcost=30.0,
         max_divergence=1.0,  # forced for asm (mammap_asm.py:23483)

@@ -263,9 +263,11 @@ def backtrack_all_native(S: np.ndarray, P: np.ndarray, g_max: int,
 
 
 def rebuild_chain_break_native(path_arr: np.ndarray, starts: np.ndarray,
-                               large_cost: int, small_alignment: int = 50):
+                               large_cost: int, small_alignment: int = 50,
+                               allow_dup_overlap: bool = True):
     """Per-anchor segment ids (-1 = dropped) and the segment count, or
-    None when the lib is unavailable."""
+    None when the lib is unavailable.  allow_dup_overlap=False is the asm
+    module's plain refgap>=0 accept rule."""
     lib = get_lib()
     if lib is None:
         return None
@@ -273,7 +275,8 @@ def rebuild_chain_break_native(path_arr: np.ndarray, starts: np.ndarray,
         lib.rebuild_chain_break_native.restype = ctypes.c_int64
         lib.rebuild_chain_break_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p,
         ]
         lib._rcb_bound = True
     A = np.ascontiguousarray(path_arr, np.int64)
@@ -281,7 +284,8 @@ def rebuild_chain_break_native(path_arr: np.ndarray, starts: np.ndarray,
     seg_id = np.empty(len(A), np.int32)
     n_segs = lib.rebuild_chain_break_native(
         A.ctypes.data, len(A), st.ctypes.data, len(st),
-        large_cost, small_alignment, seg_id.ctypes.data,
+        large_cost, small_alignment, 1 if allow_dup_overlap else 0,
+        seg_id.ctypes.data,
     )
     return seg_id, int(n_segs)
 

@@ -1288,7 +1288,12 @@ extern "C" int64_t backtrack_all_native(
 extern "C" int64_t rebuild_chain_break_native(
     const int64_t* path /* (n,4) */, int64_t n,
     const int64_t* starts, int64_t n_contigs,
-    int64_t large_cost, int64_t small_alignment, int32_t* seg_id_out) {
+    int64_t large_cost, int64_t small_alignment, int32_t allow_dup_overlap,
+    int32_t* seg_id_out) {
+  // allow_dup_overlap=1: clrnano rule (refgap >= -20 with the readgap<=20
+  // skip); 0: the asm module's plain refgap >= 0 accept (mammap_asm.py
+  // live rebuild_chain_break)
+  const int64_t refgap_floor = allow_dup_overlap ? -20 : 0;
   if (n == 0) return 0;
   auto A = [&](int64_t i, int c) { return path[i * 4 + c]; };
   auto contig_of = [&](int64_t pos) {
@@ -1322,8 +1327,8 @@ extern "C" int64_t rebuild_chain_break_native(
       const int64_t refgap = (A(pre, 2) == 1)
           ? A(i, 1) - A(pre, 1) - A(pre, 3)
           : A(pre, 1) - A(i, 1) - A(i, 3);
-      if (std::llabs(readgap - refgap) <= large_cost && refgap >= -20 &&
-          readgap < 100 && pre_cid == now_cid) {
+      if (std::llabs(readgap - refgap) <= large_cost &&
+          refgap >= refgap_floor && readgap < 100 && pre_cid == now_cid) {
         if (refgap >= 0 || readgap > 20) {
           segs.back().push_back(i);
           pre = i; pre_cid = now_cid;

@@ -87,12 +87,18 @@ def harvest_anchors(
     kmersize: int = 9,
     ref_margin: int = LOOK_SPAN,
     read_margin: int = LOOK_SPAN,
+    read_start: int | None = None,
+    read_end: int | None = None,
 ) -> np.ndarray:
     """Harvest merged k=9 anchors for one guide chain.
 
     The H/L/S modes use +-7 kb margins for both the reference windows and
     the read scan span (mammap_clrnano.py:23097); R mode's guide_1 uses
     +-2 kb / +-500 (mammap_noprefercloser.py live def).
+
+    ``read_start``/``read_end`` override the scan span with the explicit
+    batch bounds of asm's collect_second_round_anchors (mammap_asm.py
+    live def: scan positions [r_st, r_en - k), ref windows +-2 kb).
 
     guide: (m,4) anchor array (any order).  read/rc/ref codes: uint8 base
     codes; ref_codes is the whole concatenated reference.  Returns an
@@ -107,9 +113,13 @@ def harvest_anchors(
         return empty
 
     # --- read scan span (guide read span +/- LOOK_SPAN) ------------------
-    rp_sorted = np.sort(guide[:, 0])
-    readstart = max(0, int(rp_sorted[0]) - read_margin)
-    readend = min(read_len - k + 1, int(rp_sorted[-1]) + read_margin)
+    if read_start is not None:
+        readstart = max(0, int(read_start))
+        readend = int(read_end) - k
+    else:
+        rp_sorted = np.sort(guide[:, 0])
+        readstart = max(0, int(rp_sorted[0]) - read_margin)
+        readend = min(read_len - k + 1, int(rp_sorted[-1]) + read_margin)
     if readend <= readstart:
         return empty
 

@@ -194,7 +194,8 @@ def refine_chain_asm(
     """ass_extend_func (mammap_asm.py:23423-23460): like refine_chain but
     without the divergence filter and misplaced-segment drop; mapq 60,
     small_alignment 30, rebuild large_cost 50."""
-    segs = rebuild_chain_break(path_asc, ref, large_cost=50, small_alignment=30)
+    segs = rebuild_chain_break(path_asc, ref, large_cost=50, small_alignment=30,
+                               allow_dup_overlap=False)
     if not segs:
         return []
     extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
@@ -204,7 +205,7 @@ def refine_chain_asm(
     seg_anchor_lists, seg_npairs, all_pairs = [], [], []
     for seg in segs:
         kept, pairs = segment_cigar_jobs(
-            seg, read_codes, rc_read_codes, read_len, ref
+            seg, read_codes, rc_read_codes, read_len, ref, force_gap=2000
         )
         seg_anchor_lists.append(kept)
         seg_npairs.append(len(pairs))
@@ -273,33 +274,45 @@ def _map_contig_streaming(
     guide = np.asarray(path[::-1], np.int64)  # ascending
 
     def round2_batches():
-        from ..ops.harvest import LOOK_SPAN
-
-        skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
-        for st in range(0, read_len, BATCH):
-            # collect guide anchors with a LOOK_SPAN margin so sparse
-            # windows still get the neighbourhoods of nearby guides (the
-            # reference's per-guide collection, mammap_asm.py:22444-22478);
-            # harvested anchors are clipped back to the window so batches
-            # stay disjoint and barrier-sorted for the streaming DP
-            sel = (guide[:, 0] >= st - LOOK_SPAN) & (
-                guide[:, 0] < st + BATCH + LOOK_SPAN
-            )
-            g = guide[sel]
-            if len(g) < 2:
-                continue
-            anchors = harvest_anchors(
+        # asm batching (yield_second_mapinfo, mammap_asm.py live def):
+        # batches close at guide-anchor readpos boundaries once the batch
+        # spans BATCH bp AND >300 guide anchors; the harvest sees a +-20
+        # guide-anchor slice, scans read positions [st, en - k), builds
+        # ref windows with +-2 kb margins, and sorts by readpos only
+        def emit(r_st, r_en, g):
+            if len(g) < 1:
+                return None
+            A = harvest_anchors(
                 g, codes, rc_codes, idx.seq_codes,
                 idx.contig_starts, idx.contig_lens,
                 kmersize=cfg.local_kmersize,
+                ref_margin=2000, read_start=r_st, read_end=r_en,
             )
-            if len(anchors) == 0:
-                continue
-            A = np.asarray(anchors, np.int64)
-            A = A[(A[:, 0] >= st) & (A[:, 0] < st + BATCH)]
             if len(A) == 0:
-                continue
-            yield A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
+                return None
+            A = np.asarray(A, np.int64)
+            return A[np.argsort(A[:, 0])]
+
+        m = len(guide)
+        st_read, st_path = 0, 0
+        iloc = 0
+        for iloc in range(1, m):
+            if iloc == m - 1 or guide[iloc + 1][0] > guide[iloc][0]:
+                if (
+                    guide[iloc][0] + guide[iloc][3] > st_read + BATCH
+                    and iloc - st_path > 300
+                ):
+                    g = guide[max(0, st_path - 20) : min(iloc + 20, m)]
+                    A = emit(st_read, int(guide[iloc][0]), g)
+                    if A is not None:
+                        yield A
+                    st_path = iloc + 1
+                    st_read = int(guide[iloc][0])
+        if st_read < read_len:
+            g = guide[max(0, st_path - 20) : min(iloc + 20, m)]
+            A = emit(st_read, read_len, g)
+            if A is not None:
+                yield A
 
     skip_l, maxdiff_l, maxgap_l = cfg.chain_params_local()
     wd2 = os.path.join(workdir, "r2") if workdir else None

@@ -227,6 +227,8 @@ class BatchExecutor:
                 rg_id=cfg.rg_id,
                 comment=comment if cfg.copycomments else None,
                 collapse_eqx=not cfg.resolved_eqx,
+                keep_order=cfg.preset.emit_keep_order,
+                mapq_quantize=cfg.preset.emit_mapq_quantize,
             )
         except Exception:
             return []

@@ -54,11 +54,15 @@ class RefView:
 
 def rebuild_chain_break(
     path: List[tuple], ref: RefView, large_cost: int,
-    small_alignment: int = 50,
+    small_alignment: int = 50, allow_dup_overlap: bool = True,
 ) -> List[List[tuple]]:
     """Split a chained path (ascending read order) into colinear segments
     at breaks; drop one-anchor and sub-50bp segments; tolerate small
-    duplication overlaps (refgap<0 with readgap<=20 skips the anchor)."""
+    duplication overlaps (refgap<0 with readgap<=20 skips the anchor).
+
+    ``allow_dup_overlap=False`` is the asm module's rule (mammap_asm.py
+    live rebuild_chain_break): a plain ``refgap >= 0`` accept with no
+    duplication-overlap tolerance."""
     if not path:
         return []
     from .. import native
@@ -66,7 +70,7 @@ def rebuild_chain_break(
     if native.available():
         A = np.asarray(path, np.int64)
         res = native.rebuild_chain_break_native(
-            A, ref.starts, large_cost, small_alignment
+            A, ref.starts, large_cost, small_alignment, allow_dup_overlap
         )
         if res is not None:
             seg_id, n_segs = res
@@ -94,7 +98,7 @@ def rebuild_chain_break(
                 refgap = pre[1] - now[1] - now[3]
             if (
                 abs(readgap - refgap) <= large_cost
-                and refgap >= -20
+                and refgap >= (-20 if allow_dup_overlap else 0)
                 and readgap < 100
                 and pre_cid == now_cid
             ):
@@ -519,10 +523,16 @@ def segment_cigar_jobs(
     rc_read_codes,
     read_len: int,
     ref: RefView,
+    force_gap: int = 0,
 ) -> Tuple[List[tuple], List[Tuple[np.ndarray, np.ndarray]]]:
     """Walk a segment's anchor pairs, batching small gaps (anchor len < 19
     or gap < 200 skipped unless last), and emit the (target, query) pairs
     whose global alignments, concatenated, form the segment CIGAR.
+
+    ``force_gap`` > 0 is the asm rule (mammap_asm.py live
+    split_alignment_test): a junction with max(readgap, refgap) >=
+    force_gap always emits a window, bounding per-window DP size on
+    contigs regardless of anchor length.
 
     Returns (kept_anchors, pairs); pairs[i] spans kept[i] -> kept[i+1];
     kept[0] and kept[-1] are the zero-length edge anchors."""
@@ -551,10 +561,11 @@ def segment_cigar_jobs(
         else:
             readgap = now[0] - pre[0] - pre[3]
             refgap = now[1] - pre[1] - pre[3]
-        if (now[3] < 19) or min(readgap, refgap) < MIN_GAP_FOR_CIGAR:
-            if i + 1 != len(walk):
-                i += 1
-                continue
+        if not (force_gap > 0 and max(readgap, refgap) >= force_gap):
+            if (now[3] < 19) or min(readgap, refgap) < MIN_GAP_FOR_CIGAR:
+                if i + 1 != len(walk):
+                    i += 1
+                    continue
         if minus:
             t, q = query_target_between(
                 now, pre, read_codes, rc_read_codes, read_len, ref
@@ -694,13 +705,16 @@ def refine_chain(
     extension_aligner: Optional[Callable] = None,
     global_aligner: Optional[Callable] = None,
     simple_inv_full: bool = True,
+    rebuild_dup_overlap: bool = True,
+    split_force_gap: int = 0,
 ) -> Tuple[List[List[tuple]], List[list], bool]:
     """Chain path (ascending read order) -> SAM-ready records.
 
     Returns (segments, records, filtered) where `filtered` reports whether
     the misplaced-segment pass removed anything (drives the paired-indel
     redo at mammap_clrnano.py:24079)."""
-    segs = rebuild_chain_break(path_asc, ref, large_cost=maxdiff)
+    segs = rebuild_chain_break(path_asc, ref, large_cost=maxdiff,
+                               allow_dup_overlap=rebuild_dup_overlap)
     if not segs:
         return [], [], False
     segs = divergence_filter(
@@ -731,7 +745,8 @@ def refine_chain(
     all_pairs = []
     for seg in segs:
         kept, pairs = segment_cigar_jobs(
-            seg, read_codes, rc_read_codes, read_len, ref
+            seg, read_codes, rc_read_codes, read_len, ref,
+            force_gap=split_force_gap,
         )
         seg_anchor_lists.append(kept)
         seg_npairs.append(len(pairs))

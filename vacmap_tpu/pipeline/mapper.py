@@ -163,6 +163,8 @@ class Mapper:
                 extension_aligner=self.extension_aligner,
                 global_aligner=self.global_aligner,
                 simple_inv_full=p.simple_inv_full,
+                rebuild_dup_overlap=p.rebuild_dup_overlap,
+                split_force_gap=p.split_force_gap,
             )
         if not records:
             return [], False
@@ -189,6 +191,8 @@ class Mapper:
                 extension_aligner=self.extension_aligner,
                 global_aligner=self.global_aligner,
                 simple_inv_full=p.simple_inv_full,
+                rebuild_dup_overlap=p.rebuild_dup_overlap,
+                split_force_gap=p.split_force_gap,
             )
         return records, redo
 
@@ -226,6 +230,8 @@ class Mapper:
                 rg_id=cfg.rg_id,
                 comment=comment if cfg.copycomments else None,
                 collapse_eqx=not cfg.resolved_eqx,
+                keep_order=cfg.preset.emit_keep_order,
+                mapq_quantize=cfg.preset.emit_mapq_quantize,
             )
         except Exception as err:
             if cfg.debug:
@@ -281,6 +287,8 @@ class Mapper:
                 rg_id=cfg.rg_id,
                 comment=comment if cfg.copycomments else None,
                 collapse_eqx=not cfg.resolved_eqx,
+                keep_order=cfg.preset.emit_keep_order,
+                mapq_quantize=cfg.preset.emit_mapq_quantize,
             )
         except Exception as err:
             log.error("contig %s SAM emission failed: %s", name, err)

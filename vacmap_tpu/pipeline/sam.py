@@ -219,6 +219,12 @@ def paired_indel(cigars: List[str], indelsize: int = 30) -> bool:
     return False
 
 
+def _emit_mq(mq: int, quantize: bool) -> int:
+    if quantize:
+        return 60 if mq != 0 else 1
+    return mq
+
+
 def sam_tag(tag: str, value) -> str:
     if isinstance(value, int):
         code = "i"
@@ -259,20 +265,38 @@ def records_to_sam(
     rg_id: Optional[str] = None,
     comment: Optional[str] = None,
     collapse_eqx: bool = False,
+    keep_order: bool = False,
+    mapq_quantize: bool = False,
 ) -> List[str]:
     """Records (readid, contig, strand, q_st, q_en, r_st, r_en, mapq,
     cigar) -> SAM text lines.  Longest query span becomes the primary
-    (flag 0/16); the rest are supplementary (2048/2064) with SA tags."""
+    (flag 0/16); the rest are supplementary (2048/2064) with SA tags.
+
+    ``keep_order=True`` is the R-mode emitter
+    (mammap_noprefercloser.py live get_bam_dict_str): records keep their
+    upstream order (the reference's ``sortbycontig`` key is x[0], the
+    readid — a stable no-op sort) and a mapq-1 first record is demoted
+    when the second record isn't mapq 1.
+
+    ``mapq_quantize=True`` is the asm emitter's MAPQ rule: emitted MAPQ
+    (and SA-tag mq) is 60 for any nonzero raw mapq, else 1
+    (mammap_asm.py live get_bam_dict_str); the demotion rule above still
+    sees the raw values."""
     if markunbalancetra:
         records = reassign_mapq(records)
     else:
         records = [list(r) for r in records]
 
     rc_query = revcomp(query)
-    # stable sort ascending then reverse (ties reversed, matching the
-    # reference's sort + [::-1] at mammap_clrnano.py:20855-20856)
-    records.sort(key=lambda r: r[4] - r[3])
-    records.reverse()
+    primary_iloc = 0
+    if keep_order:
+        if len(records) > 1 and records[0][7] == 1 and records[1][7] != 1:
+            primary_iloc = 1
+    else:
+        # stable sort ascending then reverse (ties reversed, matching the
+        # reference's sort + [::-1] at mammap_clrnano.py:20855-20856)
+        records.sort(key=lambda r: r[4] - r[3])
+        records.reverse()
 
     iloc2nm, iloc2md, iloc2cs, iloc2ncig, iloc2fake = {}, {}, {}, {}, {}
     clip = "H" if hardclip else "S"
@@ -322,7 +346,7 @@ def records_to_sam(
             d["RG"] = rg_id
         d["QNAME"] = item[0]
         d["RNAME"] = item[1]
-        base = 0 if i == 0 else 2048
+        base = 0 if i == primary_iloc else 2048
         d["FLAG"] = str(base if item[2] == "+" else base + 16)
         d["POS"] = str(item[5] + 1)
         if iloc2ncig[i] > 65535 and cigar2cg:
@@ -335,11 +359,12 @@ def records_to_sam(
                 if j == i:
                     continue
                 cig = iloc2fake[j] if fakecigar else other[8]
+                mq_j = _emit_mq(other[7], mapq_quantize)
                 sa.append(
-                    f"{other[1]},{other[5] + 1},{other[2]},{cig},{other[7]},{iloc2nm[j]};"
+                    f"{other[1]},{other[5] + 1},{other[2]},{cig},{mq_j},{iloc2nm[j]};"
                 )
             d["SA"] = "".join(sa)
-        d["MAPQ"] = str(item[7])
+        d["MAPQ"] = str(_emit_mq(item[7], mapq_quantize))
         if item[2] == "+":
             d["SEQ"] = query[item[3] : item[4]] if hardclip else query
             qsrc = qual
