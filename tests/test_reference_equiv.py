@@ -914,3 +914,100 @@ def test_keep_order_emitter_matches_reference(ref, mode, seed):
         of, tf = o.split("\t"), t.rstrip("\n").split("\t")
         assert of[:11] == tf[:11], f"core fields differ:\n{of[:9]}\n{tf[:9]}"
         assert sorted(of[11:]) == sorted(tf[11:])
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+def test_asm_small_contig_driver_matches_reference(ref, seed):
+    """The asm NON-streaming path (contigs < 500 kb) vs the reference's
+    asm get_readmap_DP_test (mammap_asm.py live def): primary-guide-only
+    local re-chain with +-2kb/+-500 margins and the plain fine DP, asm
+    rebuild/split/emit rules — identical records."""
+    from tests.refshim import _TypedDict, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.mapper import Mapper
+    from vacmap_tpu.pipeline.sam import merge_cigar
+    from vacmap_tpu.seq import revcomp
+
+    mod = load_reference("asm")
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 120_000)])
+    st = int(rng.integers(2_000, 30_000))
+    contig = genome[st : st + 60_000]
+    a, b = 20_000, 26_000
+    contig = contig[:a] + revcomp(contig[a:b]) + contig[b:]
+    contig = contig[:40_000] + contig[41_500:]  # 1.5 kb deletion
+    contig = _mut_str(rng, contig, err=0.01)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    import dataclasses
+
+    cfg = dataclasses.replace(AlignerConfig(mode="asm", eqx=True), check_num=0)
+    m = Mapper(idx, cfg)
+    records, _redo = m.map_read_records("ctg", contig)
+
+    p = cfg.preset
+    option = {
+        "golbal_skipcost": p.global_skipcost,
+        "golbal_maxdiff": cfg.global_maxdiff,
+        "local_skipcost": p.local_skipcost,
+        "local_maxdiff": cfg.local_maxdiff,
+        "maxdivergence": cfg.resolved_max_divergence,
+        "nodiscard": cfg.resolved_nodiscard,
+        "markunbalancetra": cfg.resolved_markunbalancetra,
+        "md": False, "shortcs": True, "cigar2cg": False,
+        "eqx": True, "debug": False, "c": 0, "H": False,
+        "fakecigar": False, "local_kmersize": cfg.local_kmersize,
+    }
+    contig2start = _TypedDict(); contig2start["c1"] = 0
+    contig2seq = _TypedDict(); contig2seq["c1"] = genome.upper()
+    out = mod.get_readmap_DP_test(
+        "ctg", contig.upper(), contig2start, contig2seq, _FakeIndex(idx),
+        ["c1"], option, hastra=False, eqx=True, check_num=0,
+    )
+    onemapinfolist = out[0]
+    assert len(records) == len(onemapinfolist), (
+        f"asm: {len(records)} vs ref {len(onemapinfolist)}: "
+        f"{[r[:8] for r in records]} vs {[list(t)[:8] for t in onemapinfolist]}"
+    )
+    assert len(records) >= 2, "inversion should split the contig alignment"
+    for ours, theirs in zip(records, onemapinfolist):
+        t = list(theirs)
+        assert ours[1] == t[1] and str(ours[2]) == str(t[2])
+        assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]], (
+            f"asm spans {ours[:8]} vs {t[:8]}"
+        )
+        mo, _ = merge_cigar(ours[8])
+        mt, _ = merge_cigar(t[8])
+        assert mo == mt, f"asm CIGAR ours={mo[:70]} ref={mt[:70]}"
+
+
+@pytest.mark.parametrize("seed", [110, 111, 112, 113])
+def test_asm_fine_dp_matches_reference(ref, seed):
+    """The asm local chain DP ("asm_fine") vs the REAL asm
+    ..._fine_list (mammap_asm.py live def): start barrier, flat gap
+    table, 0.1*log2 readgap cost, skipcost+extra SV cost, start-based
+    opposite-strand overlap geometry, asm right-trim backtrack."""
+    from tests.refshim import load_reference
+    from vacmap_tpu.ops.chain_ref import chain_dp, chain_dp_numpy, chain_local
+
+    mod = load_reference("asm")
+    rng = np.random.default_rng(seed)
+    A = make_anchors(rng, 220, read_span=2500, n_segments=3, kmersize=9)
+    A = A[np.argsort(A[:, 0])]
+    kw = dict(kmersize=9, skipcost=30.0, maxdiff=30, maxgap=99)
+    s_ref, p_ref = (
+        mod.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list(
+            A, **kw
+        )
+    )
+    s_ours, p_ours = chain_local(A, variant="asm_fine", **kw)
+    assert abs(s_ours - s_ref) < 1e-6
+    assert [tuple(int(v) for v in x) for x in p_ours] == [
+        tuple(int(v) for v in x) for x in p_ref
+    ]
+    # numpy oracle agrees with the native kernel on scores
+    res_np = chain_dp_numpy(A, variant="asm_fine", **kw)
+    res_nat = chain_dp(A, variant="asm_fine", **kw)
+    assert np.allclose(res_np.S, res_nat.S, atol=1e-6)

@@ -69,6 +69,10 @@ class ModePreset:
     # with +-2kb/+-500 margins and runs the "scar" DP
     # (mammap_noprefercloser.py live guide_list/guide_1/fine_list_scar)
     local_scar: bool = False
+    # asm's local re-chain uses the PRIMARY guide only with +-2kb/+-500
+    # margins and the plain fine DP — no merge/drop/cap
+    # (mammap_asm.py live get_localmap_multi_all_forDP_inv_guide)
+    local_single_guide: bool = False
     # R and asm SAM emitters keep the upstream record order (their sort
     # key ``sortbycontig`` returns x[0] = readid, a stable no-op) and
     # demote a mapq-1 first record when the second isn't mapq 1
@@ -143,6 +147,7 @@ _PRESETS = {
         rebuild_dup_overlap=False,
         split_force_gap=2000,
         emit_keep_order=True,
+        local_single_guide=True,
         emit_mapq_quantize=True,
         global_skipcost=30.0,
         local_skipcost=30.0,

@@ -452,7 +452,7 @@ def _bind_chain(lib):
 
 
 _VARIANT_CODE = {"global": 0, "refund": 1, "fine": 2, "mismatch": 3,
-                 "global_nocov": 4, "scar": 5}
+                 "global_nocov": 4, "scar": 5, "asm_fine": 6}
 
 
 def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,

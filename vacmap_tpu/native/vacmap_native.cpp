@@ -518,6 +518,12 @@ extern "C" int chain_dp_native_warm(
   // GLOBAL-style colinear gap table, 0.1*log2(g) readgap term, flat
   // skipcost SV moves with the refund ledger
   const bool scar = (variant == 5);
+  // variant 6 = "asm_fine": the asm local re-chain DP (mammap_asm.py live
+  // ..._fine_list / linked_..._fine_list_all) — readpos (START) barrier,
+  // flat 0.5*log2 colinear gap table, 0.1*log2(readgap) readgap term,
+  // SV cost skipcost + extra[gapcost], start-based overlap geometry for
+  // opposite strands, no coverage adaptation, no bonus<=0 skip, no abort
+  const bool asmf = (variant == 6);
   const bool local = (variant == 2 || variant == 3 || scar);
   const bool refund = (variant == 1 || scar);
 
@@ -620,6 +626,11 @@ extern "C" int chain_dp_native_warm(
         readgap = 0;
         if (same) {
           refgap = (s_i == 1) ? (y_i + overlap - (y_j + l_j)) : (y_j - (y_i + bonus));
+        } else if (asmf) {
+          // asm start-based overlap geometry (non_overlap = r_i - r_j)
+          const int64_t nov = r_i - r_j;
+          refgap = (s_j == -1) ? (y_i + l_j - nov - y_j)
+                               : (y_i + l_i - y_j - nov);
         } else {
           refgap = (s_j == -1) ? (y_i + overlap - y_j + 1)
                                : (y_i + bonus - 1 - (y_j + l_j));
@@ -628,6 +639,8 @@ extern "C" int chain_dp_native_warm(
         bonus = l_i;
         if (same) {
           refgap = (s_i == 1) ? (y_i - y_j - l_j) : (y_j - y_i - l_i);
+        } else if (asmf) {
+          refgap = (s_j == -1) ? (y_i - y_j) : (y_i + l_i - y_j - l_j);
         } else {
           refgap = (s_j == -1) ? (y_i - y_j + 1) : (y_i + l_i - 1 - y_j - l_j);
         }
@@ -640,12 +653,12 @@ extern "C" int chain_dp_native_warm(
         ts = S[j] + bonus - gapcost_list[gapcost];
         if (variant == 2) ts -= readgapcost[std::min<int64_t>(readgap, 99)];
         else if (variant == 3) ts -= lrg[std::min<int64_t>(readgap, maxgap)];
-        else if (scar) ts -= scarcost[std::min<int64_t>(readgap, 99)];
+        else if (scar || asmf) ts -= scarcost[std::min<int64_t>(readgap, 99)];
         if (refund && fixed_pen[j] < 0 && fixed_pen[j] + bonus >= 0)
           ts += pre_pen[j];
       } else {
         const int64_t gc = std::min(gapcost, extra_size);
-        if (variant == 0) ts = S[j] - skip_i[i] + bonus - (double)extra[gc];
+        if (variant == 0 || asmf) ts = S[j] - skip_i[i] + bonus - (double)extra[gc];
         else if (variant == 1 || scar) ts = S[j] + bonus - skip_i[i];
         else if (variant == 2) {
           const double pen = (same ? skipcost : std::min(50.0, skipcost)) +
@@ -680,7 +693,8 @@ extern "C" int chain_dp_native_warm(
     }
   }
   for (int64_t i = 0; i < n; i++) { S_out[i] = S[i]; P_out[i] = P[i]; }
-  if (max_ops_per_anchor > 0 && opcount / std::max<int64_t>(n, 1) > max_ops_per_anchor)
+  if (!asmf && max_ops_per_anchor > 0 &&
+      opcount / std::max<int64_t>(n, 1) > max_ops_per_anchor)
     return 1;  // density abort signal (caller switches to fast path)
   return 0;
 }

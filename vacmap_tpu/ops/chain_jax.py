@@ -307,6 +307,10 @@ class JaxStreamChainBackend:
         n = len(linked)
         if n == 0 or n > self.max_anchors:
             return None
+        if variant in ("scar", "asm_fine"):
+            # device kernel doesn't implement the R/asm local variants;
+            # the caller falls back to the native host DP
+            return None
         anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
             [linked.astype(np.int64)], variant, skipcost, maxdiff
         )

@@ -112,11 +112,16 @@ class ChainResult:
 NO_PRED = -1
 
 
-def _pair_geometry(ai: np.ndarray, A: np.ndarray):
+def _pair_geometry(ai: np.ndarray, A: np.ndarray, asm_geo: bool = False):
     """Vectorized transition geometry of one anchor `ai` against anchor
     rows `A`: returns (readgap>=0 clipped, refgap, bonus, neg_overlap_mask,
     bonus_nonpos_mask).  Exact transcription of the case analysis at
-    mammap_clrnano.py:24946-24983 (shared by every variant)."""
+    mammap_clrnano.py:24946-24983 (shared by every variant).
+
+    ``asm_geo=True`` uses the asm fine DP's start-based opposite-strand
+    refgap formulas (mammap_asm.py live ..._fine_list: non_overlap_size
+    = r_i - r_j, no +-1 adjustments); same-strand cases are algebraically
+    identical between the two."""
     r_i, y_i, s_i, l_i = ai
     r_j, y_j, s_j, l_j = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
     raw_readgap = r_i - r_j - l_j
@@ -128,6 +133,20 @@ def _pair_geometry(ai: np.ndarray, A: np.ndarray):
 
     plus = s_i == 1
     j_minus = s_j == -1
+    if asm_geo:
+        nov = r_i - r_j
+        refgap_neg = np.where(
+            same,
+            np.where(plus, y_i + overlap - (y_j + l_j), y_j - (y_i + bonus)),
+            np.where(j_minus, y_i + l_j - nov - y_j, y_i + l_i - y_j - nov),
+        )
+        refgap_pos = np.where(
+            same,
+            np.where(plus, y_i - y_j - l_j, y_j - y_i - l_i),
+            np.where(j_minus, y_i - y_j, y_i + l_i - y_j - l_j),
+        )
+        refgap = np.where(neg, refgap_neg, refgap_pos)
+        return readgap, refgap, bonus, neg, same
     # refgap for the overlapping (neg) case
     refgap_neg = np.where(
         same,
@@ -222,6 +241,12 @@ def chain_dp_numpy(
     # 0.1*log2(g) readgap term, flat-skipcost SV moves with the refund
     # ledger, no fast fallback
     scar = variant == "scar"
+    # "asm_fine" = the asm local re-chain DP (mammap_asm.py live
+    # ..._fine_list): readpos (START) barrier, flat 0.5*log2 gap table,
+    # 0.1*log2(readgap) readgap term, SV cost skipcost + extra[gapcost],
+    # start-based opposite-strand overlap geometry, no coverage, no
+    # bonus<=0 skip, no abort / fast fallback
+    asmf = variant == "asm_fine"
     local = variant in ("fine", "mismatch", "scar")
     gapcost_list = _gapcost_table(
         kmersize, maxdiff, local and not scar
@@ -272,7 +297,9 @@ def chain_dp_numpy(
                 continue
             Aj = A[:m]
             Sj = S[:m]
-            readgap, refgap, bonus, neg, same = _pair_geometry(ai, Aj)
+            readgap, refgap, bonus, neg, same = _pair_geometry(
+                ai, Aj, asm_geo=asmf
+            )
             gapcost = np.abs(readgap - refgap)
             colinear = (
                 same
@@ -283,7 +310,7 @@ def chain_dp_numpy(
             gidx = np.minimum(gapcost, maxdiff)
             if variant in ("global", "refund"):
                 col = Sj + bonus - gapcost_list[gidx]
-            elif variant == "scar":
+            elif variant in ("scar", "asm_fine"):
                 col = (
                     Sj
                     + bonus
@@ -301,7 +328,7 @@ def chain_dp_numpy(
                 col = Sj + bonus - gapcost_list[gidx] - lrg[np.minimum(readgap, maxgap)]
 
             eidx = np.minimum(gapcost, _EXTRA_MAX)
-            if variant == "global":
+            if variant in ("global", "asm_fine"):
                 sv = Sj - skip_i[i] + bonus - EXTRA[eidx]
             elif variant in ("refund", "scar"):
                 sv = Sj + bonus - skip_i[i]
@@ -585,7 +612,7 @@ def chain_local(
             maxgap=maxgap,
             variant=variant,
         )
-    if res.aborted and variant != "scar":  # scar has no fast fallback
+    if res.aborted and variant not in ("scar", "asm_fine"):  # no fast fallback
         res = chain_dp_fast(
             anchors,
             kmersize=kmersize,
@@ -602,6 +629,23 @@ def chain_local(
     take = res.g_max_index
     path.append(tuple(A_list[take]))
     pre = A_list[take]
+    if variant == "asm_fine":
+        # asm trim convention: an overlapped PREDECESSOR loses its right
+        # edge (len = pre_readpos - now_readpos; minus strand shifts ref)
+        # — mammap_asm.py live ..._fine_list backtrack.  clrnano instead
+        # trims the successor's left edge (below).
+        while P_list[take] != NO_PRED:
+            take = P_list[take]
+            now = A_list[take]
+            if pre[0] >= now[0] + now[3]:
+                path.append(tuple(now))
+            elif now[2] == 1:
+                path.append((now[0], now[1], now[2], pre[0] - now[0]))
+            else:
+                path.append((now[0], now[1] + now[3] - pre[0] + now[0],
+                             now[2], pre[0] - now[0]))
+            pre = now
+        return float(res.S[res.g_max_index]), path
     while P_list[take] != NO_PRED:
         take = P_list[take]
         now = A_list[take]

@@ -132,7 +132,10 @@ def stream_chain(
             lowest = gmax - skipcost - 36 - 20
             order = np.argsort(S, kind="stable")
             k = int(np.searchsorted(S[order], lowest, side="right"))
-            keep = order[max(k, 0) :]
+            # the reference slices from the FIRST not-above-threshold entry
+            # (its while loop stops there and the slice includes it,
+            # mammap_asm.py:23341-23351)
+            keep = order[max(k - 1, 0) :]
             if len(keep) == 0:
                 keep = order[-1:]
             cut = float(S[keep[0]])
@@ -318,7 +321,7 @@ def _map_contig_streaming(
     wd2 = os.path.join(workdir, "r2") if workdir else None
     path2 = stream_chain(
         round2_batches(), cfg.local_kmersize, skip_l, maxdiff_l, maxgap_l,
-        "fine", wd2,
+        "asm_fine", wd2,
     )
     if len(path2) <= 1:
         return []

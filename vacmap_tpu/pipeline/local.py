@@ -108,6 +108,7 @@ def local_rechain(
     guide_cap: int = 5,
     chain_backend=None,
     scar: bool = False,
+    asm_single: bool = False,
 ) -> Tuple[float, list]:
     """Merge/filter guides, harvest, and run the fine-scale DP.
 
@@ -119,7 +120,26 @@ def local_rechain(
     dropping or cap; per-guide harvest with +-2 kb / +-500 margins;
     anchors sorted by readpos only; the scar DP (flat-penalty + refund
     ledger) with no fast fallback.
+
+    ``asm_single=True`` is the asm local driver
+    (mammap_asm.py live get_localmap_multi_all_forDP_inv_guide, called
+    from its get_readmap_DP_test with the PRIMARY path only): one guide,
+    +-2 kb / +-500 margins, anchors sorted by readpos only, the plain
+    fine DP — no guide merging, dropping, cap, or mismatch variant.
     """
+    if asm_single:
+        A = harvest_anchors(
+            np.asarray(paths[0], np.int64), read_codes, rc_read_codes,
+            ref_codes, contig_starts, contig_lens, kmersize=kmersize,
+            ref_margin=2000, read_margin=500,
+        )
+        if len(A) == 0:
+            return 0.0, []
+        A = A[np.argsort(A[:, 0])]
+        return chain_local(
+            A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap, chain_backend=None, variant="asm_fine",
+        )
     if scar:
         parts = [
             harvest_anchors(

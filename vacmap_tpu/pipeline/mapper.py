@@ -135,6 +135,7 @@ class Mapper:
                 guide_cap=p.guide_chain_cap,
                 chain_backend=self.chain_backend,
                 scar=p.local_scar,
+                asm_single=p.local_single_guide,
             )
         if len(path_desc) <= 1:
             return [], False
