@@ -57,6 +57,10 @@ class ModePreset:
     # the asm module's rebuild_chain_break uses a plain refgap >= 0 accept
     # (no -20 duplication-overlap tolerance; mammap_asm.py live def)
     rebuild_dup_overlap: bool = True
+    # minimum segment span kept by rebuild_chain_break in extend_func:
+    # 50 in the read modes, 40 in asm's live extend_func (its streaming
+    # ass_extend_func uses 30, passed explicitly there)
+    rebuild_small_alignment: int = 50
     # asm's split_alignment_test forces a CIGAR window at junctions with
     # max(readgap, refgap) >= 2000, bounding per-window DP size on contigs
     # (mammap_asm.py live def); 0 = no forced split (read modes)
@@ -145,6 +149,7 @@ _PRESETS = {
         cov_adapt=False,
         simple_inv_full=False,
         rebuild_dup_overlap=False,
+        rebuild_small_alignment=40,
         split_force_gap=2000,
         emit_keep_order=True,
         local_single_guide=True,

@@ -707,6 +707,7 @@ def refine_chain(
     simple_inv_full: bool = True,
     rebuild_dup_overlap: bool = True,
     split_force_gap: int = 0,
+    rebuild_small_alignment: int = 50,
 ) -> Tuple[List[List[tuple]], List[list], bool]:
     """Chain path (ascending read order) -> SAM-ready records.
 
@@ -714,6 +715,7 @@ def refine_chain(
     the misplaced-segment pass removed anything (drives the paired-indel
     redo at mammap_clrnano.py:24079)."""
     segs = rebuild_chain_break(path_asc, ref, large_cost=maxdiff,
+                               small_alignment=rebuild_small_alignment,
                                allow_dup_overlap=rebuild_dup_overlap)
     if not segs:
         return [], [], False

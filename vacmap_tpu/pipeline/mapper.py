@@ -165,6 +165,7 @@ class Mapper:
                 global_aligner=self.global_aligner,
                 simple_inv_full=p.simple_inv_full,
                 rebuild_dup_overlap=p.rebuild_dup_overlap,
+                rebuild_small_alignment=p.rebuild_small_alignment,
                 split_force_gap=p.split_force_gap,
             )
         if not records:
@@ -193,6 +194,7 @@ class Mapper:
                 global_aligner=self.global_aligner,
                 simple_inv_full=p.simple_inv_full,
                 rebuild_dup_overlap=p.rebuild_dup_overlap,
+                rebuild_small_alignment=p.rebuild_small_alignment,
                 split_force_gap=p.split_force_gap,
             )
         return records, redo
