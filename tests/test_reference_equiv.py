@@ -1011,3 +1011,93 @@ def test_asm_fine_dp_matches_reference(ref, seed):
     res_np = chain_dp_numpy(A, variant="asm_fine", **kw)
     res_nat = chain_dp(A, variant="asm_fine", **kw)
     assert np.allclose(res_np.S, res_nat.S, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [120, 121, 122])
+def test_mapq0_tie_break_matches_reference(ref, seed):
+    """decode_hit's mapq-0 primary re-selection: a read from one copy of
+    a near-identical segmental duplication maps ambiguously (mapq 0);
+    the reference re-picks the primary by main-block edit-distance ratio
+    (mammap_clrnano.py live decode_hit).  Whole-driver record equality on
+    such reads requires the tie-break."""
+    from tests.refshim import _TypedDict, load_reference
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.mapper import Mapper
+    from vacmap_tpu.pipeline.sam import merge_cigar
+
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    core = "".join(bases[rng.integers(0, 4, 15_000)])
+    # copy B diverges by only ~8 bases so the chain scores TIE (mapq 0)
+    # and the edit-ratio tie-break decides the primary (verified to
+    # engage for seed 120)
+    cb = list(core)
+    for pos in rng.choice(15_000, 8, replace=False):
+        cb[pos] = "ACGT"[int(rng.integers(0, 4))]
+    copy_b = "".join(cb)
+    spacer1 = "".join(bases[rng.integers(0, 4, 8_000)])
+    spacer2 = "".join(bases[rng.integers(0, 4, 8_000)])
+    genome = spacer1 + core + spacer2 + copy_b + spacer1[::-1]
+    read = _mut_str(rng, core[1_000:14_000], err=0.03)
+
+    idx = ReferenceIndex.build({"c1": genome}, k=15, w=10)
+    cfg = AlignerConfig(mode="H", eqx=True)
+    m = Mapper(idx, cfg)
+    records, _ = m.map_read_records("rd", read)
+
+    p = cfg.preset
+    option = {
+        "golbal_skipcost": p.global_skipcost,
+        "golbal_maxdiff": cfg.global_maxdiff,
+        "local_skipcost": p.local_skipcost,
+        "local_maxdiff": cfg.local_maxdiff,
+        "maxdivergence": cfg.resolved_max_divergence,
+        "nodiscard": cfg.resolved_nodiscard,
+        "markunbalancetra": cfg.resolved_markunbalancetra,
+        "md": False, "shortcs": True, "cigar2cg": False,
+        "eqx": True, "debug": False, "c": cfg.check_num, "H": False,
+        "fakecigar": False,
+    }
+    contig2start = _TypedDict(); contig2start["c1"] = 0
+    contig2seq = _TypedDict(); contig2seq["c1"] = genome.upper()
+    out = ref.get_readmap_DP_test(
+        "rd", read, contig2start, contig2seq, _FakeIndex(idx), ["c1"],
+        option, hastra=False, eqx=True, check_num=cfg.check_num,
+    )
+    onemapinfolist = out[0]
+    assert len(records) == len(onemapinfolist), (
+        f"{len(records)} vs ref {len(onemapinfolist)}"
+    )
+    assert records, "ambiguous read must still align"
+    for ours, theirs in zip(records, onemapinfolist):
+        t = list(theirs)
+        assert ours[1] == t[1] and str(ours[2]) == str(t[2])
+        assert [int(x) for x in ours[3:8]] == [int(x) for x in t[3:8]], (
+            f"spans {ours[:8]} vs {t[:8]}"
+        )
+        mo, _ = merge_cigar(ours[8])
+        mt, _ = merge_cigar(t[8])
+        assert mo == mt
+
+
+@pytest.mark.parametrize("seed", [125, 126, 127, 128])
+def test_main_alignment_span_matches_reference(ref, seed):
+    """_main_alignment_span vs the reference's return_main_alignment_size
+    (the tie-break's main-block extractor) on random SV-like paths."""
+    from tests.refshim import _TypedDict
+    from vacmap_tpu.pipeline.chaining import _main_alignment_span
+
+    rng = np.random.default_rng(seed)
+    A = make_anchors(rng, 80, read_span=3000, n_segments=4)
+    path_desc = A[np.argsort(A[:, 0])][::-1]
+    contig2start = _TypedDict(); contig2start["c1"] = 0
+    pre_r, now_r = ref.return_main_alignment_size(
+        contig2start, np.array(path_desc[::-1])
+    )
+    pre_o, now_o = _main_alignment_span(
+        [tuple(int(v) for v in x) for x in path_desc[::-1]],
+        np.array([0], np.int64),
+    )
+    assert tuple(int(v) for v in pre_r) == tuple(pre_o)
+    assert tuple(int(v) for v in now_r) == tuple(now_o)

@@ -57,6 +57,10 @@ class ModePreset:
     # the asm module's rebuild_chain_break uses a plain refgap >= 0 accept
     # (no -20 duplication-overlap tolerance; mammap_asm.py live def)
     rebuild_dup_overlap: bool = True
+    # decode_hit's mapq-0 primary re-selection by main-block edit
+    # distance is live in H/L/S/asm but COMMENTED OUT in R
+    # (mammap_noprefercloser.py decode_hit)
+    mapq0_tie_break: bool = True
     # minimum segment span kept by rebuild_chain_break in extend_func:
     # 50 in the read modes, 40 in asm's live extend_func (its streaming
     # ass_extend_func uses 30, passed explicitly there)
@@ -141,6 +145,7 @@ _PRESETS = {
         simple_inv_full=False,
         local_scar=True,
         emit_keep_order=True,
+        mapq0_tie_break=False,
         markunbalancetra=False,
         nodiscard=True,
     ),

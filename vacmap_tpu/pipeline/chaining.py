@@ -166,6 +166,69 @@ def prepare_read_anchors(anchors: np.ndarray, read_len: int):
     return need_reverse, anchors[order0]
 
 
+def _main_alignment_span(path_asc, starts) -> tuple:
+    """Longest colinear run (readgap>=0, refgap>=0, |readgap-refgap|<=30,
+    same contig) of an ascending path, as its (first, last) anchors —
+    return_main_alignment_size (mammap_clrnano.py live def)."""
+    pre = path_asc[0]
+    pack = (pre, pre)
+    size = 0
+    st_item = pre
+    cid = lambda pos: max(int(np.searchsorted(starts, pos, side="right")) - 1, 0)
+    for now in path_asc[1:]:
+        if pre[2] == now[2]:
+            readgap = now[0] - pre[0] - pre[3]
+            if readgap < 0:
+                continue
+            if pre[2] == 1:
+                refgap = now[1] - pre[1] - pre[3]
+            else:
+                refgap = pre[1] - now[1] - now[3]
+            if abs(readgap - refgap) <= 30 and refgap >= 0 and cid(pre[1]) == cid(now[1]):
+                pre = now
+                continue
+        if pre[0] - st_item[0] > size:
+            size = pre[0] - st_item[0]
+            pack = (st_item, pre)
+        pre = now
+        st_item = pre
+    if pre[0] - st_item[0] > size:
+        pack = (st_item, pre)
+    return pack
+
+
+def _mapq0_tie_break(members, member_scores, paths, read_len, need_reverse,
+                     tie_break_seqs):
+    """decode_hit's mapq-0 primary re-selection (mammap_clrnano.py live
+    def): among cluster-0 candidates within 0.999 of the best score, pick
+    the one whose main colinear block has the lowest Myers edit-distance
+    ratio (<= keeps the LAST equal candidate, like the reference)."""
+    from ..ops.edit import edit_distance
+    from .extend import query_target_between
+
+    codes, rc_codes, ref = tie_break_seqs
+    fwd, rev = (rc_codes, codes) if need_reverse else (codes, rc_codes)
+    base_score = member_scores[0]
+    best = None
+    min_diff = 10.0
+    for mi, iloc in enumerate(members):
+        if member_scores[mi] / base_score < 0.999:
+            break
+        pre, now = _main_alignment_span(paths[iloc][::-1], ref.starts)
+        if pre[2] != now[2] or pre[0] == now[0]:
+            continue
+        t, q = query_target_between(pre, now, fwd, rev, read_len, ref)
+        if min(len(t), len(q)) == 0:
+            continue
+        d = edit_distance(np.asarray(q), np.asarray(t)) / min(len(t), len(q))
+        if d <= min_diff:
+            min_diff = d
+            best = iloc
+    if best is not None and best != 0:
+        return best
+    return None
+
+
 def chain_read(
     anchors: np.ndarray,
     read_len: int,
@@ -180,6 +243,7 @@ def chain_read(
     cov_adapt: bool = True,
     chain_backend=None,
     precomputed=None,
+    tie_break_seqs=None,
 ) -> Optional[GlobalChains]:
     """Full global chaining for one read's anchors (sorted any order).
 
@@ -187,6 +251,13 @@ def chain_read(
     ``chain_backend`` optionally supplies a per-call device backend;
     ``precomputed`` is a (need_reverse, sorted_anchors, ChainResult)
     triple from the batched executor.
+
+    ``tie_break_seqs`` = (read_codes, rc_read_codes, RefView) enables the
+    mapq-0 primary re-selection (decode_hit, mammap_clrnano.py live def):
+    among same-cluster candidates within 0.999 of the best score, the one
+    whose main colinear block has the lowest edit-distance ratio becomes
+    the primary.  R mode ships with this block commented out
+    (mammap_noprefercloser.py), so R passes None.
     """
     if precomputed is not None:
         need_reverse, A, res = precomputed
@@ -237,6 +308,7 @@ def chain_read(
     # primary clustering by read-pos bins with 0.5 overlap
     primary_binsets = [_readloc_bins(paths[order[0]], bin_size)]
     primary_scores: List[List[float]] = [[scores[order[0]]]]
+    primary_members: List[int] = [int(order[0])]  # cluster-0 path indices
     for iloc in order[1:]:
         bins_b = _readloc_bins(paths[iloc], bin_size)
         max_ov, prefer = 0.0, -1
@@ -249,6 +321,8 @@ def chain_read(
             primary_scores.append([scores[iloc]])
         else:
             primary_scores[prefer].append(scores[iloc])
+            if prefer == 0:
+                primary_members.append(int(iloc))
 
     m = len(paths[order[0]])
     f1 = primary_scores[0][0]
@@ -256,9 +330,19 @@ def chain_read(
     mapq = min(int(40 * (1 - f2 / f1) * min(1.0, m / 10) * np.log(f1)), 60)
 
     secondaries = _select_secondaries(order, paths, scores, best_s_arr, read_len)
+
+    primary_path, primary_score = paths[0], scores[0]
+    if mapq == 0 and tie_break_seqs is not None:
+        chosen = _mapq0_tie_break(
+            primary_members, primary_scores[0], paths, read_len,
+            need_reverse, tie_break_seqs,
+        )
+        if chosen is not None:
+            primary_path, primary_score = paths[chosen], scores[chosen]
+
     return GlobalChains(
         mapq=mapq,
-        score=-scores[0] if need_reverse else scores[0],
-        paths=[paths[0]] + secondaries,
+        score=-primary_score if need_reverse else primary_score,
+        paths=[primary_path] + secondaries,
         need_reverse=need_reverse,
     )

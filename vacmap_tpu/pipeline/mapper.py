@@ -107,6 +107,9 @@ class Mapper:
                 cov_adapt=p.cov_adapt,
                 chain_backend=self.chain_backend,
                 precomputed=precomputed,
+                tie_break_seqs=(
+                    (codes, rc_codes, self.ref) if p.mapq0_tie_break else None
+                ),
             )
         if gc is None:
             return [], False
