@@ -80,12 +80,17 @@ def divergence_exceeds(a: np.ndarray, b: np.ndarray, max_ratio: float) -> bool:
         return edit_distance(a, b, cap=c)
 
     # adaptive cap ladder: a banded pass with cap' < cap whose result is
-    # <= cap' is value-exact, so the decision is already settled; only
-    # high-divergence pairs pay for the full-cap pass (band cost ~ cap)
-    if cap > 512:
-        half = cap // 2
-        d = dist(half)
-        if d <= half:
-            return d > cap
+    # <= cap' is value-exact, so the decision is already settled.  A
+    # cheap 256 probe settles low-divergence (HiFi-like) pairs ~3x
+    # faster; ONT-like pairs escalate to the half-cap band and only
+    # junk pairs pay the full-cap pass (measured in ops/edit micro-A/B:
+    # HiFi 3.1->1.1 ms, ONT 5.9->6.4 ms, junk +0.5 ms at 18 kb)
+    prev = 0
+    for c in (256, cap // 2):
+        if prev < c < cap:
+            d = dist(c)
+            if d <= c:
+                return d > cap
+            prev = c
     d = dist(cap)
     return d > cap
