@@ -1101,3 +1101,215 @@ def test_main_alignment_span_matches_reference(ref, seed):
     )
     assert tuple(int(v) for v in pre_r) == tuple(pre_o)
     assert tuple(int(v) for v in now_r) == tuple(now_o)
+
+
+# ---------------------------------------------------------------------------
+# mid-DP density-abort boundary (VERDICT r2 item 7): the reference bails
+# out of the exact DP the moment opcount/i > max_factor at a readpos
+# advance (mammap_clrnano.py:24914); the local DPs use opcount > 100000
+# and opcount/prereadloc > 1000 (:27380/:28333); scar has NO abort
+# (mammap_noprefercloser.py:23419).  These seeds straddle the boundary
+# (anchor density ~5/bp, tied scores so the score-band prune never breaks).
+# ---------------------------------------------------------------------------
+
+
+def make_dense_anchors(rng, n, per_pos=5, kmersize=15):
+    """Tied-score repeat-dense anchors: ~per_pos anchors per read position,
+    random ref positions, so nearly every candidate stays inside the
+    score band and opcount grows ~ i^2/2."""
+    span = max(2, n // per_pos)
+    rows = []
+    for _ in range(n):
+        rows.append((
+            int(rng.integers(1, span + 1)),
+            int(rng.integers(10_000, 2_000_000)),
+            1 if rng.random() < 0.5 else -1,
+            int(rng.integers(kmersize, kmersize + 3)),
+        ))
+    return np.array(sorted(rows), dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed,n", [(40, 1200), (41, 2600), (42, 2100)])
+def test_global_dp_abort_boundary_matches_reference(ref, seed, n):
+    """Exact-vs-fast dispatch parity on density-boundary reads: the native
+    kernel and the numpy oracle must abort exactly when the reference
+    returns -1 (and produce identical S/P when it does not)."""
+    from vacmap_tpu import native
+    from vacmap_tpu.ops.chain_ref import chain_dp_numpy
+
+    rng = np.random.default_rng(seed)
+    A = make_dense_anchors(rng, n)
+    kmersize, skipcost, maxdiff, maxgap = 15, 40.0, 50, 1000
+    g_ref, S_ref, P_ref, _sarg, _factor = (
+        ref.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_all(
+            A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    ref_aborted = g_ref == -1
+
+    got = chain_dp_numpy(A, kmersize=kmersize, skipcost=skipcost,
+                         maxdiff=maxdiff, maxgap=maxgap, variant="global")
+    assert got.aborted == ref_aborted, (
+        f"numpy abort mismatch: ref={ref_aborted} got={got.aborted}"
+    )
+    if not ref_aborted:
+        assert np.allclose(got.S, S_ref, atol=1e-6)
+        assert np.array_equal(got.P, norm_P(P_ref))
+
+    if native.available():
+        nres = native.chain_dp_native(A, kmersize, skipcost, maxdiff,
+                                      maxgap, "global")
+        assert nres is not None
+        assert bool(nres[2]) == ref_aborted, (
+            f"native abort mismatch: ref={ref_aborted} got={bool(nres[2])}"
+        )
+        if not ref_aborted:
+            assert np.allclose(nres[0], S_ref, atol=1e-6)
+            assert np.array_equal(nres[1], norm_P(P_ref))
+
+
+@pytest.mark.parametrize("seed,n", [(45, 1400), (46, 900)])
+def test_refund_dp_abort_boundary_matches_reference(seed, n):
+    """R-mode global (refund) DP has the same opcount/i mid-DP bailout
+    (mammap_noprefercloser.py live `_d_all`)."""
+    from tests.refshim import load_reference
+    from vacmap_tpu import native
+    from vacmap_tpu.ops.chain_ref import chain_dp_numpy
+
+    ref_r = load_reference("noprefercloser")
+    rng = np.random.default_rng(seed)
+    A = make_dense_anchors(rng, n)
+    kmersize, skipcost, maxdiff, maxgap = 15, 30.0, 30, 1000
+    g_ref, S_ref, P_ref, _sarg, _factor = (
+        ref_r.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_all(
+            A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    ref_aborted = g_ref == -1
+    got = chain_dp_numpy(A, kmersize=kmersize, skipcost=skipcost,
+                         maxdiff=maxdiff, maxgap=maxgap, variant="refund")
+    assert got.aborted == ref_aborted
+    if not ref_aborted:
+        assert np.allclose(got.S, S_ref, atol=1e-6)
+        assert np.array_equal(got.P, norm_P(P_ref))
+    if native.available():
+        nres = native.chain_dp_native(A, kmersize, skipcost, maxdiff,
+                                      maxgap, "refund")
+        assert nres is not None
+        assert bool(nres[2]) == ref_aborted
+        if not ref_aborted:
+            assert np.allclose(nres[0], S_ref, atol=1e-6)
+            assert np.array_equal(nres[1], norm_P(P_ref))
+
+
+@pytest.mark.parametrize("seed,n,variant", [(50, 900, "fine"),
+                                            (51, 1500, "mismatch")])
+def test_local_dp_abort_fallback_matches_reference(ref, seed, n, variant):
+    """Local fine/mismatch DPs tail-call their fast twin when opcount >
+    100000 and opcount/prereadloc > 1000 (mammap_clrnano.py:27380/:28333);
+    chain_local must make the identical dispatch decision end to end."""
+    from vacmap_tpu.ops.chain_ref import chain_local
+
+    rng = np.random.default_rng(seed)
+    A = make_dense_anchors(rng, n, per_pos=12, kmersize=9)
+    A = A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
+    kmersize, skipcost, maxdiff, maxgap = 9, 30.0, 30, 99
+    if variant == "fine":
+        fn = ref.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list
+    else:
+        fn = ref.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_mismatch
+    score_ref, path_ref = fn(A, kmersize=kmersize, skipcost=skipcost,
+                             maxdiff=maxdiff, maxgap=maxgap)
+    score, path = chain_local(
+        A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+        maxgap=maxgap, mismatch=(variant == "mismatch"),
+    )
+    assert abs(score - score_ref) < 1e-6
+    assert [tuple(p) for p in path] == [tuple(p) for p in path_ref]
+
+
+@pytest.mark.parametrize("seed", [55])
+def test_scar_dense_no_abort_matches_reference(seed):
+    """ADVICE r2 (high): the scar DP must be exempt from the density
+    abort — the reference scar DP has no opcount bailout at all
+    (mammap_noprefercloser.py:23419); an abort here silently unmaps the
+    read (chain_local has no scar fast fallback)."""
+    from tests.refshim import load_reference
+    from vacmap_tpu.ops.chain_ref import chain_local
+
+    ref_r = load_reference("noprefercloser")
+    rng = np.random.default_rng(seed)
+    A = make_dense_anchors(rng, 1600, per_pos=10, kmersize=9)
+    A = A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
+    kmersize, skipcost, maxdiff, maxgap = 9, 30.0, 30, 99
+    score_ref, path_ref = (
+        ref_r.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_scar(
+            A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    score, path = chain_local(
+        A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+        maxgap=maxgap, variant="scar",
+    )
+    assert len(path) > 0, "dense scar read must not be silently unmapped"
+    assert abs(score - score_ref) < 1e-6
+    assert [tuple(p) for p in path] == [tuple(p) for p in path_ref]
+
+
+@pytest.mark.parametrize("seed", [60, 61])
+def test_asm_linked_fast_dp_matches_reference(seed):
+    """Warm-start bucketed DP vs the REAL linked_..._d_fast_all
+    (mammap_asm.py:21872) — the asm streaming driver's fallback when the
+    exact linked DP hits the density abort (mammap_asm.py:23246-23248)."""
+    from tests.refshim import load_reference
+    from vacmap_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib required")
+    ref_asm = load_reference("asm")
+    rng = np.random.default_rng(seed)
+    A1 = make_anchors(rng, 120, read_span=1500, n_segments=2)
+    kmersize, skipcost, maxdiff, maxgap = 15, 30.0, 50, 1000
+    g1, S1, P1, S_arg1, _ = (
+        ref_asm.get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_all(
+            A1, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    g_max_scores = S1[S_arg1[-1]]
+    lowest = g_max_scores - skipcost - 36 - 20
+    sl = len(S1) - 1
+    while sl > 0 and lowest < S1[S_arg1[sl]]:
+        sl -= 1
+    pre_S = S1[S_arg1[sl:]] - S1[S_arg1[sl]] + 1000
+    pre_P = -P1[S_arg1[sl:]]
+    pre_A = A1[S_arg1[sl:]]
+    # batch 2: dense tied-score anchors (the kind that trips the exact
+    # DP's abort and lands on the fast twin)
+    A2 = make_dense_anchors(rng, 400, per_pos=6)
+    A2[:, 0] += 1600
+    linked = np.concatenate([pre_A, A2])
+    prereadloc = int(pre_A[:, 0].max())
+    g2, S2, P2, _sarg2 = (
+        ref_asm.linked_get_optimal_chain_sortbyreadpos_forSV_inv_test_merged_fine_list_d_fast_all(
+            float(pre_S[-1]), len(pre_S) - 1, pre_S.astype(np.float64),
+            pre_P.astype(np.int64), prereadloc, linked,
+            kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
+            maxgap=maxgap,
+        )
+    )
+    got = native.chain_dp_fast_native_warm(
+        linked, kmersize, skipcost, maxdiff, maxgap, "global_nocov",
+        pre_S.astype(np.float64), pre_P.astype(np.int64),
+    )
+    assert got is not None
+    S_n, P_n = got
+    assert np.allclose(S_n, S2, atol=1e-6), (
+        f"S mismatch max|d|={np.abs(S_n - S2).max()}"
+    )
+    nw = len(pre_S)
+    assert np.array_equal(P_n[:nw], pre_P)
+    assert np.array_equal(P_n[nw:], norm_P(P2[nw:]))

@@ -457,7 +457,7 @@ _VARIANT_CODE = {"global": 0, "refund": 1, "fine": 2, "mismatch": 3,
 
 def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,
                     maxdiff: int, maxgap: int, variant: str,
-                    max_ops_per_anchor: int = 0):
+                    max_ops_per_anchor: int = 1000):
     """Exact chaining DP in C++; returns (S, P, aborted) or None when the
     native lib is unavailable.  anchors must be barrier-sorted int64."""
     lib = get_lib()
@@ -483,7 +483,7 @@ def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,
 
 def chain_dp_native_warm(anchors, kmersize, skipcost, maxdiff, maxgap,
                          variant, warm_S, warm_P,
-                         max_ops_per_anchor: int = 0):
+                         max_ops_per_anchor: int = 1000):
     """Streaming (frontier-carry) chaining: the first len(warm_S) anchor
     rows are carried frontier anchors with fixed scores and pass-through
     predecessor codes.  Returns (S, P, aborted) or None."""
@@ -626,6 +626,42 @@ def chain_dp_fast_native(anchors, kmersize, skipcost, maxdiff, maxgap,
         A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
         _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1, fast_t,
         S.ctypes.data, P.ctypes.data,
+    )
+    return S, P
+
+
+def chain_dp_fast_native_warm(anchors, kmersize, skipcost, maxdiff, maxgap,
+                              variant, warm_S, warm_P, fast_t: int = 5):
+    """Streaming warm-start bucketed DP (reference linked_..._d_fast_all,
+    mammap_asm.py:21872): the asm driver's fallback when the exact linked
+    DP hits the density abort.  Returns (S, P) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_fast_warm_bound"):
+        lib.chain_dp_fast_native_warm.restype = ctypes.c_int
+        lib.chain_dp_fast_native_warm.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._chain_fast_warm_bound = True
+    from ..ops.chain_ref import EXTRA
+
+    A = np.ascontiguousarray(anchors, np.int64)
+    n = len(A)
+    S = np.zeros(n, np.float64)
+    P = np.zeros(n, np.int64)
+    wS = np.ascontiguousarray(warm_S, np.float64)
+    wP = np.ascontiguousarray(warm_P, np.int64)
+    extra = np.ascontiguousarray(EXTRA, np.float32)
+    lib.chain_dp_fast_native_warm(
+        A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
+        _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1, fast_t,
+        S.ctypes.data, P.ctypes.data,
+        len(wS), wS.ctypes.data, wP.ctypes.data,
     )
     return S, P
 

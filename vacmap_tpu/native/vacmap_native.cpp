@@ -20,6 +20,7 @@
 #include <vector>
 #include <algorithm>
 #include <utility>
+#include <cstdio>
 
 extern "C" {
 
@@ -510,8 +511,11 @@ extern "C" int chain_dp_native_warm(
   if (n == 0) return 0;
   // variant 4 = "global_nocov": asm-mode global scoring WITHOUT the
   // adaptive repeat coverage (the asm kernels use flat skipcost,
-  // mammap_asm.py:20552/:21687)
+  // mammap_asm.py:20552/:21687) and with the asm opposite-strand
+  // geometry (non_overlap_size forms, no +-1 — mammap_asm.py:20552
+  // refgap cases; same-strand forms are algebraically identical)
   const bool use_cov = (variant == 0);
+  const bool asm_geo_v = (variant == 4 || variant == 6);
   if (variant == 4) variant = 0;
   // variant 5 = "scar": the R-mode local re-chain
   // (mammap_noprefercloser.py:23419) — local barrier/overlap rules,
@@ -599,8 +603,31 @@ extern "C" int chain_dp_native_warm(
     for (int64_t i = 0; i < n_warm; i++)
       prebarrier = std::max(prebarrier, barrier[i]);
   }
+  // abort classes (mirroring the reference's mid-DP bailouts):
+  //  * global/refund DPs abort at a readpos advance when opcount/i >
+  //    max_factor (mammap_clrnano.py:24914, true division) — caller
+  //    switches to the fast bucketed DP;
+  //  * local fine/mismatch DPs abort when opcount > 100000 AND
+  //    opcount/prereadloc > max_factor (mammap_clrnano.py:27380,:28333),
+  //    and their inner loop counts the BREAKING candidate too (opcount
+  //    incremented before the `S[j] < max-w` test, a `<` not `<=` break);
+  //  * scar (mammap_noprefercloser.py:23419) and asm_fine have NO abort.
+  const bool abort_global =
+      (variant == 0 || variant == 1) && !scar && !asmf &&
+      max_ops_per_anchor > 0;
+  const bool abort_local =
+      (variant == 2 || variant == 3) && max_ops_per_anchor > 0;
+  // local fine/mismatch count candidates before the break test
+  const bool count_first = (variant == 2 || variant == 3);
   for (int64_t i = n_warm; i < n; i++) {
     if (i > 0 && prebarrier < barrier[i]) {
+      if (abort_global &&
+          (double)opcount / (double)i > (double)max_ops_per_anchor)
+        return 1;  // caller discards partial S/P and uses the fast DP
+      if (abort_local && opcount > 100000 &&
+          (double)opcount / (double)std::max<int64_t>(prebarrier, 1) >
+              (double)max_ops_per_anchor)
+        return 1;
       while (inserted < i) insert_sorted(inserted++);
       prebarrier = barrier[i];
     }
@@ -613,8 +640,18 @@ extern "C" int chain_dp_native_warm(
     for (int64_t oi = (int64_t)order.size() - 1; oi >= 0; oi--) {
       const int64_t j = order[oi];
       if (barrier[j] >= barrier[i]) continue;  // safety (shouldn't happen)
-      if (!(S[j] > max_scores - (double)l_i)) break;
-      opcount++;
+      if (count_first) {
+        opcount++;
+        if (S[j] < max_scores - (double)l_i) break;
+      } else if (scar) {
+        // scar breaks on `<` (mammap_noprefercloser.py:23510): candidates
+        // at exact equality ARE evaluated, and with the refund ledger an
+        // equality candidate can win — output-relevant, not just a prune
+        if (S[j] < max_scores - (double)l_i) break;
+      } else {
+        if (!(S[j] > max_scores - (double)l_i)) break;
+        opcount++;
+      }
       const int64_t r_j = A(j, 0), y_j = A(j, 1), s_j = A(j, 2), l_j = A(j, 3);
       int64_t readgap = r_i - r_j - l_j;
       int64_t bonus, refgap;
@@ -626,7 +663,7 @@ extern "C" int chain_dp_native_warm(
         readgap = 0;
         if (same) {
           refgap = (s_i == 1) ? (y_i + overlap - (y_j + l_j)) : (y_j - (y_i + bonus));
-        } else if (asmf) {
+        } else if (asm_geo_v) {
           // asm start-based overlap geometry (non_overlap = r_i - r_j)
           const int64_t nov = r_i - r_j;
           refgap = (s_j == -1) ? (y_i + l_j - nov - y_j)
@@ -639,7 +676,7 @@ extern "C" int chain_dp_native_warm(
         bonus = l_i;
         if (same) {
           refgap = (s_i == 1) ? (y_i - y_j - l_j) : (y_j - y_i - l_i);
-        } else if (asmf) {
+        } else if (asm_geo_v) {
           refgap = (s_j == -1) ? (y_i - y_j) : (y_i + l_i - y_j - l_j);
         } else {
           refgap = (s_j == -1) ? (y_i - y_j + 1) : (y_i + l_i - 1 - y_j - l_j);
@@ -693,9 +730,6 @@ extern "C" int chain_dp_native_warm(
     }
   }
   for (int64_t i = 0; i < n; i++) { S_out[i] = S[i]; P_out[i] = P[i]; }
-  if (!asmf && max_ops_per_anchor > 0 &&
-      opcount / std::max<int64_t>(n, 1) > max_ops_per_anchor)
-    return 1;  // density abort signal (caller switches to fast path)
   return 0;
 }
 
@@ -1042,13 +1076,17 @@ extern "C" int64_t harvest_join(
 // diagonal).  Supports all four variants incl. the refund ledger.
 // ---------------------------------------------------------------------------
 
-extern "C" int chain_dp_fast_native(
+extern "C" int chain_dp_fast_native_warm(
     const int64_t* anchors, int64_t n,
     int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
     const float* extra, int64_t extra_size, int64_t fast_t,
-    double* S_out, int64_t* P_out) {
+    double* S_out, int64_t* P_out,
+    int64_t n_warm, const double* warm_S, const int64_t* warm_P) {
   if (n == 0) return 0;
   const bool use_cov = (variant == 0);  // 4 = global w/o repeat coverage
+  // asm-mode DPs use the asm opposite-strand geometry (mammap_asm.py
+  // fast DP refgap cases; same-strand forms are identical to clrnano)
+  const bool asm_geo_v = (variant == 4);
   if (variant == 4) variant = 0;
   const bool local = (variant == 2 || variant == 3);
   const bool refund = (variant == 1);
@@ -1091,13 +1129,39 @@ extern "C" int chain_dp_fast_native(
   auto ensure = [&](int64_t sc) {
     if ((int64_t)bucket.size() <= sc) bucket.resize(sc + 1);
   };
-  S[0] = (double)A(0, 3);
-  int64_t s0 = (int64_t)S[0];
-  ensure(s0);
-  bucket[s0].push_back({target[0], 0});
-  int64_t max_score_i = s0;
-  int64_t inserted = 1;
-  int64_t prebarrier = barrier[0];
+  int64_t max_score_i, inserted, prebarrier;
+  if (n_warm > 0) {
+    // streaming warm start (reference linked_..._d_fast_all,
+    // mammap_asm.py:21872): carried frontier anchors enter the candidate
+    // buckets with their rebased scores (integer-truncated for bucketing)
+    // and pass-through predecessor codes; candidate set is complete
+    // before the first new-batch anchor because batches advance in
+    // readpos (new readpos > every frontier readpos).
+    max_score_i = INT64_MIN;
+    prebarrier = INT64_MIN;
+    for (int64_t i = 0; i < n_warm; i++) {
+      S[i] = warm_S[i];
+      P[i] = warm_P[i];
+      const int64_t si = (int64_t)warm_S[i];
+      if (si >= 0) {  // frontier scores are +1000-rebased, always positive
+        ensure(si);
+        auto& bl = bucket[si];
+        const std::pair<int64_t, int64_t> key{target[i], i};
+        bl.insert(std::upper_bound(bl.begin(), bl.end(), key), key);
+        if (si > max_score_i) max_score_i = si;
+      }
+      prebarrier = std::max(prebarrier, barrier[i]);
+    }
+    inserted = n_warm;
+  } else {
+    S[0] = (double)A(0, 3);
+    int64_t s0 = (int64_t)S[0];
+    ensure(s0);
+    bucket[s0].push_back({target[0], 0});
+    max_score_i = s0;
+    inserted = 1;
+    prebarrier = barrier[0];
+  }
   double skip_c = skipcost + (use_cov ? cov[A(0, 0)] : 0);
   int mdiff_c = std::max(maxdiff - (int)(use_cov ? cov[A(0, 0)] : 0), 10);
 
@@ -1115,13 +1179,19 @@ extern "C" int chain_dp_fast_native(
       readgap = 0;
       if (same)
         refgap = (s_i == 1) ? (y_i + overlap - (y_j + l_j)) : (y_j - (y_i + bonus));
-      else
+      else if (asm_geo_v) {
+        const int64_t nov = r_i - r_j;
+        refgap = (s_j == -1) ? (y_i + l_j - nov - y_j)
+                             : (y_i + l_i - y_j - nov);
+      } else
         refgap = (s_j == -1) ? (y_i + overlap - y_j + 1)
                              : (y_i + bonus - 1 - (y_j + l_j));
     } else {
       bonus = l_i;
       if (same)
         refgap = (s_i == 1) ? (y_i - y_j - l_j) : (y_j - y_i - l_i);
+      else if (asm_geo_v)
+        refgap = (s_j == -1) ? (y_i - y_j) : (y_i + l_i - y_j - l_j);
       else
         refgap = (s_j == -1) ? (y_i - y_j + 1) : (y_i + l_i - 1 - y_j - l_j);
     }
@@ -1150,7 +1220,7 @@ extern "C" int chain_dp_fast_native(
     return {ts, colinear, bonus};
   };
 
-  for (int64_t i = 1; i < n; i++) {
+  for (int64_t i = (n_warm > 0 ? n_warm : 1); i < n; i++) {
     if (prebarrier < barrier[i]) {
       while (inserted < i) {
         const int64_t kk = inserted;
@@ -1229,6 +1299,16 @@ extern "C" int chain_dp_fast_native(
   }
   for (int64_t i = 0; i < n; i++) { S_out[i] = S[i]; P_out[i] = P[i]; }
   return 0;
+}
+
+extern "C" int chain_dp_fast_native(
+    const int64_t* anchors, int64_t n,
+    int kmersize, double skipcost, int maxdiff, int maxgap, int variant,
+    const float* extra, int64_t extra_size, int64_t fast_t,
+    double* S_out, int64_t* P_out) {
+  return chain_dp_fast_native_warm(anchors, n, kmersize, skipcost, maxdiff,
+                                   maxgap, variant, extra, extra_size, fast_t,
+                                   S_out, P_out, 0, nullptr, nullptr);
 }
 
 // ---------------------------------------------------------------------------

@@ -80,16 +80,32 @@ def _pair_scores(ai, Aj, Sj, skip_i, maxdiff_i, params):
     same = s_j == s_i
     plus = s_i == 1
     j_minus = s_j == -1
-    refgap_neg = jnp.where(
-        same,
-        jnp.where(plus, y_i + overlap - (y_j + l_j), y_j - (y_i + bonus)),
-        jnp.where(j_minus, y_i + overlap - y_j + 1, y_i + bonus - 1 - (y_j + l_j)),
-    )
-    refgap_pos = jnp.where(
-        same,
-        jnp.where(plus, y_i - y_j - l_j, y_j - y_i - l_i),
-        jnp.where(j_minus, y_i - y_j + 1, y_i + l_i - 1 - y_j - l_j),
-    )
+    if params.get("asm_geo"):
+        # asm-mode opposite-strand geometry (mammap_asm.py:20552 refgap
+        # cases: non_overlap_size forms, no +-1); same-strand forms are
+        # algebraically identical to clrnano's
+        nov = r_i - r_j
+        refgap_neg = jnp.where(
+            same,
+            jnp.where(plus, y_i + overlap - (y_j + l_j), y_j - (y_i + bonus)),
+            jnp.where(j_minus, y_i + l_j - nov - y_j, y_i + l_i - y_j - nov),
+        )
+        refgap_pos = jnp.where(
+            same,
+            jnp.where(plus, y_i - y_j - l_j, y_j - y_i - l_i),
+            jnp.where(j_minus, y_i - y_j, y_i + l_i - y_j - l_j),
+        )
+    else:
+        refgap_neg = jnp.where(
+            same,
+            jnp.where(plus, y_i + overlap - (y_j + l_j), y_j - (y_i + bonus)),
+            jnp.where(j_minus, y_i + overlap - y_j + 1, y_i + bonus - 1 - (y_j + l_j)),
+        )
+        refgap_pos = jnp.where(
+            same,
+            jnp.where(plus, y_i - y_j - l_j, y_j - y_i - l_i),
+            jnp.where(j_minus, y_i - y_j + 1, y_i + l_i - 1 - y_j - l_j),
+        )
     refgap = jnp.where(neg, refgap_neg, refgap_pos)
     gapcost = jnp.abs(readgap - refgap)
     colinear = same & (refgap >= 0) & (readgap <= maxgap) & (gapcost <= maxdiff_i)
@@ -140,13 +156,15 @@ def chain_scores_batch(
     variant: str = "global",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact batched chaining DP; returns (S, P) of shape (B, N)."""
+    asm_geo = variant == "global_nocov"
     if variant == "global_nocov":
         variant = "global"  # penalties already flat in skip_i/maxdiff_i
     B, N, _ = anchors.shape
     local = variant in ("fine", "mismatch")
     barrier = anchors[:, :, 0] + (anchors[:, :, 3] if local else 0)
     params = dict(
-        kmersize=kmersize, maxgap=maxgap, skipcost=skipcost, variant=variant
+        kmersize=kmersize, maxgap=maxgap, skipcost=skipcost, variant=variant,
+        asm_geo=asm_geo,
     )
     refund = variant == "refund"
 
@@ -246,13 +264,15 @@ def chain_scores_batch_warm(
     — they act as candidates but are never re-scored.  Device analog of
     the reference's linked_* DPs (mammap_asm.py:21505/:21687) and of the
     native chain_dp_native_warm kernel."""
+    asm_geo = variant == "global_nocov"
     if variant == "global_nocov":
         variant = "global"  # penalties already flat in skip_i/maxdiff_i
     B, N, _ = anchors.shape
     local = variant in ("fine", "mismatch")
     barrier = anchors[:, :, 0] + (anchors[:, :, 3] if local else 0)
     params = dict(
-        kmersize=kmersize, maxgap=maxgap, skipcost=skipcost, variant=variant
+        kmersize=kmersize, maxgap=maxgap, skipcost=skipcost, variant=variant,
+        asm_geo=asm_geo,
     )
     jidx = jnp.arange(N, dtype=jnp.int32)
 
@@ -310,6 +330,10 @@ class JaxStreamChainBackend:
         if variant in ("scar", "asm_fine"):
             # device kernel doesn't implement the R/asm local variants;
             # the caller falls back to the native host DP
+            return None
+        if int(linked[:, 1].max()) >= 2**31:
+            # int32 device anchors: >2^31 bp concatenated references must
+            # use the host DP (reference: 64-bit twins, :23994)
             return None
         anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
             [linked.astype(np.int64)], variant, skipcost, maxdiff
@@ -377,6 +401,11 @@ class JaxChainBackend:
 
         if len(A) > self.max_anchors:
             return None  # fall back to host fast path
+        if len(A) and int(A[:, 1].max()) >= 2**31:
+            # device anchors are int32: concatenated references over
+            # 2^31 bp (hg38-scale) would overflow — host DP handles these
+            # (the reference switches to its _64 twins, :23994)
+            return None
         anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
             [A], variant, skipcost, maxdiff
         )

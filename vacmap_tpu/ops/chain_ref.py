@@ -232,8 +232,12 @@ def chain_dp_numpy(
         return ChainResult(-1, S, P)
 
     # "global_nocov" = asm-mode global scoring without the adaptive
-    # repeat coverage (mammap_asm.py:20552/:21687 use flat skipcost)
+    # repeat coverage (mammap_asm.py:20552/:21687 use flat skipcost) and
+    # with the asm opposite-strand geometry (non_overlap_size forms, no
+    # +-1 — mammap_asm.py:20552 refgap cases; same-strand forms are
+    # algebraically identical to clrnano's)
     use_cov = variant != "global_nocov"
+    asm_geo = variant == "global_nocov"
     if variant == "global_nocov":
         variant = "global"
     # "scar" = the R-mode LOCAL re-chain (mammap_noprefercloser.py:23419):
@@ -280,11 +284,53 @@ def chain_dp_numpy(
     g_max_index = 0
     ops = 0
 
+    # abort classes (mid-DP, checked at each barrier advance exactly like
+    # the reference):
+    #  * global/refund: opcount/i > max_factor (mammap_clrnano.py:24914,
+    #    true division) -> bail to the fast DP;
+    #  * fine/mismatch: opcount > 100000 AND opcount/prereadloc >
+    #    max_factor (mammap_clrnano.py:27380,:28333); their loops count
+    #    the breaking candidate and break on `<` (equality evaluated);
+    #  * scar / asm_fine: no abort (mammap_noprefercloser.py:23419).
+    abort_global = (
+        variant in ("global", "refund")
+        and not scar
+        and not asmf
+        and max_ops_per_anchor > 0
+    )
+    abort_local = variant in ("fine", "mismatch") and max_ops_per_anchor > 0
+    count_first = variant in ("fine", "mismatch")
+    # scar evaluates equality candidates too (`<` break) and, because of
+    # the refund ledger, an equality candidate can WIN -- and conversely
+    # refund variants can have sub-break candidates that full evaluation
+    # would wrongly see; both require masking to the reference's scan
+    # prefix (the "examined" set).
+    need_prefix = abort_global or abort_local or refund
+
     # iterate over barrier groups; inside a group everything vectorizes
     starts = np.unique(group_start)
+    prev_barrier = int(barrier[0])
     for gs in starts:
+        gs = int(gs)
         ge = int(np.searchsorted(barrier, barrier[gs], side="right"))
-        for i in range(int(gs), ge):
+        if gs > 0:
+            if abort_global and ops / gs > max_ops_per_anchor:
+                return ChainResult(-1, S, P, aborted=True)
+            if (
+                abort_local
+                and ops > 100000
+                and ops / max(prev_barrier, 1) > max_ops_per_anchor
+            ):
+                return ChainResult(-1, S, P, aborted=True)
+        prev_barrier = int(barrier[gs])
+        # candidate scan order for this group: descending (score, index) —
+        # the reference's S_arg[::-1] (insertpoint_score inserts ties after
+        # existing equals, so later indices scan first)
+        m_grp = int(group_start[gs])
+        if need_prefix and m_grp > 0:
+            order_desc = np.lexsort((np.arange(m_grp), S[:m_grp]))[::-1]
+            s_desc = S[:m_grp][order_desc]
+        for i in range(gs, ge):
             if i == 0:
                 continue
             ai = A[i]
@@ -298,7 +344,7 @@ def chain_dp_numpy(
             Aj = A[:m]
             Sj = S[:m]
             readgap, refgap, bonus, neg, same = _pair_geometry(
-                ai, Aj, asm_geo=asmf
+                ai, Aj, asm_geo=(asmf or asm_geo)
             )
             gapcost = np.abs(readgap - refgap)
             colinear = (
@@ -347,8 +393,29 @@ def chain_dp_numpy(
                 # bonus and are skipped (mammap_clrnano.py:27425)
                 test = np.where(neg & (bonus <= 0), -np.inf, test)
 
-            # candidate count estimate for the max_factor abort
-            ops += int(np.count_nonzero(Sj > (S[:m].max() if m else 0) - l_i - 1))
+            if need_prefix:
+                # emulate the reference's early-break scan: M[t] = running
+                # max (seeded with w_i) over the first t candidate scores
+                # in scan order; the scan stops at the first candidate
+                # failing the break test against the *evolving* max
+                ts_o = test[order_desc]
+                M = np.maximum.accumulate(
+                    np.concatenate(([float(l_i)], ts_o))
+                )[:-1]
+                thr = M - l_i
+                failv = (s_desc < thr) if (count_first or scar) else (s_desc <= thr)
+                kf = int(np.argmax(failv)) if failv.any() else m
+                if count_first:
+                    ops += (kf + 1) if kf < m else m
+                elif abort_global:
+                    ops += kf
+                if refund and kf < m:
+                    # candidates past the break point were never examined;
+                    # with the refund ledger they could otherwise win
+                    masked = np.full(m, -np.inf)
+                    ex = order_desc[:kf]
+                    masked[ex] = test[ex]
+                    test = masked
 
             best = test.max() if m else -np.inf
             if best > l_i:
@@ -439,6 +506,7 @@ def chain_dp_fast(
         return ChainResult(-1, S, P)
 
     use_cov = variant != "global_nocov"
+    asm_geo = variant == "global_nocov"  # asm opposite-strand geometry
     if variant == "global_nocov":
         variant = "global"
     local = variant in ("fine", "mismatch")
@@ -478,7 +546,9 @@ def chain_dp_fast(
     maxdiff_c = max(maxdiff - (cov[A[0, 0]] if variant == "global" else 0), 10)
 
     def score_pair(i: int, j: int, skip_c: float, mdiff_c: int):
-        readgap, refgap, bonus, neg, same = _pair_geometry(A[i], A[j : j + 1])
+        readgap, refgap, bonus, neg, same = _pair_geometry(
+            A[i], A[j : j + 1], asm_geo=asm_geo
+        )
         readgap, refgap, bonus, neg, same = (
             int(readgap[0]),
             int(refgap[0]),

@@ -68,25 +68,31 @@ class AggregatingAligner:
             batch = self._queue
             self._queue = []
             self._dispatching = False
-        by_eqx = {}
-        for r in batch:
-            by_eqx.setdefault(r["eqx"], []).append(r)
-        for eqx, reqs in by_eqx.items():
-            all_pairs = []
-            for r in reqs:
-                all_pairs.extend(r["pairs"])
-            try:
-                results = self._aligner.align_batch(all_pairs, eqx=eqx)
-                off = 0
+        try:
+            by_eqx = {}
+            for r in batch:
+                by_eqx.setdefault(r["eqx"], []).append(r)
+            for eqx, reqs in by_eqx.items():
+                all_pairs = []
                 for r in reqs:
-                    k = len(r["pairs"])
-                    r["result"] = results[off : off + k]
-                    off += k
-            except Exception as err:  # pragma: no cover - device failure
-                for r in reqs:
-                    r["error"] = err
-        for r in batch:
-            r["event"].set()
+                    all_pairs.extend(r["pairs"])
+                try:
+                    results = self._aligner.align_batch(all_pairs, eqx=eqx)
+                    off = 0
+                    for r in reqs:
+                        k = len(r["pairs"])
+                        r["result"] = results[off : off + k]
+                        off += k
+                except Exception as err:  # pragma: no cover - device failure
+                    for r in reqs:
+                        r["error"] = err
+        finally:
+            # even on BaseException (KeyboardInterrupt in the dispatcher)
+            # every waiter must wake, else refinement threads hang forever
+            for r in batch:
+                if r.get("result") is None and r.get("error") is None:
+                    r["error"] = RuntimeError("device dispatch interrupted")
+                r["event"].set()
 
 
 def device_fill_aligner(max_wait_ms: float = 4.0) -> Optional[AggregatingAligner]:

@@ -123,8 +123,30 @@ def stream_chain(
                     raise RuntimeError(
                         "asm streaming requires the native library"
                     )
-                S, P, _ = res
+                S, P, aborted = res
+                if aborted:
+                    # density bailout -> linked fast DP, exactly like the
+                    # reference driver (mammap_asm.py:23246-23248)
+                    fres = native.chain_dp_fast_native_warm(
+                        linked, kmersize, skipcost, maxdiff, maxgap,
+                        variant, frontier_S, frontier_P,
+                    )
+                    if fres is None:
+                        raise RuntimeError(
+                            "asm streaming requires the native library"
+                        )
+                    S, P = fres
             g = int(np.argmax(S))
+            if P[g] < 0:
+                # batch-skip guard (mammap_asm.py:23250): when the best
+                # chain's head has no in-batch predecessor (it is a carried
+                # frontier anchor or an isolated start), the batch adds
+                # nothing — keep the previous frontier and spill nothing.
+                # Divergence note: the reference still overwrites its
+                # backtrack start index here, which mis-indexes the spill
+                # if the LAST batch is skipped; we keep last_g pointing
+                # into the newest SPILLED batch instead.
+                continue
             last_g = g
             # frontier: anchors scoring within (skipcost + 36 + 20) of max
             # (mammap_asm.py:23256-23272)

@@ -203,6 +203,7 @@ def _mapq0_tie_break(members, member_scores, paths, read_len, need_reverse,
     def): among cluster-0 candidates within 0.999 of the best score, pick
     the one whose main colinear block has the lowest Myers edit-distance
     ratio (<= keeps the LAST equal candidate, like the reference)."""
+    from .. import native
     from ..ops.edit import edit_distance
     from .extend import query_target_between
 
@@ -218,9 +219,20 @@ def _mapq0_tie_break(members, member_scores, paths, read_len, need_reverse,
         if pre[2] != now[2] or pre[0] == now[0]:
             continue
         t, q = query_target_between(pre, now, fwd, rev, read_len, ref)
-        if min(len(t), len(q)) == 0:
+        mn = min(len(t), len(q))
+        if mn == 0:
             continue
-        d = edit_distance(np.asarray(q), np.asarray(t)) / min(len(t), len(q))
+        # candidates can only win with d/mn <= min_diff, so a banded pass
+        # capped there is decision-exact (d > cap -> cannot improve);
+        # native Myers bit-vector when present, capped numpy band otherwise
+        cap = min(int(min_diff * mn) + 1, len(t) + len(q))
+        qa, ta = np.asarray(q), np.asarray(t)
+        d = native.edit_distance_native(qa, ta, cap=cap)
+        if d is None:
+            d = edit_distance(qa, ta, cap=cap)
+        if d > cap:
+            continue
+        d = d / mn
         if d <= min_diff:
             min_diff = d
             best = iloc

@@ -714,17 +714,23 @@ def refine_chain(
     Returns (segments, records, filtered) where `filtered` reports whether
     the misplaced-segment pass removed anything (drives the paired-indel
     redo at mammap_clrnano.py:24079)."""
-    segs = rebuild_chain_break(path_asc, ref, large_cost=maxdiff,
-                               small_alignment=rebuild_small_alignment,
-                               allow_dup_overlap=rebuild_dup_overlap)
+    from .. import trace
+
+    with trace.span("rf.rebuild"):
+        segs = rebuild_chain_break(path_asc, ref, large_cost=maxdiff,
+                                   small_alignment=rebuild_small_alignment,
+                                   allow_dup_overlap=rebuild_dup_overlap)
     if not segs:
         return [], [], False
-    segs = divergence_filter(
-        segs, read_codes, rc_read_codes, read_len, ref, max_divergence
-    )
+    with trace.span("rf.diverg"):
+        segs = divergence_filter(
+            segs, read_codes, rc_read_codes, read_len, ref, max_divergence
+        )
     if not segs:
         return [], [], False
-    extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
+    with trace.span("rf.extend"):
+        extend_edges(segs, read_codes, read_len, ref,
+                     aligner=extension_aligner)
 
     o_len = len(segs)
     filtered = False
@@ -735,33 +741,40 @@ def refine_chain(
                 iloc += 1
     if len(segs) < o_len:
         filtered = True
-        extend_edges(segs, read_codes, read_len, ref, aligner=extension_aligner)
+        with trace.span("rf.extend"):
+            extend_edges(segs, read_codes, read_len, ref,
+                         aligner=extension_aligner)
 
-    merge_adjacent(segs, ref)
-    fix_simple_inv(segs, read_codes, ref, full=simple_inv_full)
+    with trace.span("rf.fix"):
+        merge_adjacent(segs, ref)
+        fix_simple_inv(segs, read_codes, ref, full=simple_inv_full)
 
     # collect every inter-anchor gap of every segment and align them as
     # ONE batch (the device aligner buckets by length internally)
     gl_batch = global_aligner or _host_global_batch
     seg_anchor_lists, seg_npairs = [], []
     all_pairs = []
-    for seg in segs:
-        kept, pairs = segment_cigar_jobs(
-            seg, read_codes, rc_read_codes, read_len, ref,
-            force_gap=split_force_gap,
-        )
-        seg_anchor_lists.append(kept)
-        seg_npairs.append(len(pairs))
-        all_pairs.extend(pairs)
-    all_results = gl_batch(all_pairs, eqx)
+    with trace.span("rf.jobs"):
+        for seg in segs:
+            kept, pairs = segment_cigar_jobs(
+                seg, read_codes, rc_read_codes, read_len, ref,
+                force_gap=split_force_gap,
+            )
+            seg_anchor_lists.append(kept)
+            seg_npairs.append(len(pairs))
+            all_pairs.extend(pairs)
+    with trace.span("rf.fill"):
+        trace.add("rf.fill_jobs", 0.0, len(all_pairs))
+        all_results = gl_batch(all_pairs, eqx)
     cigar_lists = []
     off = 0
     for n in seg_npairs:
         cigar_lists.append([r.cigar for r in all_results[off : off + n]])
         off += n
 
-    records = records_from_segments(
-        seg_anchor_lists, cigar_lists, readid, mapq, read_len, ref,
-        need_reverse, use_hardclip,
-    )
+    with trace.span("rf.records"):
+        records = records_from_segments(
+            seg_anchor_lists, cigar_lists, readid, mapq, read_len, ref,
+            need_reverse, use_hardclip,
+        )
     return seg_anchor_lists, records, filtered
