@@ -6,6 +6,9 @@ import os
 # pins jax_platforms, so override the config explicitly (env vars alone are
 # read too early/late to take effect here).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the CLI's auto device-fill probe from forking jax-importing service
+# processes in every CLI test; fill-service tests opt back in explicitly
+os.environ.setdefault("VACMAP_TPU_NO_FILL_SERVER", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -220,3 +220,28 @@ def test_cli_multihost_read_sharding(cli_world, tmp_path):
     assert got[0] == {"m0", "m2", "m4"}
     assert got[1] == {"m1", "m3", "m5"}
     assert (got[0] | got[1]) == names_single
+
+
+def test_cli_device_fills_fork_matches_host(cli_world, monkeypatch):
+    """The fork-worker deployment with the async fill server produces
+    byte-identical SAM to the host-only path (host-emulation aligner
+    stands in for the Pallas kernel on CPU)."""
+    d, ref, reads, genome = cli_world
+    host_out = d / "df_host.sam"
+    dev_out = d / "df_dev.sam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "2",
+                  "-o", host_out, "--force", "--device-fills", "off"])
+    assert rc == 0
+    monkeypatch.delenv("VACMAP_TPU_NO_FILL_SERVER", raising=False)
+    monkeypatch.setenv("VACMAP_TPU_FILL_HOST", "1")
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "2",
+                  "-o", dev_out, "--force", "--device-fills", "on"])
+    assert rc == 0
+
+    def body(p):
+        return sorted(
+            l for l in p.read_text().splitlines() if not l.startswith("@")
+        )
+
+    assert body(dev_out) == body(host_out)
+    assert len(body(dev_out)) == 3

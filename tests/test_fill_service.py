@@ -1,0 +1,171 @@
+"""Async pipelined device fill service (parallel/fill_service.py).
+
+The device kernel itself is exactness-tested in test_affine_pallas (on
+hardware); here the host-emulation aligner (same packed traceback stream
+contract) exercises the full service plumbing on CPU: transports,
+cross-request batching, bucket routing, overflow fallbacks, the packed
+decode, and the deferred-read pipeline built on top of it.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vacmap_tpu.ops.affine_ref import align2p
+from vacmap_tpu.parallel.fill_service import (
+    AsyncFillAligner,
+    HostEmulFillAligner,
+    pack_pairs,
+    start_fill_server,
+    unpack_pairs,
+)
+from vacmap_tpu.seq import encode
+
+
+def _rand_pair(rng, lo=3, hi=400, mut=0.1):
+    lt = int(rng.integers(lo, hi))
+    t = rng.integers(0, 4, lt).astype(np.uint8)
+    q = t.copy()
+    nmut = int(len(q) * mut)
+    if nmut:
+        pos = rng.integers(0, len(q), nmut)
+        q[pos] = (q[pos] + rng.integers(1, 4, nmut)) % 4
+    if rng.random() < 0.3 and len(q) > 10:
+        cut = int(rng.integers(1, len(q) // 2))
+        q = q[:-cut] if rng.random() < 0.5 else q[cut:]
+    return t, q
+
+
+def _expected(pairs, eqx):
+    return [
+        align2p(t, q, match=2, mismatch=-4, gap_open_1=4, gap_extend_1=2,
+                gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1, eqx=eqx)
+        for t, q in pairs
+    ]
+
+
+def test_pack_roundtrip(rng):
+    pairs = [_rand_pair(rng) for _ in range(17)]
+    lens, buf = pack_pairs(pairs)
+    out = unpack_pairs(lens, buf)
+    assert len(out) == len(pairs)
+    for (t, q), (t2, q2) in zip(pairs, out):
+        assert np.array_equal(t, t2) and np.array_equal(q, q2)
+
+
+@pytest.mark.parametrize("eqx", [False, True])
+def test_async_aligner_matches_host(rng, eqx):
+    svc = AsyncFillAligner(aligner=HostEmulFillAligner(), max_wait_ms=1.0)
+    try:
+        pairs = [_rand_pair(rng) for _ in range(40)]
+        # oversize (falls to host inside decode) + empty-side jobs
+        pairs.append((rng.integers(0, 4, 900).astype(np.uint8),
+                      rng.integers(0, 4, 880).astype(np.uint8)))
+        pairs.append((np.zeros(0, np.uint8), np.array([1, 2], np.uint8)))
+        got = svc.align_batch(pairs, eqx=eqx)
+        want = _expected(pairs, eqx)
+        assert [g.cigar for g in got] == [w.cigar for w in want]
+    finally:
+        svc.stop()
+
+
+def test_async_aligner_concurrent_requests(rng):
+    """Many threads with requests in flight: per-request routing stays
+    correct when the service mega-batches across them."""
+    svc = AsyncFillAligner(aligner=HostEmulFillAligner(), max_wait_ms=5.0)
+    errs = []
+
+    def one(seed):
+        r = np.random.default_rng(seed)
+        pairs = [_rand_pair(r) for _ in range(int(r.integers(1, 12)))]
+        got = svc.align_batch(pairs, eqx=True)
+        want = _expected(pairs, True)
+        if [g.cigar for g in got] != [w.cigar for w in want]:
+            errs.append(seed)
+
+    try:
+        threads = [threading.Thread(target=one, args=(s,)) for s in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs
+    finally:
+        svc.stop()
+
+
+def test_submit_wait_out_of_order(rng):
+    svc = AsyncFillAligner(aligner=HostEmulFillAligner(), max_wait_ms=1.0)
+    try:
+        batches = [[_rand_pair(rng) for _ in range(5)] for _ in range(6)]
+        handles = [svc.submit(b, eqx=False) for b in batches]
+        for h, b in list(zip(handles, batches))[::-1]:  # reversed waits
+            got = svc.wait(h)
+            want = _expected(b, False)
+            assert [g.cigar for g in got] == [w.cigar for w in want]
+        assert svc.wait(svc.submit([], False)) == []
+    finally:
+        svc.stop()
+
+
+def test_cross_process_server(rng, monkeypatch):
+    monkeypatch.delenv("VACMAP_TPU_NO_FILL_SERVER", raising=False)
+    monkeypatch.setenv("VACMAP_TPU_FILL_HOST", "1")
+    handle = start_fill_server(2, prewarm=False)
+    assert handle is not None
+    try:
+        c0, c1 = handle.client(0), handle.client(1)
+        p0 = [_rand_pair(rng) for _ in range(9)]
+        p1 = [_rand_pair(rng) for _ in range(7)]
+        h0 = c0.submit(p0, eqx=True)
+        h1 = c1.submit(p1, eqx=False)
+        got0 = c0.wait(h0)
+        got1 = c1.wait(h1)
+        assert [g.cigar for g in got0] == [w.cigar for w in _expected(p0, True)]
+        assert [g.cigar for g in got1] == [w.cigar for w in _expected(p1, False)]
+    finally:
+        handle.stop()
+
+
+def test_no_accelerator_returns_none(monkeypatch):
+    """On the CPU test backend (no FILL_HOST override) the server reports
+    no usable accelerator and the CLI falls back to host fills."""
+    monkeypatch.delenv("VACMAP_TPU_NO_FILL_SERVER", raising=False)
+    monkeypatch.delenv("VACMAP_TPU_FILL_HOST", raising=False)
+    assert start_fill_server(1, prewarm=False) is None
+
+
+def test_deferred_mapper_matches_sync(small_genome, rng):
+    """map_read_deferred + finish == map_read, record for record, when
+    the async fill service is the global aligner."""
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.mapper import Mapper, PendingLines
+
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    cfg = AlignerConfig(mode="H")
+    sync_mapper = Mapper(idx, cfg)
+
+    svc = AsyncFillAligner(aligner=HostEmulFillAligner(), max_wait_ms=1.0)
+    async_mapper = Mapper(idx, cfg, global_aligner=svc)
+    try:
+        genome = small_genome["c1"]
+        reads = []
+        for i in range(6):
+            st = int(rng.integers(0, len(genome) - 6000))
+            frag = genome[st : st + 5000]
+            if i % 2:
+                # deletion SV: two distant windows spliced
+                frag = frag[:2000] + genome[st + 3200 : st + 6000]
+            reads.append((f"r{i}", frag))
+        pendings = []
+        for name, seq in reads:
+            r = async_mapper.map_read_deferred(name, seq)
+            pendings.append(r)
+        for (name, seq), r in zip(reads, pendings):
+            want = sync_mapper.map_read(name, seq)
+            got = r.finish() if isinstance(r, PendingLines) else r
+            assert got == want, name
+    finally:
+        svc.stop()

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import glob as globmod
+from hashlib import blake2b as _blake2b
 import logging
 import multiprocessing as mp
 import os
@@ -75,10 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--backend", choices=["auto", "jax", "numpy"], default="auto",
                     help="Compute backend for the hot kernels")
     fl.add_argument("--batch-reads", type=int, default=64)
-    fl.add_argument("--device-fills", action="store_true",
-                    help="run base-level CIGAR fills on the TPU (Pallas "
-                         "kernel + cross-read aggregation); off by default "
-                         "on relay-attached chips (see DESIGN.md)")
+    fl.add_argument("--device-fills", nargs="?", const="on",
+                    choices=["auto", "on", "off"], default="auto",
+                    help="run base-level CIGAR fills on the TPU (async "
+                         "pipelined Pallas fill service). auto (default): "
+                         "on when an accelerator is present; off: host "
+                         "C++ kernels only")
     mh = p.add_argument_group("Multi-host (jax.distributed)")
     mh.add_argument("--coordinator", help="host:port of process 0")
     mh.add_argument("--num-processes", type=int)
@@ -198,7 +201,11 @@ def _dedup_records(paths, cfg, shard=(0, 1)):
     for path in paths:
         log.info("Reading %s", path)
         for rec in _read_records(path, cfg):
-            h = hash(rec[0])
+            # process-stable 64-bit hash: builtin hash() is randomized per
+            # process (PYTHONHASHSEED), so a collision would be process-
+            # specific and silently desynchronize the multi-host
+            # round-robin counter — blake2b keys identically everywhere
+            h = _blake2b(rec[0].encode(), digest_size=8).digest()
             if h in seen:
                 continue
             seen.add(h)
@@ -208,23 +215,50 @@ def _dedup_records(paths, cfg, shard=(0, 1)):
                 yield rec
 
 
-def _worker(raw_q, cooked_q, index, cfg):
+def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
+    from collections import deque
+
     mapper = Mapper(index, cfg)
+    use_async = fill_client is not None and cfg.mode != "asm"
+    if use_async:
+        mapper.global_aligner = fill_client
     map_fn = mapper.map_contig if cfg.mode == "asm" else mapper.map_read
     batch: List[str] = []
     chars = 0
-    while True:
-        item = raw_q.get()
-        if isinstance(item, int):
-            break
-        name, seq, qual, comment = item
-        lines = map_fn(name, seq, qual, comment)
+
+    def emit(lines):
+        nonlocal batch, chars
         for l in lines:
             chars += len(l)
         batch.extend(lines)
         if chars > 2_000_000:
             cooked_q.put(batch)
             batch, chars = [], 0
+
+    # async deployment: keep a window of reads whose device fill batches
+    # are in flight; host stages of later reads overlap the device round
+    # trips (VERDICT.md round-3 item 1)
+    window = deque()
+    max_window = int(os.environ.get("VACMAP_TPU_FILL_WINDOW", "16"))
+    from .pipeline.mapper import PendingLines
+
+    while True:
+        item = raw_q.get()
+        if isinstance(item, int):
+            break
+        name, seq, qual, comment = item
+        if use_async:
+            r = mapper.map_read_deferred(name, seq, qual, comment)
+            if isinstance(r, PendingLines):
+                window.append(r)
+                if len(window) >= max_window:
+                    emit(window.popleft().finish())
+            else:
+                emit(r)
+        else:
+            emit(map_fn(name, seq, qual, comment))
+    while window:
+        emit(window.popleft().finish())
     if batch:
         cooked_q.put(batch)
     cooked_q.put(1)  # per-worker done sentinel
@@ -309,6 +343,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.mode == "asm":
         n_workers = 1  # contigs are huge; queue depth 1 (vacmap:394-401)
     map_fn0 = mapper0.map_contig if cfg.mode == "asm" else mapper0.map_read
+    # device fill offload: "auto" probes for an accelerator (the probe
+    # runs in the forked service process; the parent never touches jax)
+    want_fills = args.device_fills != "off" and cfg.mode != "asm"
     st = time.time()
     count = 0
     if cfg.backend == "jax" and cfg.mode != "asm":
@@ -318,7 +355,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .pipeline.executor import BatchExecutor
 
         runtime.enable_compilation_cache()
-        ex = BatchExecutor(mapper0, device_fills=args.device_fills)
+        ex = BatchExecutor(mapper0, device_fills=want_fills)
 
         def counted():
             nonlocal count
@@ -333,22 +370,71 @@ def main(argv: Optional[List[str]] = None) -> int:
                 writer.write_lines(lines)
         writer.close()
     elif n_workers == 1:
+        from collections import deque
+
+        from .pipeline.mapper import PendingLines
+
+        # the device-owning service runs in a child process even for one
+        # worker: jax init / Mosaic prewarm never blocks the read loop,
+        # and the client host-fills until the service reports ready
+        dfa = None
+        fill_handle1 = None
+        if want_fills:
+            from .parallel.fill_service import start_fill_server
+
+            fill_handle1 = start_fill_server(1, wait_ready=False)
+            if fill_handle1 is not None:
+                dfa = fill_handle1.client(0)
+                mapper0.global_aligner = dfa
+                log.info("device fill service starting (background)")
+        window: deque = deque()
+        max_window = int(os.environ.get("VACMAP_TPU_FILL_WINDOW", "16"))
         for rec in _dedup_records(read_paths, cfg, shard=shard):
             name, seq = rec[0], rec[1]
             qual = rec[2] if len(rec) > 2 else None
             comment = rec[3] if len(rec) > 3 else None
-            lines = map_fn0(name, seq, qual, comment)
+            if dfa is not None:
+                r = mapper0.map_read_deferred(name, seq, qual, comment)
+                if isinstance(r, PendingLines):
+                    window.append(r)
+                    if len(window) >= max_window:
+                        r = window.popleft().finish()
+                    else:
+                        r = None
+                if r:
+                    writer.write_lines(r)
+            else:
+                lines = map_fn0(name, seq, qual, comment)
+                if lines:
+                    writer.write_lines(lines)
+            count += 1
+        while window:
+            lines = window.popleft().finish()
             if lines:
                 writer.write_lines(lines)
-            count += 1
         writer.close()
+        if fill_handle1 is not None:
+            fill_handle1.stop()
     else:
         ctx = mp.get_context("fork")
+        fill_handle = None
+        if want_fills:
+            from .parallel.fill_service import start_fill_server
+
+            fill_handle = start_fill_server(n_workers, ctx=ctx,
+                                            wait_ready=False)
+            if fill_handle is not None:
+                log.info("device fill service starting (%d clients)",
+                         n_workers)
         raw_q = ctx.Queue(maxsize=n_workers * 200)
         cooked_q = ctx.Queue(maxsize=n_workers * 200)
         workers = [
-            ctx.Process(target=_worker, args=(raw_q, cooked_q, index, cfg))
-            for _ in range(n_workers)
+            ctx.Process(
+                target=_worker,
+                args=(raw_q, cooked_q, index, cfg,
+                      fill_handle.client(i) if fill_handle else None),
+            )
+            for i in range(n_workers)
         ]
         for w in workers:
             w.start()
@@ -368,6 +454,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         for w in workers:
             w.join()
         wproc.join()
+        if fill_handle is not None:
+            fill_handle.stop()
 
     if created_workdir is not None:
         import shutil

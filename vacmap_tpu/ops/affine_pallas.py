@@ -238,6 +238,34 @@ class PallasFillAligner:
         return -1
 
     # ------------------------------------------------------------------
+    def dispatch_padded(self, tT: np.ndarray, tQ: np.ndarray,
+                        t_len: np.ndarray, q_len: np.ndarray, bucket: int):
+        """Async dispatch of one pre-padded (B, bucket) batch: returns the
+        device array handle for the packed traceback stream WITHOUT
+        fetching it.  jax dispatch is asynchronous, so the caller (the
+        fill service's dispatcher thread) can pipeline call N+1 while the
+        downloader thread blocks on ``np.asarray(handle_N)``."""
+        return _fill_and_traceback(
+            jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
+            jnp.asarray(t_len), jnp.asarray(q_len),
+            N=bucket, interpret=self.interpret, **self.kw,
+        )
+
+    def prewarm(self, batch_sizes: Sequence[int] = (64,),
+                buckets: Optional[Sequence[int]] = None):
+        """Compile the (B, bucket) shape universe ahead of traffic (Mosaic
+        fresh compiles are minutes; the persistent cache makes this a
+        one-time cost per machine)."""
+        for bucket in (buckets if buckets is not None else self.buckets):
+            for B in batch_sizes:
+                tT = np.full((B, bucket), 4, np.uint8)
+                tQ = np.full((B, bucket), 4, np.uint8)
+                tT[:, 0] = 1
+                tQ[:, 0] = 1
+                lens = np.ones(B, np.int32)
+                np.asarray(self.dispatch_padded(tT, tQ, lens, lens, bucket))
+
+    # ------------------------------------------------------------------
     def align_batch(self, pairs: List[Tuple[np.ndarray, np.ndarray]],
                     eqx: bool = False) -> List[Optional[AlignResult]]:
         from .. import native
@@ -283,11 +311,7 @@ class PallasFillAligner:
             t_len[b] = len(t)
             q_len[b] = len(q)
         packed = np.asarray(
-            _fill_and_traceback(
-                jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
-                jnp.asarray(t_len), jnp.asarray(q_len),
-                N=bucket, interpret=self.interpret, **self.kw,
-            )
+            self.dispatch_padded(tT, tQ, t_len, q_len, bucket)
         )  # (S//4, B) uint8
         decoded = native.decode_tb_ops(
             packed, [pairs[i] for i in idxs], eqx=eqx

@@ -1,0 +1,602 @@
+"""Async pipelined device fill service (round-3 TPU deployment).
+
+The reference's #1 hot native kernel is the per-gap global alignment
+(`mp.k_cigar`, mammap_clrnano.py:21554).  Its device counterpart (the
+Pallas fill kernel, ops/affine_pallas.py) is exact but the measured
+round-2 deployment lost 8x to dispatch/download latency: every
+aggregated call blocked all refinement threads for the ~40-60 ms
+device->host fetch (parallel/device_service.py).
+
+This module replaces that synchronous aggregator with a two-thread
+pipeline so the device never waits for a download and the host never
+waits for the device more than one batch period:
+
+  collector/dispatcher thread:  drain request queue -> group jobs by
+      length bucket -> pad -> jax dispatch (ASYNC: the call returns a
+      device handle immediately) -> push handles into a bounded
+      in-flight queue (depth 2 = double buffering)
+  downloader thread:  pop handles -> np.asarray (the only blocking
+      fetch; overlaps the dispatcher's next batch and the device's next
+      compute) -> route packed 2-bit op columns back to each requester
+
+CIGAR decode stays on the REQUESTER side (C++ decode_tb_ops): the
+packed stream is 128 B/job, so responses are tiny and the service
+process spends its core on padding + fetches only.
+
+Two transports share the server core:
+
+  * in-process (``AsyncFillAligner``): queue.Queue, for the
+    single-process batched executor (--backend jax),
+  * cross-process (``start_fill_server`` / ``FillClient``):
+    multiprocessing queues, so the CLI's fork workers (the production
+    host deployment, cli.py:345) all offload fills to ONE device-owning
+    process — the TPU analog of the reference sharing its GPU across
+    mapping processes.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_BUCKETS = (256, 512)
+# ONE dispatch shape per length bucket: the Mosaic fill kernel compiles
+# per (B, N) and a fresh compile is ~minutes on this platform, so the
+# shape universe must be tiny, prewarmed before the service goes ready,
+# and never grown by traffic (sub-full batches pad; over-full chunk)
+DEFAULT_SHAPE_B = {256: 1024, 512: 256}
+MAX_JOBS = 4096
+MAX_WAIT_MS = 3.0
+DEPTH = 2
+
+
+# ---------------------------------------------------------------------------
+# request/response packing (cross-process transport)
+# ---------------------------------------------------------------------------
+
+
+def pack_pairs(pairs: Sequence[Tuple[np.ndarray, np.ndarray]]):
+    """(lens int32 (n,2), concat uint8 buffer) — one small message per
+    request instead of 2n pickled arrays."""
+    n = len(pairs)
+    lens = np.empty((n, 2), np.int32)
+    total = 0
+    for i, (t, q) in enumerate(pairs):
+        lens[i, 0] = len(t)
+        lens[i, 1] = len(q)
+        total += len(t) + len(q)
+    buf = np.empty(total, np.uint8)
+    off = 0
+    for t, q in pairs:
+        buf[off : off + len(t)] = t
+        off += len(t)
+        buf[off : off + len(q)] = q
+        off += len(q)
+    return lens, buf
+
+
+def unpack_pairs(lens: np.ndarray, buf: np.ndarray):
+    out = []
+    off = 0
+    for i in range(len(lens)):
+        lt, lq = int(lens[i, 0]), int(lens[i, 1])
+        out.append((buf[off : off + lt], buf[off + lt : off + lt + lq]))
+        off += lt + lq
+    return out
+
+
+# ---------------------------------------------------------------------------
+# server core (transport-agnostic)
+# ---------------------------------------------------------------------------
+
+
+class _ServerCore:
+    """Collector/dispatcher + downloader pipeline around a device fill
+    aligner exposing ``dispatch_padded(tT, tQ, t_len, q_len, bucket)``
+    (async device handle) — see ops.affine_pallas.PallasFillAligner."""
+
+    def __init__(self, aligner, buckets=DEFAULT_BUCKETS, depth=DEPTH,
+                 max_jobs=MAX_JOBS, max_wait_ms=MAX_WAIT_MS, shape_b=None):
+        self.aligner = aligner
+        self.buckets = tuple(sorted(buckets))
+        self.shape_b = dict(shape_b or DEFAULT_SHAPE_B)
+        for b in self.buckets:  # every bucket needs a dispatch shape
+            self.shape_b.setdefault(b, 256)
+        self.max_jobs = max_jobs
+        self.max_wait = max_wait_ms / 1e3
+        self.inflight: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.stopping = False
+
+    def prewarm(self):
+        """Compile the full dispatch-shape universe (2 shapes by default)
+        so traffic never hits a fresh Mosaic compile mid-run."""
+        for b in self.buckets:
+            self.aligner.prewarm(batch_sizes=(self.shape_b[b],), buckets=(b,))
+
+    def bucket_of(self, lt: int, lq: int) -> int:
+        mx = lt if lt > lq else lq
+        for b in self.buckets:
+            if mx <= b:
+                return b
+        return -1
+
+    # -- dispatcher ----------------------------------------------------
+    def run_dispatch(self, req_get, resp_put):
+        """req_get(timeout) -> (client_id, req_id, lens, buf) | None(stop)
+        resp_put(client_id, msg).  Blocks until stop sentinel."""
+        import time
+
+        pending = []  # (client_id, req_id, lens, buf)
+        while True:
+            # wait for at least one request (or stop)
+            try:
+                item = req_get(0.05)
+            except queue.Empty:
+                continue
+            if item is None:
+                break
+            pending.append(item)
+            # accumulation window: let peers pile on
+            deadline = time.monotonic() + self.max_wait
+            njobs = len(pending[0][2])
+            stop = False
+            while njobs < self.max_jobs and time.monotonic() < deadline:
+                try:
+                    item = req_get(0.001)
+                except queue.Empty:
+                    continue
+                if item is None:
+                    stop = True
+                    break
+                pending.append(item)
+                njobs += len(item[2])
+            self._dispatch_batch(pending, resp_put)
+            pending = []
+            if stop:
+                break
+        # drain the in-flight queue, then wake the downloader
+        self.inflight.put(None)
+
+    def _dispatch_batch(self, pending, resp_put):
+        # flatten jobs, group by bucket
+        jobs = []  # (req_idx, job_idx, t, q)
+        for ri, (_, _, lens, buf) in enumerate(pending):
+            for ji, (t, q) in enumerate(unpack_pairs(lens, buf)):
+                jobs.append((ri, ji, t, q))
+        groups: Dict[int, List[int]] = {}
+        overflow = []  # jobs the device can't take (oversize / empty)
+        for k, (ri, ji, t, q) in enumerate(jobs):
+            b = self.bucket_of(len(t), len(q))
+            if b < 0 or len(t) == 0 or len(q) == 0:
+                overflow.append(k)
+            else:
+                groups.setdefault(b, []).append(k)
+        handles = []  # (bucket, handle, job_keys)
+        for b, idxs in sorted(groups.items()):
+            B = self.shape_b[b]
+            for cs in range(0, len(idxs), B):
+                chunk = idxs[cs : cs + B]
+                tT = np.full((B, b), 4, np.uint8)
+                tQ = np.full((B, b), 4, np.uint8)
+                t_len = np.ones(B, np.int32)
+                q_len = np.ones(B, np.int32)
+                for col, k in enumerate(chunk):
+                    _, _, t, q = jobs[k]
+                    tT[col, : len(t)] = t
+                    tQ[col, : len(q)] = q
+                    t_len[col] = len(t)
+                    q_len[col] = len(q)
+                h = self.aligner.dispatch_padded(tT, tQ, t_len, q_len, b)
+                handles.append((b, h, chunk))
+        self.inflight.put((pending, jobs, handles, overflow, resp_put))
+
+    # -- downloader ----------------------------------------------------
+    def run_download(self):
+        while True:
+            item = self.inflight.get()
+            if item is None:
+                break
+            pending, jobs, handles, overflow, resp_put = item
+            # per-request routing tables: req -> {bucket: (cols, jidxs)}
+            per_req = [dict() for _ in pending]
+            for b, h, chunk in handles:
+                packed = np.asarray(h)  # blocking device->host fetch
+                for col, k in enumerate(chunk):
+                    ri, ji, _, _ = jobs[k]
+                    per_req[ri].setdefault(b, ([], []))
+                    per_req[ri][b][0].append(packed[:, col])
+                    per_req[ri][b][1].append(ji)
+            for k in overflow:
+                ri, ji, _, _ = jobs[k]
+                per_req[ri].setdefault(-1, ([], []))[1].append(ji)
+            for ri, (client_id, req_id, _, _) in enumerate(pending):
+                msg = {}
+                for b, (cols, jidxs) in per_req[ri].items():
+                    if b < 0:
+                        msg[b] = (None, jidxs)
+                    else:
+                        msg[b] = (np.stack(cols, axis=1), jidxs)
+                resp_put(client_id, (req_id, msg))
+
+
+# ---------------------------------------------------------------------------
+# client-side decode (shared by both transports)
+# ---------------------------------------------------------------------------
+
+
+def decode_response(msg, pairs, eqx: bool):
+    """(bucket -> (packed_cols, job_idxs)) + original pairs -> AlignResult
+    list (host-aligning any jobs the device bounced)."""
+    from .. import native
+    from ..ops.affine_pallas import _decode_packed_python
+    from ..ops.affine_ref import AlignResult, align2p
+
+    results: List[Optional[AlignResult]] = [None] * len(pairs)
+    for b, (packed, jidxs) in msg.items():
+        if b < 0 or packed is None:
+            for ji in jidxs:
+                t, q = pairs[ji]
+                results[ji] = align2p(
+                    t, q, match=2, mismatch=-4, gap_open_1=4, gap_extend_1=2,
+                    gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1, eqx=eqx,
+                )
+            continue
+        sub = [pairs[ji] for ji in jidxs]
+        decoded = native.decode_tb_ops(packed, sub, eqx=eqx)
+        if decoded is None:
+            decoded = _decode_packed_python(packed, sub, eqx=eqx)
+        for col, ji in enumerate(jidxs):
+            t, q = pairs[ji]
+            cig = native.ops_to_cigar(decoded[col])
+            results[ji] = AlignResult(cig, False, len(q), len(t), 0, 0, 0)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# in-process transport (single-process executor)
+# ---------------------------------------------------------------------------
+
+
+class AsyncFillAligner:
+    """In-process async pipelined fill aligner: same blocking
+    ``align_batch(pairs, eqx)`` interface as device_service.
+    AggregatingAligner, but dispatch N+1 overlaps download N, so
+    concurrently-refining threads only ever wait ~one batch period."""
+
+    def __init__(self, aligner=None, buckets=DEFAULT_BUCKETS,
+                 max_wait_ms=MAX_WAIT_MS, depth=DEPTH, max_jobs=MAX_JOBS,
+                 prewarm: bool = True):
+        if aligner is None:
+            from ..ops.affine_pallas import PallasFillAligner
+
+            aligner = PallasFillAligner(buckets=buckets)
+        self.core = _ServerCore(aligner, buckets=buckets, depth=depth,
+                                max_jobs=max_jobs, max_wait_ms=max_wait_ms)
+        self.req_q: "queue.Queue" = queue.Queue()
+        self._events: Dict[int, dict] = {}
+        self._lock = threading.Lock()
+        self._next_id = 0
+        # device engages only after the dispatcher thread finishes the
+        # prewarm compiles; until then submit() routes to host fills so
+        # small/cold runs never stall on Mosaic compilation
+        self.ready = threading.Event()
+        self.failed = False
+        self._do_prewarm = prewarm
+        self._threads = [
+            threading.Thread(target=self._dispatch_loop, daemon=True),
+            threading.Thread(target=self.core.run_download, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _dispatch_loop(self):
+        try:
+            if self._do_prewarm:
+                self.core.prewarm()
+        except Exception:
+            self.failed = True  # device unusable: stay on host fills
+        finally:
+            self.ready.set()
+        self.core.run_dispatch(
+            lambda tmo: self.req_q.get(timeout=tmo), self._resp_put
+        )
+
+    def _resp_put(self, client_id, resp):
+        req_id, msg = resp
+        with self._lock:
+            box = self._events.pop(req_id, None)
+        if box is not None:
+            box["msg"] = msg
+            box["event"].set()
+
+    # the refine_chain aligner interface
+    def __call__(self, pairs, eqx: bool = False):
+        return self.align_batch(pairs, eqx)
+
+    def align_batch(self, pairs, eqx: bool = False):
+        return self.wait(self.submit(pairs, eqx))
+
+    # -- async interface: refine defers the wait to record assembly ----
+    def submit(self, pairs, eqx: bool = False):
+        """Enqueue a fill batch; returns an opaque handle for wait().
+        The caller keeps processing other reads while the device works.
+        Until the prewarm compiles finish (or if the device failed), the
+        handle routes to host fills instead — never blocks on init."""
+        if not pairs:
+            return (None, pairs, eqx)
+        if self.failed or not self.ready.is_set():
+            return ("host", pairs, eqx)
+        box = {"event": threading.Event(), "msg": None}
+        with self._lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._events[req_id] = box
+        self.req_q.put((0, req_id, *pack_pairs(pairs)))
+        return (box, pairs, eqx)
+
+    def wait(self, handle, timeout: float = 600.0):
+        box, pairs, eqx = handle
+        if box is None:
+            return []
+        if box == "host":
+            from ..pipeline.extend import _host_global_batch
+
+            return _host_global_batch(pairs, eqx)
+        if not box["event"].wait(timeout=timeout):
+            raise RuntimeError("device fill service timed out")
+        return decode_response(box["msg"], pairs, eqx)
+
+    def stop(self):
+        self.req_q.put(None)
+
+
+# ---------------------------------------------------------------------------
+# host-emulation aligner (tests / debugging without a TPU)
+# ---------------------------------------------------------------------------
+
+
+class HostEmulFillAligner:
+    """``dispatch_padded``-compatible host implementation: emits the same
+    packed 2-bit traceback stream as the Pallas kernel (ops back-to-front,
+    3-padded, 4 steps/byte), so the whole service pipeline — transports,
+    batching, routing, decode — is testable without device hardware."""
+
+    def __init__(self, buckets=DEFAULT_BUCKETS):
+        self.buckets = tuple(sorted(buckets))
+
+    def prewarm(self, batch_sizes=(64,), buckets=None):
+        pass
+
+    def dispatch_padded(self, tT, tQ, t_len, q_len, bucket: int):
+        import re
+
+        from ..ops.affine_ref import align2p
+
+        B = tT.shape[0]
+        S = 2 * bucket
+        stream = np.full((S, B), 3, np.uint8)
+        for col in range(B):
+            t = tT[col, : int(t_len[col])]
+            q = tQ[col, : int(q_len[col])]
+            res = align2p(t, q, match=2, mismatch=-4, gap_open_1=4,
+                          gap_extend_1=2, gap_open_2=24, gap_extend_2=1,
+                          bw=-1, zdrop=-1, eqx=False)
+            codes = []
+            for m in re.finditer(r"(\d+)([MID])", res.cigar):
+                codes.extend([{"M": 0, "I": 1, "D": 2}[m.group(2)]]
+                             * int(m.group(1)))
+            codes = codes[::-1]  # traceback emits back-to-front
+            stream[: len(codes), col] = codes
+        o = stream.reshape(S // 4, 4, B).astype(np.int32)
+        return (o[:, 0] | (o[:, 1] << 2) | (o[:, 2] << 4)
+                | (o[:, 3] << 6)).astype(np.uint8)
+
+
+def _make_aligner(buckets):
+    """The service's device aligner, or None when no accelerator is
+    usable.  VACMAP_TPU_FILL_HOST=1 forces the host-emulation aligner
+    (tests; CPU jax backends cannot run the Mosaic kernel)."""
+    if os.environ.get("VACMAP_TPU_FILL_HOST"):
+        return HostEmulFillAligner(buckets=buckets)
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        return None
+    from ..ops.affine_pallas import PallasFillAligner
+
+    return PallasFillAligner(buckets=buckets)
+
+
+def async_fill_aligner(buckets=DEFAULT_BUCKETS, **kw) -> Optional["AsyncFillAligner"]:
+    """In-process async fill aligner when a TPU (or the host-emulation
+    override) is available; None otherwise."""
+    if os.environ.get("VACMAP_TPU_NO_FILL_SERVER"):
+        return None
+    try:
+        aligner = _make_aligner(buckets)
+    except Exception:
+        return None
+    if aligner is None:
+        return None
+    return AsyncFillAligner(aligner=aligner, buckets=buckets, **kw)
+
+
+# ---------------------------------------------------------------------------
+# cross-process transport (fork-worker CLI deployment)
+# ---------------------------------------------------------------------------
+
+
+def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool):
+    """Entry point of the device-owning service process."""
+    try:
+        from . import runtime
+
+        runtime.enable_compilation_cache()
+        aligner = _make_aligner(buckets)
+        if aligner is None:
+            ready_evt.set()  # no accelerator: parent falls back to host
+            return
+        core = _ServerCore(aligner, buckets=buckets)
+        if prewarm:
+            core.prewarm()  # whole dispatch-shape universe, BEFORE ready
+        ok_val.value = 1
+        ready_evt.set()
+
+        def resp_put(client_id, resp):
+            resp_qs[client_id].put(resp)
+
+        dl = threading.Thread(target=core.run_download, daemon=True)
+        dl.start()
+        core.run_dispatch(lambda tmo: req_q.get(timeout=tmo), resp_put)
+        dl.join()
+    except Exception:
+        ready_evt.set()  # never leave the parent hanging
+        raise
+
+
+class FillServerHandle:
+    def __init__(self, proc, req_q, resp_qs, ready_evt, ok_val):
+        self.proc = proc
+        self.req_q = req_q
+        self.resp_qs = resp_qs
+        self.ready_evt = ready_evt
+        self.ok_val = ok_val
+
+    def client(self, worker_id: int) -> "FillClient":
+        return FillClient(worker_id, self.req_q, self.resp_qs[worker_id],
+                          ready_evt=self.ready_evt, ok_val=self.ok_val)
+
+    def stop(self):
+        try:
+            if not self.ready_evt.is_set() or not self.ok_val.value:
+                # still initializing (or no accelerator): nothing is in
+                # flight — don't wait out the prewarm compiles
+                self.proc.terminate()
+            else:
+                self.req_q.put(None)
+                self.proc.join(timeout=30)
+        finally:
+            if self.proc.is_alive():
+                self.proc.terminate()
+            self.proc.join(timeout=10)
+
+
+def start_fill_server(n_clients: int, buckets=DEFAULT_BUCKETS,
+                      ctx=None, prewarm: bool = True,
+                      wait_ready: bool = True,
+                      ready_timeout: float = 900.0):
+    """Fork the device-owning fill server; returns a FillServerHandle or
+    None when no usable accelerator is present.
+
+    Must be called BEFORE the mapping workers fork (the queues are
+    inherited).  The parent process must not have initialized the TPU
+    backend itself: only the service process touches jax."""
+    import multiprocessing as mp
+
+    if os.environ.get("VACMAP_TPU_NO_FILL_SERVER"):
+        return None
+    ctx = ctx or mp.get_context("fork")
+    req_q = ctx.Queue()
+    resp_qs = [ctx.Queue() for _ in range(n_clients)]
+    ready = ctx.Event()
+    ok = ctx.Value("i", 0)
+    proc = ctx.Process(
+        target=_server_main,
+        args=(req_q, resp_qs, buckets, ready, ok, prewarm),
+        daemon=True,
+    )
+    proc.start()
+    if wait_ready:
+        if not ready.wait(timeout=ready_timeout) or not ok.value:
+            proc.terminate()
+            proc.join(timeout=10)
+            return None
+    return FillServerHandle(proc, req_q, resp_qs, ready, ok)
+
+
+class FillClient:
+    """Worker-side handle: thread-safe blocking ``align_batch``.  A
+    response-router thread per worker process routes by req_id so many
+    mapping threads can have fills in flight concurrently."""
+
+    def __init__(self, worker_id: int, req_q, resp_q,
+                 ready_evt=None, ok_val=None):
+        self.worker_id = worker_id
+        self.req_q = req_q
+        self.resp_q = resp_q
+        self._events: Dict[int, dict] = {}
+        self._lock = threading.Lock()
+        self._next_id = 0
+        self._router: Optional[threading.Thread] = None
+        self.failed = False
+        self._ready_evt = ready_evt
+        self._ok_val = ok_val
+        self._ready_cache = ready_evt is None  # no gate -> trust caller
+
+    def _server_ready(self) -> bool:
+        """Non-blocking: host fills until the service finishes its prewarm
+        compiles; permanent host fallback when it reports no accelerator."""
+        if self._ready_cache or self.failed:
+            return self._ready_cache and not self.failed
+        if not self._ready_evt.is_set():
+            return False
+        if self._ok_val is not None and not self._ok_val.value:
+            self.failed = True
+            return False
+        self._ready_cache = True
+        return True
+
+    def _ensure_router(self):
+        if self._router is None or not self._router.is_alive():
+            self._router = threading.Thread(target=self._route, daemon=True)
+            self._router.start()
+
+    def _route(self):
+        while True:
+            req_id, msg = self.resp_q.get()
+            with self._lock:
+                box = self._events.pop(req_id, None)
+            if box is not None:
+                box["msg"] = msg
+                box["event"].set()
+
+    def __call__(self, pairs, eqx: bool = False):
+        return self.align_batch(pairs, eqx)
+
+    def align_batch(self, pairs, eqx: bool = False, timeout: float = 600.0):
+        return self.wait(self.submit(pairs, eqx), timeout=timeout)
+
+    # -- async interface ----------------------------------------------
+    def submit(self, pairs, eqx: bool = False):
+        if not pairs or self.failed or not self._server_ready():
+            return (None, None, pairs, eqx)
+        self._ensure_router()
+        box = {"event": threading.Event(), "msg": None}
+        with self._lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._events[req_id] = box
+        self.req_q.put((self.worker_id, req_id, *pack_pairs(pairs)))
+        return (box, req_id, pairs, eqx)
+
+    def wait(self, handle, timeout: float = 600.0):
+        box, req_id, pairs, eqx = handle
+        if box is None:
+            return self._host(pairs, eqx) if pairs else []
+        if not box["event"].wait(timeout=timeout):
+            # service dead/wedged: degrade to host fills permanently
+            with self._lock:
+                self._events.pop(req_id, None)
+            self.failed = True
+            return self._host(pairs, eqx)
+        return decode_response(box["msg"], pairs, eqx)
+
+    @staticmethod
+    def _host(pairs, eqx):
+        from ..pipeline.extend import _host_global_batch
+
+        return _host_global_batch(pairs, eqx)

@@ -48,9 +48,9 @@ class BatchExecutor:
         # Pallas fill kernel behind a cross-read aggregator (the finish
         # threads' per-read batches merge into mega-calls)
         if device_fills and mapper.global_aligner is None:
-            from ..parallel.device_service import device_fill_aligner
+            from ..parallel.fill_service import async_fill_aligner
 
-            dfa = device_fill_aligner()
+            dfa = async_fill_aligner()
             if dfa is not None:
                 mapper.global_aligner = dfa
 

@@ -708,12 +708,19 @@ def refine_chain(
     rebuild_dup_overlap: bool = True,
     split_force_gap: int = 0,
     rebuild_small_alignment: int = 50,
+    defer_fill: bool = False,
 ) -> Tuple[List[List[tuple]], List[list], bool]:
     """Chain path (ascending read order) -> SAM-ready records.
 
     Returns (segments, records, filtered) where `filtered` reports whether
     the misplaced-segment pass removed anything (drives the paired-indel
-    redo at mammap_clrnano.py:24079)."""
+    redo at mammap_clrnano.py:24079).
+
+    With ``defer_fill=True`` and a ``global_aligner`` exposing
+    ``submit``/``wait``, returns a ``PendingRefine`` instead: the fill
+    batch is in flight on the device and ``finish()`` assembles the
+    records when called — the caller pipelines other reads in between
+    (the round-3 async TPU deployment, VERDICT.md item 1)."""
     from .. import trace
 
     with trace.span("rf.rebuild"):
@@ -763,18 +770,44 @@ def refine_chain(
             seg_anchor_lists.append(kept)
             seg_npairs.append(len(pairs))
             all_pairs.extend(pairs)
+    def _assemble(all_results):
+        cigar_lists = []
+        off = 0
+        for n in seg_npairs:
+            cigar_lists.append([r.cigar for r in all_results[off : off + n]])
+            off += n
+        with trace.span("rf.records"):
+            records = records_from_segments(
+                seg_anchor_lists, cigar_lists, readid, mapq, read_len, ref,
+                need_reverse, use_hardclip,
+            )
+        return seg_anchor_lists, records, filtered
+
+    if defer_fill and hasattr(gl_batch, "submit"):
+        trace.add("rf.fill_jobs", 0.0, len(all_pairs))
+        handle = gl_batch.submit(all_pairs, eqx)
+        return PendingRefine(gl_batch, handle, _assemble)
+
     with trace.span("rf.fill"):
         trace.add("rf.fill_jobs", 0.0, len(all_pairs))
         all_results = gl_batch(all_pairs, eqx)
-    cigar_lists = []
-    off = 0
-    for n in seg_npairs:
-        cigar_lists.append([r.cigar for r in all_results[off : off + n]])
-        off += n
+    return _assemble(all_results)
 
-    with trace.span("rf.records"):
-        records = records_from_segments(
-            seg_anchor_lists, cigar_lists, readid, mapq, read_len, ref,
-            need_reverse, use_hardclip,
-        )
-    return seg_anchor_lists, records, filtered
+
+class PendingRefine:
+    """A refine_chain whose device fill batch is in flight; ``finish()``
+    blocks on the results and completes record assembly."""
+
+    __slots__ = ("_aligner", "_handle", "_assemble")
+
+    def __init__(self, aligner, handle, assemble):
+        self._aligner = aligner
+        self._handle = handle
+        self._assemble = assemble
+
+    def finish(self):
+        from .. import trace
+
+        with trace.span("rf.fill"):
+            all_results = self._aligner.wait(self._handle)
+        return self._assemble(all_results)

@@ -17,11 +17,36 @@ from ..config import AlignerConfig
 from ..index.index import ReferenceIndex
 from ..seq import decode, encode, revcomp_codes
 from .chaining import chain_read
-from .extend import RefView, refine_chain
+from .extend import PendingRefine, RefView, refine_chain
 from .local import local_rechain
 from .sam import paired_indel, records_to_sam
 
 log = logging.getLogger(__name__)
+
+
+class _PendingRecords:
+    """map_read_records whose device fill batch is in flight."""
+
+    __slots__ = ("_pending", "_finish")
+
+    def __init__(self, pending, finish):
+        self._pending = pending
+        self._finish = finish
+
+    def finish(self):
+        return self._finish(self._pending.finish())
+
+
+class PendingLines:
+    """A deferred map_read: ``finish()`` -> SAM text lines."""
+
+    __slots__ = ("_fn",)
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def finish(self) -> List[str]:
+        return self._fn()
 
 
 class Mapper:
@@ -69,7 +94,8 @@ class Mapper:
         return decode(self.index.seq_codes[g + start : g + end])
 
     # ------------------------------------------------------------------
-    def map_read_records(self, name: str, seq: str, precomputed=None):
+    def map_read_records(self, name: str, seq: str, precomputed=None,
+                         defer_fill: bool = False):
         """Run the mapping pipeline; returns (records, filtered_redo_used)
         where records are (readid, contig, strand, q_st, q_en, r_st, r_en,
         mapq, cigar) rows.
@@ -77,6 +103,11 @@ class Mapper:
         ``precomputed`` is an optional (need_reverse, sorted_anchors,
         ChainResult) triple from the batched executor; seeding and the
         global DP are skipped when provided.
+
+        ``defer_fill=True`` (with an async global_aligner): when the
+        pipeline reaches the device fill batch, returns a pending object
+        whose ``finish()`` yields (records, redo) — the caller overlaps
+        other reads with the in-flight device work.
         """
         cfg = self.config
         p = cfg.preset
@@ -149,37 +180,9 @@ class Mapper:
         eqx_internal = True
         nodiscard = cfg.resolved_nodiscard
         path_asc = path_desc[::-1]
-        with trace.span("refine"):
-            segs, records, filtered = refine_chain(
-                path_asc,
-                name,
-                gc.mapq,
-                fwd_codes,
-                rev_codes,
-                read_len,
-                self.ref,
-                maxdiff=maxdiff_l,
-                need_reverse=gc.need_reverse,
-                max_divergence=cfg.resolved_max_divergence,
-                use_hardclip=cfg.hardclip,
-                nofilter=nodiscard,
-                eqx=eqx_internal,
-                extension_aligner=self.extension_aligner,
-                global_aligner=self.global_aligner,
-                simple_inv_full=p.simple_inv_full,
-                rebuild_dup_overlap=p.rebuild_dup_overlap,
-                rebuild_small_alignment=p.rebuild_small_alignment,
-                split_force_gap=p.split_force_gap,
-            )
-        if not records:
-            return [], False
 
-        # paired-indel redo without the misplaced-segment filter
-        # (mammap_clrnano.py:24079-24080)
-        redo = False
-        if not nodiscard and filtered and paired_indel([r[-1] for r in records]):
-            redo = True
-            segs, records, filtered = refine_chain(
+        def _refine(nofilt: bool, defer: bool):
+            return refine_chain(
                 path_asc,
                 name,
                 gc.mapq,
@@ -191,7 +194,7 @@ class Mapper:
                 need_reverse=gc.need_reverse,
                 max_divergence=cfg.resolved_max_divergence,
                 use_hardclip=cfg.hardclip,
-                nofilter=True,
+                nofilter=nofilt,
                 eqx=eqx_internal,
                 extension_aligner=self.extension_aligner,
                 global_aligner=self.global_aligner,
@@ -200,7 +203,27 @@ class Mapper:
                 rebuild_small_alignment=p.rebuild_small_alignment,
                 split_force_gap=p.split_force_gap,
             )
-        return records, redo
+
+        def _finish(result):
+            segs, records, filtered = result
+            if not records:
+                return [], False
+            # paired-indel redo without the misplaced-segment filter
+            # (mammap_clrnano.py:24079-24080); rare, so the redo's own
+            # fill batch runs synchronously even in deferred mode
+            redo = False
+            if (not nodiscard and filtered
+                    and paired_indel([r[-1] for r in records])):
+                redo = True
+                res2 = _refine(True, False)
+                segs, records, filtered = res2
+            return records, redo
+
+        with trace.span("refine"):
+            result = _refine(nodiscard, defer_fill)
+        if isinstance(result, PendingRefine):
+            return _PendingRecords(result, _finish)
+        return _finish(result)
 
     # ------------------------------------------------------------------
     def map_read(
@@ -218,6 +241,37 @@ class Mapper:
             if cfg.debug:
                 log.error("read %s failed: %s", name, err)
             return []
+        return self._emit_sam(name, records, seq, qual, comment)
+
+    def map_read_deferred(self, name, seq, qual=None, comment=None):
+        """map_read with the device fill batch left in flight: returns
+        either finished SAM lines (host path / early exit) or a
+        PendingLines whose ``finish()`` completes the read.  Drives the
+        async TPU deployment: the worker keeps a window of in-flight
+        reads instead of blocking per read."""
+        cfg = self.config
+        try:
+            res = self.map_read_records(name, seq, defer_fill=True)
+        except Exception as err:
+            if cfg.debug:
+                log.error("read %s failed: %s", name, err)
+            return []
+        if not isinstance(res, _PendingRecords):
+            return self._emit_sam(name, res[0], seq, qual, comment)
+
+        def _done():
+            try:
+                records, _ = res.finish()
+            except Exception as err:
+                if cfg.debug:
+                    log.error("read %s failed: %s", name, err)
+                return []
+            return self._emit_sam(name, records, seq, qual, comment)
+
+        return PendingLines(_done)
+
+    def _emit_sam(self, name, records, seq, qual, comment) -> List[str]:
+        cfg = self.config
         if not records:
             return []
         try:
