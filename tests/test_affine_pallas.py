@@ -75,3 +75,68 @@ def test_aggregating_aligner_merges_and_slices():
         got = list(pool.map(lambda p: agg.align_batch(p, eqx=True), requests))
     for g, e in zip(got, expected):
         assert [r.cigar for r in g] == e
+
+
+def test_rowrun_traceback_interpret_exact(rng):
+    """The fused in-kernel row-run traceback (interpret mode on CPU):
+    run-length planes -> packed stream -> CIGAR must equal the host
+    aligner exactly, including >255-insertion rows (hi bit) and forced
+    edge drains."""
+    from vacmap_tpu.ops.affine_pallas import (
+        _decode_packed_python,
+        _fill_and_rowruns,
+        rowruns_to_packed,
+    )
+    from vacmap_tpu.ops.affine_ref import align2p
+
+    N, B = 256, 8
+    cases = []
+    t = rng.integers(0, 4, 100).astype(np.uint8)
+    cases.append((t, np.concatenate(
+        [t[:50], rng.integers(0, 4, 140).astype(np.uint8), t[50:]]
+    )))  # 140bp insert
+    q = rng.integers(0, 4, 80).astype(np.uint8)
+    cases.append((np.concatenate(
+        [q[:30], rng.integers(0, 4, 150).astype(np.uint8), q[30:]]
+    ), q))  # 150bp del
+    cases.append((np.array([1], np.uint8), np.array([1], np.uint8)))
+    tf = rng.integers(0, 4, N).astype(np.uint8)
+    qf = tf.copy()
+    m = rng.random(N) < 0.12
+    qf[m] = rng.integers(0, 4, int(m.sum()))
+    cases.append((tf, qf))  # full-bucket length
+    cases.append((np.array([0, 1], np.uint8),
+                  rng.integers(0, 4, 230).astype(np.uint8)))  # I drain
+    cases.append((rng.integers(0, 4, 230).astype(np.uint8),
+                  np.array([3, 1], np.uint8)))  # D drain
+    for _ in range(2):
+        L = int(rng.integers(40, N - 10))
+        t2 = rng.integers(0, 4, L).astype(np.uint8)
+        q2 = t2.copy()
+        m2 = rng.random(L) < 0.1
+        q2[m2] = rng.integers(0, 4, int(m2.sum()))
+        cases.append((t2, q2))
+
+    tT = np.full((B, N), 4, np.int32)
+    tQ = np.full((B, N), 4, np.int32)
+    tl = np.ones(B, np.int64)
+    ql = np.ones(B, np.int64)
+    for i, (t_, q_) in enumerate(cases):
+        tT[i, : len(t_)] = t_
+        tQ[i, : len(q_)] = q_
+        tl[i] = len(t_)
+        ql[i] = len(q_)
+    lens = np.zeros((B, N), np.int32)
+    lens[:, 0] = tl
+    lens[:, 1] = ql
+    lo, ex = _fill_and_rowruns(tT, tQ, lens, N=N, interpret=True)
+    packed = rowruns_to_packed(np.asarray(lo), np.asarray(ex), tl, ql, N)
+    for eqx in (False, True):
+        dec = _decode_packed_python(packed, cases, eqx=eqx)
+        for i, (t_, q_) in enumerate(cases):
+            got = native.ops_to_cigar(dec[i])
+            want = align2p(
+                t_, q_, match=2, mismatch=-4, gap_open_1=4, gap_extend_1=2,
+                gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1, eqx=eqx,
+            ).cigar
+            assert got == want, (i, eqx)

@@ -1810,6 +1810,77 @@ extern "C" int decode_tb_ops_batch(
   return 0;
 }
 
+// Decode the device fill kernel's row-run traceback planes
+// (ops/affine_pallas.py _fill_tb_kernel): per job, lane l holds matrix
+// row l+1 with lo = n_ins & 255 and ex = is_diag | (n_ins >> 8 << 1).
+// Forward-order ops: I x j0, then for r = 1..t_len: exit(r), I x n(r).
+extern "C" int decode_rowruns_batch(
+    const uint8_t* lo, const uint8_t* ex, int64_t N, int64_t n_jobs,
+    const uint8_t* seqs, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* q_off, const int64_t* q_len, int eqx,
+    int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta /* (n,2) */) {
+  int64_t cursor = 0;
+  for (int64_t b = 0; b < n_jobs; b++) {
+    const uint8_t* lo_r = lo + b * N;
+    const uint8_t* ex_r = ex + b * N;
+    const int64_t tl = t_len[b];
+    if (tl > N) return -4;
+    const uint8_t* t = seqs + t_off[b];
+    const uint8_t* q = seqs + q_off[b];
+    int64_t tot_i = 0, n_m = 0;
+    for (int64_t r = 0; r < tl; r++) {
+      tot_i += (int64_t)lo_r[r] | (((int64_t)(ex_r[r] >> 1) & 1) << 8);
+      n_m += ex_r[r] & 1;
+    }
+    const int64_t j0 = q_len[b] - tot_i - n_m;
+    if (j0 < 0) return -3;
+    int64_t i = 0, j = 0, k = 0;
+    int32_t pre_op = -1;
+    int64_t acc = 0;
+    auto flush = [&]() -> bool {
+      if (pre_op >= 0 && acc > 0) {
+        if (k >= ops_cap - cursor) return false;
+        out_ops[(cursor + k) * 2] = pre_op;
+        out_ops[(cursor + k) * 2 + 1] = (int32_t)acc;
+        k++;
+      }
+      return true;
+    };
+    auto emit = [&](int32_t op, int64_t n) -> bool {
+      if (n <= 0) return true;
+      if (op == pre_op) { acc += n; return true; }
+      if (!flush()) return false;
+      pre_op = op; acc = n;
+      return true;
+    };
+    if (!emit(1, j0)) return -2;
+    j += j0;
+    for (int64_t r = 0; r < tl; r++) {
+      if (ex_r[r] & 1) {  // diag
+        if (eqx) {
+          const int32_t op = (t[i] == q[j] && t[i] < 4) ? 3 : 4;
+          if (!emit(op, 1)) return -2;
+        } else {
+          if (!emit(0, 1)) return -2;
+        }
+        i++; j++;
+      } else {  // del
+        if (!emit(2, 1)) return -2;
+        i++;
+      }
+      const int64_t n = (int64_t)lo_r[r] | (((int64_t)(ex_r[r] >> 1) & 1) << 8);
+      if (!emit(1, n)) return -2;
+      j += n;
+    }
+    if (!flush()) return -2;
+    if (i != tl || j != q_len[b]) return -3;
+    ops_meta[b * 2] = cursor;
+    ops_meta[b * 2 + 1] = k;
+    cursor += k;
+  }
+  return 0;
+}
+
 // query span of a cigar: consumed query bases (M/I/=/X, plus S/H when
 // with_clips).  Returns -1 on parse error.
 extern "C" int64_t cigar_qspan(const char* cig, int64_t len, int with_clips) {

@@ -41,11 +41,12 @@ TB = 8  # jobs per program (sublane tile)
 NEG = -1e9  # python literal: jnp scalars would be captured consts in the kernel
 
 
-def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
-                 o2, e2):
-    """One program fills the full N x N DP for TB jobs and writes
-    per-row traceback bits.  Bit layout identical to the host kernel:
-    op in bits 0-2 (0=DIAG 1=E1 2=E2 3=F1 4=F2), ext flags 8/16/32/64."""
+def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
+               o2, e2):
+    """Fill the full N x N DP for TB jobs, writing per-row traceback bits
+    into ``bits_ref`` ((N, TB, N), VMEM out block or scratch).  Bit layout
+    identical to the host kernel: op in bits 0-2 (0=DIAG 1=E1 2=E2 3=F1
+    4=F2), ext flags 8/16/32/64."""
     # plain python floats: 0-D jnp constants need replicated layouts this
     # Mosaic build cannot produce
     f_mat = float(match)
@@ -133,6 +134,125 @@ def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
     jax.lax.fori_loop(1, N + 1, row, init)
 
 
+def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
+                 o2, e2):
+    _fill_body(tT_ref, tQ_ref, bits_ref, N=N, match=match,
+               mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2)
+
+
+def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
+                    N, match, mismatch, o1, e1, o2, e2):
+    """Fused fill + IN-KERNEL row-run traceback.
+
+    The round-2 design walked the traceback as an XLA scan (one (B,)
+    gather per step over the (N, B, N) bits table in HBM) — measured on
+    hardware that scan is ~65 ms of a ~100 ms call while the Pallas fill
+    itself is 1.4 ms.  Here the bits table never leaves VMEM (scratch)
+    and the walk happens in the kernel, exploiting the row structure of
+    the layered (H/E/F) traceback graph:
+
+      in any row i > 0 the path emits n_ins(i) insertions (horizontal
+      F/H moves) followed by exactly ONE exit op (diag or del), which
+      decrements i — so rows N..1 can be processed in lockstep across
+      the TB jobs, and the only data-dependent iteration is the
+      (typically empty) insertion run, a short while_loop of vector ops.
+
+    Outputs per job: two (N,) byte rows — lo = n_ins & 255 and
+    ex = is_diag | (n_ins >> 8 << 1) for matrix row l+1 at lane l.  The
+    host re-expands these run-lengths into the packed op stream (cheap
+    vectorized numpy) and reuses the existing C++ stream decoder, so the
+    download is 2N bytes/job and contains no O(N^2) data.
+    """
+    _fill_body(tT_ref, tQ_ref, bits_scr, N=N, match=match,
+               mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2)
+
+    tT = tT_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
+    zeroN = tT * 0  # (TB, N) int32 with a standard (input-tied) layout
+
+    def unrepl(v):
+        # tie iota-derived values to an input: replicated layouts cannot
+        # cross loop back-edges in this Mosaic build (see _fill_body)
+        return jnp.where(tT < -9, 0, v)
+
+    iota_u = unrepl(iota)
+
+    def full(col):
+        # (TB, 1) -> (TB, N) lane-broadcast with standard layout: (TB, 1)
+        # vectors carry a lane-replicated layout this Mosaic build cannot
+        # pass through scf loop back-edges, so every loop-carried per-job
+        # scalar lives as a full-width vector instead
+        return col + zeroN
+
+    lens = lens_ref[:, :]  # (TB, N) int32: lane 0 = t_len, lane 1 = q_len
+    tl = full(jnp.sum(jnp.where(iota_u == 0, lens, 0), axis=1,
+                      keepdims=True))
+    ql = full(jnp.sum(jnp.where(iota_u == 1, lens, 0), axis=1,
+                      keepdims=True))
+
+    def pickb(brow, jcol):
+        # per-job byte at column jcol (1-based): masked lane reduction
+        m = iota_u == (jcol - 1)
+        return full(jnp.sum(jnp.where(m, brow, 0), axis=1, keepdims=True))
+
+    def row(it, carry):
+        j, s, lo_acc, ex_acc = carry
+        r = N - it  # rows N..1
+        brow = bits_scr[pl.ds(r - 1, 1)][0].astype(jnp.int32)  # (TB, N)
+        entering = tl == r  # traceback starts at (t_len, q_len), state H
+        j = jnp.where(entering, ql, j)
+        s = jnp.where(entering, 0, s)
+        active = tl >= r
+
+        # ---- insertion run (H-state jobs only; E-entrants skip) -------
+        def cond(c):
+            running = c[0]
+            return jnp.sum(running) > 0
+
+        def body(c):
+            running, j, n_ins, rs = c
+            b = pickb(brow, j)
+            op = b & 7
+            eff = jnp.where(rs > 0, rs, op)
+            do = running.astype(jnp.bool_) & (eff >= 3) & (j > 0)
+            ext = jnp.where(eff == 3, 32, 64)
+            # F-run continuation flag lives at the CURRENT cell
+            rs = jnp.where(do & ((b & ext) > 0), eff, 0)
+            j = j - do.astype(jnp.int32)
+            n_ins = n_ins + do.astype(jnp.int32)
+            return do.astype(jnp.int32), j, n_ins, rs
+
+        running0 = (active & (s == 0) & (j > 0)).astype(jnp.int32)
+        _, j, n_ins, _ = jax.lax.while_loop(
+            cond, body, (running0, j, zeroN, zeroN)
+        )
+
+        # ---- exit op: one diag or del per row --------------------------
+        b = pickb(brow, j)
+        eff = jnp.where(s > 0, s, b & 7)  # E-entrants keep their state
+        forced = j <= 0  # j exhausted: forced del drain (state resets)
+        is_m = (~forced) & (eff == 0)
+        extbit = jnp.left_shift(8, jnp.maximum(eff - 1, 0))
+        s = jnp.where(
+            (~forced) & (eff >= 1) & (eff <= 2) & ((b & extbit) > 0), eff, 0
+        )
+        j = jnp.where(is_m, j - 1, j)
+
+        lane = (iota_u == (r - 1)) & active
+        lo_acc = jnp.where(lane, n_ins & 255, lo_acc)
+        ex_acc = jnp.where(
+            lane,
+            is_m.astype(jnp.int32) | ((n_ins >> 8) << 1),
+            ex_acc,
+        )
+        return j, s, lo_acc, ex_acc
+
+    init = (zeroN, zeroN, zeroN, zeroN)
+    _, _, lo_acc, ex_acc = jax.lax.fori_loop(0, N, row, init)
+    lo_ref[:, :] = lo_acc.astype(jnp.uint8)
+    ex_ref[:, :] = ex_acc.astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("N", "match", "mismatch", "o1", "e1", "o2", "e2",
@@ -213,6 +333,89 @@ def _fill_and_traceback(
     return packed.astype(jnp.uint8)  # (S//4, B)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("N", "match", "mismatch", "o1", "e1", "o2", "e2",
+                     "interpret"),
+)
+def _fill_and_rowruns(
+    tT: jnp.ndarray,  # (B, N) int32
+    tQ: jnp.ndarray,  # (B, N) int32
+    lens: jnp.ndarray,  # (B, N) int32, lane 0 = t_len, lane 1 = q_len
+    N: int,
+    match: int = 2,
+    mismatch: int = -4,
+    o1: int = 4,
+    e1: int = 2,
+    o2: int = 24,
+    e2: int = 1,
+    interpret: bool = False,
+):
+    B = tT.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _fill_tb_kernel, N=N, match=match, mismatch=mismatch,
+            o1=o1, e1=e1, o2=o2, e2=e2,
+        ),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N), jnp.uint8),
+            jax.ShapeDtypeStruct((B, N), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, TB, N), jnp.uint8)],
+        interpret=interpret,
+    )(tT.astype(jnp.int32), tQ.astype(jnp.int32), lens.astype(jnp.int32))
+
+
+def rowruns_to_packed(lo: np.ndarray, ex: np.ndarray, t_len: np.ndarray,
+                      q_len: np.ndarray, N: int) -> np.ndarray:
+    """(n, N) row-run planes -> the packed 2-bit op stream (S//4, n) the
+    C++ decoder consumes (traceback-emission order: alignment end first,
+    3-padded).  Fully vectorized: one np.repeat scatter for all jobs."""
+    n = lo.shape[0]
+    S = 2 * N
+    lo32 = lo.astype(np.int64)
+    ex32 = ex.astype(np.int64)
+    n_ins = lo32 | (((ex32 >> 1) & 1) << 8)  # (n, N), row l+1 at lane l
+    is_m = ex32 & 1
+    # emission = rows t_len..1: [I x n_ins(r), exit(r)], then [I x j0]
+    n_desc = n_ins[:, ::-1]
+    m_desc = is_m[:, ::-1]
+    cols_r = np.arange(N, 0, -1)[None, :]  # row index per desc column
+    valid = cols_r <= t_len[:, None]
+    n_desc = np.where(valid, n_desc, 0)
+    tot_i = n_desc.sum(axis=1)
+    n_m = np.where(valid, m_desc, 0).sum(axis=1)
+    j0 = q_len.astype(np.int64) - tot_i - n_m
+    L = np.zeros((n, 2 * N + 1), np.int64)
+    C = np.zeros((n, 2 * N + 1), np.uint8)
+    L[:, 0 : 2 * N : 2] = n_desc
+    C[:, 0 : 2 * N : 2] = 1  # I
+    L[:, 1 : 2 * N : 2] = valid.astype(np.int64)
+    C[:, 1 : 2 * N : 2] = np.where(m_desc == 1, 0, 2)  # M / D
+    L[:, 2 * N] = j0
+    C[:, 2 * N] = 1
+    flat = np.repeat(C.ravel(), L.ravel())  # all jobs' streams, in order
+    per_job = L.sum(axis=1)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(per_job[:-1], out=starts[1:])
+    ops = np.full((n, S), 3, np.uint8)
+    within = np.arange(len(flat)) - np.repeat(starts, per_job)
+    ops[np.repeat(np.arange(n), per_job), within] = flat
+    o = ops.T.reshape(S // 4, 4, n).astype(np.int32)  # (S, n) -> packed
+    return (o[:, 0] | (o[:, 1] << 2) | (o[:, 2] << 4)
+            | (o[:, 3] << 6)).astype(np.uint8)
+
+
 class PallasFillAligner:
     """Host-facing mega-batched device fill aligner.
 
@@ -240,15 +443,42 @@ class PallasFillAligner:
     # ------------------------------------------------------------------
     def dispatch_padded(self, tT: np.ndarray, tQ: np.ndarray,
                         t_len: np.ndarray, q_len: np.ndarray, bucket: int):
-        """Async dispatch of one pre-padded (B, bucket) batch: returns the
-        device array handle for the packed traceback stream WITHOUT
-        fetching it.  jax dispatch is asynchronous, so the caller (the
-        fill service's dispatcher thread) can pipeline call N+1 while the
-        downloader thread blocks on ``np.asarray(handle_N)``."""
-        return _fill_and_traceback(
+        """Async dispatch of one pre-padded (B, bucket) batch: returns a
+        handle WITHOUT fetching results.  jax dispatch is asynchronous,
+        so the caller (the fill service's dispatcher thread) pipelines
+        call N+1 while the downloader blocks on ``fetch_packed``.
+
+        Default path: the fused in-kernel row-run traceback (2N B/job
+        download).  VACMAP_TPU_FILL_SCAN=1 falls back to the round-2 XLA
+        gather-scan traceback (same results, ~65 ms/call slower)."""
+        import os
+
+        if os.environ.get("VACMAP_TPU_FILL_SCAN"):
+            h = _fill_and_traceback(
+                jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
+                jnp.asarray(t_len), jnp.asarray(q_len),
+                N=bucket, interpret=self.interpret, **self.kw,
+            )
+            return ("scan", h)
+        B = tT.shape[0]
+        lens = np.zeros((B, bucket), np.int32)
+        lens[:, 0] = t_len
+        lens[:, 1] = q_len
+        lo, ex = _fill_and_rowruns(
             jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
-            jnp.asarray(t_len), jnp.asarray(q_len),
-            N=bucket, interpret=self.interpret, **self.kw,
+            jnp.asarray(lens), N=bucket, interpret=self.interpret, **self.kw,
+        )
+        return ("rowrun", lo, ex, np.asarray(t_len, np.int64),
+                np.asarray(q_len, np.int64), bucket)
+
+    def fetch_packed(self, handle) -> np.ndarray:
+        """Blocking download of a dispatch_padded handle; returns the
+        packed 2-bit op stream (S//4, B) for the C++ decoder."""
+        if handle[0] == "scan":
+            return np.asarray(handle[1])
+        _, lo, ex, t_len, q_len, bucket = handle
+        return rowruns_to_packed(
+            np.asarray(lo), np.asarray(ex), t_len, q_len, bucket
         )
 
     def prewarm(self, batch_sizes: Sequence[int] = (64,),
@@ -263,7 +493,9 @@ class PallasFillAligner:
                 tT[:, 0] = 1
                 tQ[:, 0] = 1
                 lens = np.ones(B, np.int32)
-                np.asarray(self.dispatch_padded(tT, tQ, lens, lens, bucket))
+                self.fetch_packed(
+                    self.dispatch_padded(tT, tQ, lens, lens, bucket)
+                )
 
     # ------------------------------------------------------------------
     def align_batch(self, pairs: List[Tuple[np.ndarray, np.ndarray]],
@@ -310,7 +542,7 @@ class PallasFillAligner:
             tQ[b, : len(q)] = q
             t_len[b] = len(t)
             q_len[b] = len(q)
-        packed = np.asarray(
+        packed = self.fetch_packed(
             self.dispatch_padded(tT, tQ, t_len, q_len, bucket)
         )  # (S//4, B) uint8
         decoded = native.decode_tb_ops(

@@ -203,8 +203,10 @@ class _ServerCore:
             pending, jobs, handles, overflow, resp_put = item
             # per-request routing tables: req -> {bucket: (cols, jidxs)}
             per_req = [dict() for _ in pending]
+            fetch = getattr(self.aligner, "fetch_packed", None)
             for b, h, chunk in handles:
-                packed = np.asarray(h)  # blocking device->host fetch
+                # blocking device->host fetch
+                packed = fetch(h) if fetch is not None else np.asarray(h)
                 for col, k in enumerate(chunk):
                     ri, ji, _, _ = jobs[k]
                     per_req[ri].setdefault(b, ([], []))
