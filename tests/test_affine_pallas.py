@@ -140,3 +140,64 @@ def test_rowrun_traceback_interpret_exact(rng):
                 gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1, eqx=eqx,
             ).cigar
             assert got == want, (i, eqx)
+
+
+def test_native_decode_rowruns_matches_python(rng):
+    """C++ decode_rowruns_batch (planes -> ops, skipping the packed-stream
+    detour) must agree with the packed-python decode on interpret-mode
+    kernel output, both eqx settings."""
+    from vacmap_tpu.ops.affine_pallas import (
+        _decode_packed_python,
+        _fill_and_rowruns,
+        rowruns_to_packed,
+    )
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    N, B = 256, 8
+    pairs = _mutpairs(rng, B, maxlen=N - 16)
+    # one >255-insertion case to exercise the hi bit
+    pairs[0] = (np.array([1, 2], np.uint8),
+                rng.integers(0, 4, N - 3).astype(np.uint8))
+    tT = np.full((B, N), 4, np.int32)
+    tQ = np.full((B, N), 4, np.int32)
+    lens = np.zeros((B, N), np.int32)
+    for i, (t, q) in enumerate(pairs):
+        tT[i, : len(t)] = t
+        tQ[i, : len(q)] = q
+        lens[i, 0] = len(t)
+        lens[i, 1] = len(q)
+    lo, ex = _fill_and_rowruns(tT, tQ, lens, N=N, interpret=True)
+    lo = np.asarray(lo)
+    ex = np.asarray(ex)
+    t_len = lens[:, 0].astype(np.int64)
+    q_len = lens[:, 1].astype(np.int64)
+    packed = rowruns_to_packed(lo, ex, t_len, q_len, N)
+    for eqx in (False, True):
+        want = _decode_packed_python(packed, pairs, eqx=eqx)
+        got = native.decode_rowruns(lo, ex, pairs, eqx=eqx)
+        assert got is not None
+        for i in range(B):
+            assert native.ops_to_cigar(got[i]) == native.ops_to_cigar(want[i])
+
+
+def test_fill_service_rowrun_route(rng):
+    """AsyncFillAligner end-to-end over the interpret-mode rowrun kernel:
+    exercises the tagged "rr" response route (service downloader -> C++
+    plane decoder on the client side) without TPU hardware."""
+    from vacmap_tpu.ops.affine_pallas import PallasFillAligner
+    from vacmap_tpu.parallel.fill_service import AsyncFillAligner
+
+    pa = PallasFillAligner(buckets=(256,), interpret=True)
+    svc = AsyncFillAligner(aligner=pa, buckets=(256,), prewarm=False)
+    try:
+        pairs = _mutpairs(rng, 17, maxlen=250)
+        pairs.append((rng.integers(0, 4, 400).astype(np.uint8),
+                      rng.integers(0, 4, 390).astype(np.uint8)))  # overflow
+        got = svc.align_batch(pairs, eqx=True)
+        want = native.align2p_batch_native(pairs, eqx=True)
+        assert want is not None
+        for g, w in zip(got, want):
+            assert g.cigar == native.ops_to_cigar(w)
+    finally:
+        svc.stop()

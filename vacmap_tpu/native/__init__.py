@@ -430,6 +430,54 @@ def decode_tb_ops(packed: np.ndarray, pairs, eqx: bool = False):
     return [out_ops[meta[i, 0] : meta[i, 0] + meta[i, 1]] for i in range(n)]
 
 
+def decode_rowruns(lo: np.ndarray, ex: np.ndarray, pairs, eqx: bool = False):
+    """Decode the device fill kernel's row-run traceback planes (two
+    (n, N) uint8 rows per job, ops/affine_pallas._fill_tb_kernel) straight
+    into merged (op, len) int32 arrays — skipping the packed-stream
+    re-expansion entirely.  None when lib unavailable."""
+    lib = get_lib()
+    if lib is None or not len(pairs):
+        return None
+    if not hasattr(lib, "_rr_bound"):
+        lib.decode_rowruns_batch.restype = ctypes.c_int
+        lib.decode_rowruns_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._rr_bound = True
+    lo = np.ascontiguousarray(lo, np.uint8)
+    ex = np.ascontiguousarray(ex, np.uint8)
+    n, N = lo.shape
+    if n != len(pairs):
+        return None
+    t_off = np.zeros(n, np.int64)
+    t_len = np.zeros(n, np.int64)
+    q_off = np.zeros(n, np.int64)
+    q_len = np.zeros(n, np.int64)
+    total = 0
+    for i, (t, q) in enumerate(pairs):
+        t_off[i] = total; t_len[i] = len(t); total += len(t)
+        q_off[i] = total; q_len[i] = len(q); total += len(q)
+    seqs = np.empty(max(total, 1), np.uint8)
+    for i, (t, q) in enumerate(pairs):
+        seqs[t_off[i] : t_off[i] + t_len[i]] = t
+        seqs[q_off[i] : q_off[i] + q_len[i]] = q
+    ops_cap = 2 * total + 32 * n
+    out_ops = np.zeros((ops_cap, 2), np.int32)
+    meta = np.zeros((n, 2), np.int64)
+    rc = lib.decode_rowruns_batch(
+        lo.ctypes.data, ex.ctypes.data, N, n,
+        seqs.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+        q_off.ctypes.data, q_len.ctypes.data, 1 if eqx else 0,
+        out_ops.ctypes.data, ops_cap, meta.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return [out_ops[meta[i, 0] : meta[i, 0] + meta[i, 1]] for i in range(n)]
+
+
 def cigar_qspan_native(cigar: str, with_clips: bool):
     lib = get_lib()
     if lib is None:

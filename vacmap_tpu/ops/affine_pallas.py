@@ -471,9 +471,25 @@ class PallasFillAligner:
         return ("rowrun", lo, ex, np.asarray(t_len, np.int64),
                 np.asarray(q_len, np.int64), bucket)
 
+    def fetch(self, handle):
+        """Blocking download of a dispatch_padded handle; returns a tagged
+        result the decode layer dispatches on:
+
+          ("packed", (S//4, B) uint8)  -- 2-bit op stream (scan path)
+          ("rr", lo (B, N) uint8, ex (B, N) uint8)  -- row-run planes
+
+        The rr planes go straight to the C++ decode_rowruns_batch on the
+        consumer side, skipping the packed-stream re-expansion (~20 ms
+        host time per 1k-job batch)."""
+        if handle[0] == "scan":
+            return ("packed", np.asarray(handle[1]))
+        _, lo, ex, t_len, q_len, bucket = handle
+        return ("rr", np.asarray(lo), np.asarray(ex))
+
     def fetch_packed(self, handle) -> np.ndarray:
         """Blocking download of a dispatch_padded handle; returns the
-        packed 2-bit op stream (S//4, B) for the C++ decoder."""
+        packed 2-bit op stream (S//4, B) for the C++ stream decoder
+        (compat/fallback path — fetch() is the production route)."""
         if handle[0] == "scan":
             return np.asarray(handle[1])
         _, lo, ex, t_len, q_len, bucket = handle
@@ -542,17 +558,27 @@ class PallasFillAligner:
             tQ[b, : len(q)] = q
             t_len[b] = len(t)
             q_len[b] = len(q)
-        packed = self.fetch_packed(
-            self.dispatch_padded(tT, tQ, t_len, q_len, bucket)
-        )  # (S//4, B) uint8
-        decoded = native.decode_tb_ops(
-            packed, [pairs[i] for i in idxs], eqx=eqx
-        )
+        handle = self.dispatch_padded(tT, tQ, t_len, q_len, bucket)
+        sub = [pairs[i] for i in idxs]
+        decoded = None
+        fetched = self.fetch(handle)
+        if fetched[0] == "rr":
+            decoded = native.decode_rowruns(
+                fetched[1][: len(idxs)], fetched[2][: len(idxs)], sub,
+                eqx=eqx,
+            )
+            if decoded is None:  # native lib unavailable
+                packed = rowruns_to_packed(
+                    fetched[1], fetched[2], t_len.astype(np.int64),
+                    q_len.astype(np.int64), bucket,
+                )
+        else:
+            packed = fetched[1]
+        if decoded is None:
+            decoded = native.decode_tb_ops(packed, sub, eqx=eqx)
         if decoded is None:
             # native lib unavailable: decode in numpy/python
-            decoded = _decode_packed_python(
-                packed, [pairs[i] for i in idxs], eqx=eqx
-            )
+            decoded = _decode_packed_python(packed, sub, eqx=eqx)
         for b, i in enumerate(idxs):
             ops = decoded[b]
             cig = native.ops_to_cigar(ops)

@@ -201,27 +201,49 @@ class _ServerCore:
             if item is None:
                 break
             pending, jobs, handles, overflow, resp_put = item
-            # per-request routing tables: req -> {bucket: (cols, jidxs)}
+            # per-request routing tables: req -> {(bucket, chunk#): rows}
+            # (chunk# keys stop two same-bucket chunks from merging)
             per_req = [dict() for _ in pending]
-            fetch = getattr(self.aligner, "fetch_packed", None)
-            for b, h, chunk in handles:
+            fetch = getattr(self.aligner, "fetch", None)
+            for ci, (b, h, chunk) in enumerate(handles):
                 # blocking device->host fetch
-                packed = fetch(h) if fetch is not None else np.asarray(h)
-                for col, k in enumerate(chunk):
-                    ri, ji, _, _ = jobs[k]
-                    per_req[ri].setdefault(b, ([], []))
-                    per_req[ri][b][0].append(packed[:, col])
-                    per_req[ri][b][1].append(ji)
+                if fetch is not None:
+                    res = fetch(h)
+                else:
+                    res = ("packed", np.asarray(h))
+                if res[0] == "rr":
+                    lo, ex = res[1], res[2]
+                    for col, k in enumerate(chunk):
+                        ri, ji, _, _ = jobs[k]
+                        slot = per_req[ri].setdefault(
+                            (b, ci), ("rr", [], [], [])
+                        )
+                        slot[1].append(lo[col])
+                        slot[2].append(ex[col])
+                        slot[3].append(ji)
+                else:
+                    packed = res[1]
+                    for col, k in enumerate(chunk):
+                        ri, ji, _, _ = jobs[k]
+                        slot = per_req[ri].setdefault(
+                            (b, ci), ("packed", [], [])
+                        )
+                        slot[1].append(packed[:, col])
+                        slot[2].append(ji)
             for k in overflow:
                 ri, ji, _, _ = jobs[k]
-                per_req[ri].setdefault(-1, ([], []))[1].append(ji)
+                per_req[ri].setdefault((-1, 0), ("host", []))[1].append(ji)
             for ri, (client_id, req_id, _, _) in enumerate(pending):
                 msg = {}
-                for b, (cols, jidxs) in per_req[ri].items():
-                    if b < 0:
-                        msg[b] = (None, jidxs)
+                for key, slot in per_req[ri].items():
+                    if slot[0] == "host":
+                        msg[key] = ("host", slot[1])
+                    elif slot[0] == "rr":
+                        msg[key] = ("rr", np.stack(slot[1]),
+                                    np.stack(slot[2]), slot[3])
                     else:
-                        msg[b] = (np.stack(cols, axis=1), jidxs)
+                        msg[key] = ("packed", np.stack(slot[1], axis=1),
+                                    slot[2])
                 resp_put(client_id, (req_id, msg))
 
 
@@ -231,26 +253,40 @@ class _ServerCore:
 
 
 def decode_response(msg, pairs, eqx: bool):
-    """(bucket -> (packed_cols, job_idxs)) + original pairs -> AlignResult
-    list (host-aligning any jobs the device bounced)."""
+    """Tagged per-chunk slots ({key: ("rr", lo, ex, jidxs) | ("packed",
+    cols, jidxs) | ("host", jidxs)}) + original pairs -> AlignResult list
+    (host-aligning any jobs the device bounced).  The "rr" route feeds
+    the device's row-run traceback planes straight to the C++
+    decode_rowruns_batch — no packed-stream re-expansion."""
     from .. import native
-    from ..ops.affine_pallas import _decode_packed_python
+    from ..ops.affine_pallas import _decode_packed_python, rowruns_to_packed
     from ..ops.affine_ref import AlignResult, align2p
 
     results: List[Optional[AlignResult]] = [None] * len(pairs)
-    for b, (packed, jidxs) in msg.items():
-        if b < 0 or packed is None:
-            for ji in jidxs:
+    for slot in msg.values():
+        if slot[0] == "host":
+            for ji in slot[1]:
                 t, q = pairs[ji]
                 results[ji] = align2p(
                     t, q, match=2, mismatch=-4, gap_open_1=4, gap_extend_1=2,
                     gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1, eqx=eqx,
                 )
             continue
-        sub = [pairs[ji] for ji in jidxs]
-        decoded = native.decode_tb_ops(packed, sub, eqx=eqx)
-        if decoded is None:
-            decoded = _decode_packed_python(packed, sub, eqx=eqx)
+        if slot[0] == "rr":
+            _, lo, ex, jidxs = slot
+            sub = [pairs[ji] for ji in jidxs]
+            decoded = native.decode_rowruns(lo, ex, sub, eqx=eqx)
+            if decoded is None:  # native lib unavailable
+                t_len = np.array([len(t) for t, _ in sub], np.int64)
+                q_len = np.array([len(q) for _, q in sub], np.int64)
+                packed = rowruns_to_packed(lo, ex, t_len, q_len, lo.shape[1])
+                decoded = _decode_packed_python(packed, sub, eqx=eqx)
+        else:
+            _, packed, jidxs = slot
+            sub = [pairs[ji] for ji in jidxs]
+            decoded = native.decode_tb_ops(packed, sub, eqx=eqx)
+            if decoded is None:
+                decoded = _decode_packed_python(packed, sub, eqx=eqx)
         for col, ji in enumerate(jidxs):
             t, q = pairs[ji]
             cig = native.ops_to_cigar(decoded[col])
