@@ -245,3 +245,17 @@ def test_cli_device_fills_fork_matches_host(cli_world, monkeypatch):
 
     assert body(dev_out) == body(host_out)
     assert len(body(dev_out)) == 3
+
+
+def test_cli_multiprocess_sam_single_header(cli_world):
+    """SAM through the writer process must carry exactly one header: the
+    writer used to be constructed pre-fork, leaving the header text in a
+    buffered handle that every forked process flushed at exit."""
+    d, ref, reads, genome = cli_world
+    out = d / "hdr.sam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "2",
+                  "-o", out, "--force"])
+    assert rc == 0
+    text = open(out).read().splitlines()
+    assert sum(1 for l in text if l.startswith("@HD")) == 1
+    assert sum(1 for l in text if l.startswith("@PG")) == 1

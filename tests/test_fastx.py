@@ -69,3 +69,22 @@ def test_native_reader_matches_python(tmp_path):
             nat = list(native.fastx_read_native(str(path), rc))
             py = python_read(path, rc)
             assert nat == py, (path, rc, nat, py)
+
+
+def test_native_reader_record_larger_than_chunk(tmp_path):
+    """A record bigger than the chunk buffer must survive the grow-retry:
+    the reader used to return -2 without marking the parsed record
+    pending, silently dropping any contig larger than the chunk (the
+    default 8 MB — every real genome contig)."""
+    from vacmap_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    big = "ACGT" * 2000  # 8 kb >> 1 kb chunk
+    p = tmp_path / "big.fa"
+    p.write_text(f">s1\nACGT\n>big\n{big}\n>s2\nGGCC\n")
+    recs = list(native.fastx_read_native(str(p), False, chunk_bytes=1024))
+    assert [(n, len(s)) for n, s in recs] == [("s1", 4), ("big", 8000),
+                                             ("s2", 4)]
+    assert recs[1][1] == big

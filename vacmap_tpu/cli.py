@@ -264,7 +264,11 @@ def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
     cooked_q.put(1)  # per-worker done sentinel
 
 
-def _writer(cooked_q, writer: OutputWriter, n_workers: int):
+def _writer(cooked_q, path, header, n_workers: int):
+    # the writer is constructed HERE, in the writer process: building it
+    # pre-fork leaves the header in a buffered handle that every forked
+    # process flushes at exit (duplicate headers in the output)
+    writer = OutputWriter(path, header)
     done = 0
     while done < n_workers:
         item = cooked_q.get()
@@ -337,7 +341,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                                 not args.nowriteindex, lowmem=args.lowmem)
     mapper0 = Mapper(index, cfg)
     header = mapper0.header_lines(cli=" ".join(sys.argv))
-    writer = OutputWriter(args.o, header)
 
     n_workers = max(cfg.threads, 1)
     if cfg.mode == "asm":
@@ -356,6 +359,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         runtime.enable_compilation_cache()
         ex = BatchExecutor(mapper0, device_fills=want_fills)
+        writer = OutputWriter(args.o, header)
 
         def counted():
             nonlocal count
@@ -377,6 +381,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # the device-owning service runs in a child process even for one
         # worker: jax init / Mosaic prewarm never blocks the read loop,
         # and the client host-fills until the service reports ready
+        writer = OutputWriter(args.o, header)
         dfa = None
         fill_handle1 = None
         if want_fills:
@@ -438,7 +443,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         ]
         for w in workers:
             w.start()
-        wproc = ctx.Process(target=_writer, args=(cooked_q, writer, n_workers))
+        wproc = ctx.Process(target=_writer,
+                            args=(cooked_q, args.o, header, n_workers))
         wproc.start()
         for rec in _dedup_records(read_paths, cfg, shard=shard):
             name, seq = rec[0], rec[1]

@@ -1594,8 +1594,8 @@ extern "C" int64_t fastx_read_chunk(void* hp, char* out_chars, int64_t cap,
     const int64_t need = (int64_t)(name.size() + comment.size() +
                                    seq.size() + qual.size());
     if (w + need > cap) {
-      if (n == 0) return -2;  // caller grows the buffer and retries
       h->pending = true;      // emit this record on the next call
+      if (n == 0) return -2;  // caller grows the buffer and retries
       break;
     }
     h->pending = false;
