@@ -1,0 +1,87 @@
+"""Pre-warm the persistent XLA/Mosaic compilation cache.
+
+    python -m vacmap_tpu.prewarm [--fills] [--chain] [--all]
+
+A cache-cold production run eats the Mosaic fill-kernel compiles
+(minutes per shape on a relay-attached chip) at startup; this tool
+populates ``~/.cache/vacmap_tpu_xla`` (or $VACMAP_TPU_CACHE) with the
+shipped shape universe once per machine so every later CLI / service
+start is seconds.  Counterpart of the reference's (dead) numba warm-up
+call (mammap_clrnano.py JIT warm-up); here the warm state is a real
+on-disk artifact shared by all processes.
+
+Shapes compiled:
+  fills  — the fill service's dispatch shapes (fill_service.DEFAULT_SHAPE_B)
+  chain  — the batched executor's chain-scan buckets (executor.N_BUCKETS)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def prewarm_fills() -> None:
+    from .ops.affine_pallas import PallasFillAligner
+    from .parallel.fill_service import DEFAULT_SHAPE_B
+
+    pa = PallasFillAligner()
+    for bucket, B in sorted(DEFAULT_SHAPE_B.items()):
+        t0 = time.time()
+        pa.prewarm(batch_sizes=(B,), buckets=(bucket,))
+        print(f"fill kernel (B={B}, N={bucket}): {time.time() - t0:.1f}s",
+              flush=True)
+
+
+def prewarm_chain() -> None:
+    import numpy as np
+
+    from .ops.chain_jax import chain_scores_batch, prepare_batch
+    from .pipeline.executor import N_BUCKETS
+
+    rng = np.random.default_rng(0)
+    for n in N_BUCKETS:
+        t0 = time.time()
+        a = np.zeros((n, 4), np.int32)
+        a[:, 0] = np.sort(rng.integers(0, 10_000, n))
+        a[:, 1] = rng.integers(0, 10_000, n)
+        a[:, 3] = 15
+        for variant in ("global", "fast"):
+            batch = prepare_batch([a], variant, 40.0, 50)
+            S, P = chain_scores_batch(*batch)
+            S.block_until_ready()
+        print(f"chain scan (N={n}): {time.time() - t0:.1f}s", flush=True)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vacmap-tpu prewarm",
+                                description=__doc__.splitlines()[0])
+    p.add_argument("--fills", action="store_true")
+    p.add_argument("--chain", action="store_true")
+    p.add_argument("--all", action="store_true")
+    args = p.parse_args(argv)
+    if not (args.fills or args.chain):
+        args.all = True
+    import jax
+
+    from .parallel import runtime
+
+    runtime.enable_compilation_cache()
+    print(f"backend: {jax.default_backend()}", flush=True)
+    if jax.default_backend() == "cpu":
+        print("no accelerator: nothing to prewarm for the Mosaic kernels")
+        if not (args.all or args.chain):
+            return 0
+    t0 = time.time()
+    if args.all or args.fills:
+        if jax.default_backend() != "cpu":
+            prewarm_fills()
+    if args.all or args.chain:
+        prewarm_chain()
+    print(f"cache warm in {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
