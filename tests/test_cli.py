@@ -206,20 +206,26 @@ def test_cli_multihost_read_sharding(cli_world, tmp_path):
                     if not l.startswith("@")}
     assert names_single == {f"m{i}" for i in range(6)}
 
-    got = {}
-    for pid in (0, 1):
-        out = tmp_path / "mh.sam"
-        rc = run_cli(["-ref", ref, "-read", many, "-mode", "H", "-t", "1",
-                      "-o", out, "--force", "--nowriteindex",
-                      "--num-processes", "2", "--process-id", str(pid)])
-        assert rc == 0
-        part = tmp_path / f"mh.part{pid}.sam"
-        assert part.exists()
-        got[pid] = {l.split("\t")[0] for l in part.read_text().splitlines()
-                    if not l.startswith("@")}
-    assert got[0] == {"m0", "m2", "m4"}
-    assert got[1] == {"m1", "m3", "m5"}
-    assert (got[0] | got[1]) == names_single
+    # process 1 first (its part survives until process 0 merges)
+    out = tmp_path / "mh.sam"
+    rc = run_cli(["-ref", ref, "-read", many, "-mode", "H", "-t", "1",
+                  "-o", out, "--force", "--nowriteindex",
+                  "--num-processes", "2", "--process-id", "1"])
+    assert rc == 0
+    part1 = tmp_path / "mh.part1.sam"
+    assert part1.exists()
+    got1 = {l.split("\t")[0] for l in part1.read_text().splitlines()
+            if not l.startswith("@")}
+    assert got1 == {"m1", "m3", "m5"}
+    rc = run_cli(["-ref", ref, "-read", many, "-mode", "H", "-t", "1",
+                  "-o", out, "--force", "--nowriteindex",
+                  "--num-processes", "2", "--process-id", "0"])
+    assert rc == 0
+    # process 0 merged both parts into the single reference-style output
+    merged = {l.split("\t")[0] for l in out.read_text().splitlines()
+              if not l.startswith("@")}
+    assert merged == names_single
+    assert not part1.exists()
 
 
 def test_cli_device_fills_fork_matches_host(cli_world, monkeypatch):
@@ -259,3 +265,62 @@ def test_cli_multiprocess_sam_single_header(cli_world):
     text = open(out).read().splitlines()
     assert sum(1 for l in text if l.startswith("@HD")) == 1
     assert sum(1 for l in text if l.startswith("@PG")) == 1
+
+
+@pytest.mark.parametrize("ext", ["sam", "bam", "sorted.bam"])
+def test_cli_multihost_merged_output(cli_world, ext):
+    """Multi-host runs produce ONE merged output like the reference:
+    each process writes <out>.partI + a .done sentinel; process 0 waits
+    and merges (SAM header-dedup / BAM raw-record restream / sorted-BAM
+    coordinate heap-merge)."""
+    d, ref, reads, genome = cli_world
+    out = d / f"mh.{ext}"
+    # process 1 first so process 0's merge wait is satisfied immediately
+    for pid in (1, 0):
+        rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "1",
+                      "-o", out, "--force", "--num-processes", "2",
+                      "--process-id", pid])
+        assert rc == 0
+    assert os.path.exists(out)
+    assert not any(".part" in f for f in os.listdir(d))
+    if ext == "sam":
+        lines = [l for l in open(out).read().splitlines()]
+        assert sum(1 for l in lines if l.startswith("@HD")) == 1
+        recs = [l for l in lines if not l.startswith("@")]
+        assert len(recs) == 3
+    else:
+        from vacmap_tpu.io.bam_reader import read_bam
+
+        recs = list(read_bam(str(out)))
+        assert len(recs) == 3
+        if ext == "sorted.bam":
+            from vacmap_tpu.io.merge_parts import raw_bam_records
+
+            poss = [(rid, pos) for rid, pos, _ in raw_bam_records(str(out))]
+            assert poss == sorted(poss)
+    names = sorted(r.split("\t")[0] if ext == "sam" else r[0] for r in recs)
+    assert names == ["rd0", "rd1", "rd2"]
+
+
+def test_cli_multihost_file_sharding(cli_world, tmp_path):
+    """With >= num-processes input files, whole files shard across
+    processes (1/N input I/O per host) and the merged output still
+    covers every read exactly once."""
+    d, ref, reads, genome = cli_world
+    files = []
+    for j in range(2):
+        f = tmp_path / f"in{j}.fa"
+        with open(f, "w") as fh:
+            for i in range(2):
+                st = 4_000 + (2 * j + i) * 9_000
+                fh.write(f">f{j}_{i}\n{genome[st : st + 4_000]}\n")
+        files.append(f)
+    out = tmp_path / "fs.sam"
+    for pid in (1, 0):
+        rc = run_cli(["-ref", ref, "-read", files[0], files[1], "-mode", "H",
+                      "-t", "1", "-o", out, "--force", "--nowriteindex",
+                      "--num-processes", "2", "--process-id", str(pid)])
+        assert rc == 0
+    names = sorted(l.split("\t")[0] for l in out.read_text().splitlines()
+                   if not l.startswith("@"))
+    assert names == ["f0_0", "f0_1", "f1_0", "f1_1"]

@@ -196,6 +196,18 @@ def _dedup_records(paths, cfg, shard=(0, 1)):
     surviving records round-robin over processes — the multi-host analog
     of the reference's queue-pull data parallelism (vacmap:390-420)."""
     pid, n_proc = shard
+    if n_proc > 1 and len(paths) >= n_proc:
+        # enough input files: shard whole FILES so each host parses only
+        # ~1/N of the input bytes (a multi-host run over the reference's
+        # own 170 GB workload otherwise parses everything N times).
+        # Dedup is per-process here; duplicate read names split across
+        # different hosts' files are not cross-deduplicated (the
+        # round-robin path below keeps the reference's global-dedup
+        # semantics when that matters).
+        mine = paths[pid::n_proc]
+        log.info("process %d/%d reads %d/%d input files", pid, n_proc,
+                 len(mine), len(paths))
+        paths, pid, n_proc = mine, 0, 1
     seen = set()
     i = 0
     for path in paths:
@@ -300,8 +312,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_proc = args.num_processes or 1
     proc_id = args.process_id or 0
     shard = (proc_id, n_proc)
+    final_out = args.o
     if n_proc > 1 and args.o != "-":
-        # per-process outputs, merged externally (samtools cat/merge)
+        # per-process parts on the shared output directory; process 0
+        # merges them into the single file the reference produces once
+        # every part's .done sentinel appears (io/merge_parts.py)
         base, ext = args.o, ""
         for suffix in (".sorted.bam", ".sam", ".bam"):
             if args.o.endswith(suffix):
@@ -367,12 +382,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 count += 1
                 yield rec
 
-        for lines in ex.map_stream(
-            counted(), cfg.batch_reads, n_threads=cfg.threads
-        ):
-            if lines:
-                writer.write_lines(lines)
-        writer.close()
+        try:
+            for lines in ex.map_stream(
+                counted(), cfg.batch_reads, n_threads=cfg.threads
+            ):
+                if lines:
+                    writer.write_lines(lines)
+        finally:
+            writer.close()
+            ex.close()
     elif n_workers == 1:
         from collections import deque
 
@@ -467,6 +485,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         import shutil
 
         shutil.rmtree(created_workdir, ignore_errors=True)
+    if n_proc > 1 and final_out != "-":
+        from .io.merge_parts import finish_multihost
+
+        finish_multihost(final_out, args.o, proc_id, n_proc)
+        if proc_id == 0:
+            log.info("merged %d parts into %s", n_proc, final_out)
     dt = max(time.time() - st, 1e-3)
     log.info(
         "Done: %d sequences in %dh%dm%ds (%.1f/s)",

@@ -388,8 +388,14 @@ class AsyncFillAligner:
             raise RuntimeError("device fill service timed out")
         return decode_response(box["msg"], pairs, eqx)
 
-    def stop(self):
+    def stop(self, timeout: float = 10.0):
+        """Drain and join the pipeline threads.  Joining matters at
+        process exit: a dispatcher thread still inside a device call
+        while the main thread destroys the TPU client dies in C++
+        (terminate called ...) instead of Python."""
         self.req_q.put(None)
+        for t in self._threads:
+            t.join(timeout=timeout)
 
 
 # ---------------------------------------------------------------------------

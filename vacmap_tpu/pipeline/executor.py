@@ -47,12 +47,22 @@ class BatchExecutor:
         # TPU present: base-level CIGAR fills run on device too — the
         # Pallas fill kernel behind a cross-read aggregator (the finish
         # threads' per-read batches merge into mega-calls)
+        self._owned_fill_aligner = None
         if device_fills and mapper.global_aligner is None:
             from ..parallel.fill_service import async_fill_aligner
 
             dfa = async_fill_aligner()
             if dfa is not None:
                 mapper.global_aligner = dfa
+                self._owned_fill_aligner = dfa
+
+    def close(self):
+        """Stop the in-process fill service pipeline (if this executor
+        started one) so its threads are not mid-device-call when the
+        interpreter tears the TPU client down."""
+        if self._owned_fill_aligner is not None:
+            self._owned_fill_aligner.stop()
+            self._owned_fill_aligner = None
 
     # ------------------------------------------------------------------
     def _device_chain(self, arrays: List[np.ndarray], variant: str,
