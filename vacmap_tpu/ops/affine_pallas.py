@@ -442,7 +442,8 @@ class PallasFillAligner:
 
     # ------------------------------------------------------------------
     def dispatch_padded(self, tT: np.ndarray, tQ: np.ndarray,
-                        t_len: np.ndarray, q_len: np.ndarray, bucket: int):
+                        t_len: np.ndarray, q_len: np.ndarray, bucket: int,
+                        n_used: Optional[int] = None):
         """Async dispatch of one pre-padded (B, bucket) batch: returns a
         handle WITHOUT fetching results.  jax dispatch is asynchronous,
         so the caller (the fill service's dispatcher thread) pipelines
@@ -468,6 +469,18 @@ class PallasFillAligner:
             jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
             jnp.asarray(lens), N=bucket, interpret=self.interpret, **self.kw,
         )
+        # download only the occupied rows: sub-full batches pad the
+        # BATCH dim to the compiled shape, and on a relay-attached chip
+        # the device->host fetch is the dominant per-call cost.  The
+        # slice length quantizes to powers of two so the slice-op shape
+        # universe stays tiny (each new shape is a compile).
+        if n_used is not None and n_used < lo.shape[0]:
+            n_dl = 32
+            while n_dl < n_used:
+                n_dl *= 2
+            if n_dl < lo.shape[0]:
+                lo, ex = lo[:n_dl], ex[:n_dl]
+                t_len, q_len = t_len[:n_dl], q_len[:n_dl]
         return ("rowrun", lo, ex, np.asarray(t_len, np.int64),
                 np.asarray(q_len, np.int64), bucket)
 

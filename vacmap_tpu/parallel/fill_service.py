@@ -190,27 +190,52 @@ class _ServerCore:
                     tQ[col, : len(q)] = q
                     t_len[col] = len(t)
                     q_len[col] = len(q)
-                h = self.aligner.dispatch_padded(tT, tQ, t_len, q_len, b)
+                try:
+                    h = self.aligner.dispatch_padded(
+                        tT, tQ, t_len, q_len, b, n_used=len(chunk)
+                    )
+                except TypeError:  # aligners without n_used support
+                    h = self.aligner.dispatch_padded(tT, tQ, t_len, q_len, b)
                 handles.append((b, h, chunk))
         self.inflight.put((pending, jobs, handles, overflow, resp_put))
 
     # -- downloader ----------------------------------------------------
     def run_download(self):
+        import time as _time
+
+        stats_path = os.environ.get("VACMAP_TPU_FILL_STATS")
+        n_calls = n_jobs_t = n_reqs = 0
+        fetch_s = 0.0
+        t_start = _time.monotonic()
         while True:
             item = self.inflight.get()
             if item is None:
+                if stats_path:
+                    dt = max(_time.monotonic() - t_start, 1e-9)
+                    with open(stats_path, "w") as fh:
+                        fh.write(
+                            "calls=%d reqs=%d jobs=%d jobs/call=%.1f "
+                            "fetch_ms/call=%.1f wall_s=%.1f\n"
+                            % (n_calls, n_reqs, n_jobs_t,
+                               n_jobs_t / max(n_calls, 1),
+                               fetch_s * 1e3 / max(n_calls, 1), dt))
                 break
             pending, jobs, handles, overflow, resp_put = item
             # per-request routing tables: req -> {(bucket, chunk#): rows}
             # (chunk# keys stop two same-bucket chunks from merging)
             per_req = [dict() for _ in pending]
             fetch = getattr(self.aligner, "fetch", None)
+            n_reqs += len(pending)
             for ci, (b, h, chunk) in enumerate(handles):
+                n_calls += 1
+                n_jobs_t += len(chunk)
+                _t0 = _time.monotonic()
                 # blocking device->host fetch
                 if fetch is not None:
                     res = fetch(h)
                 else:
                     res = ("packed", np.asarray(h))
+                fetch_s += _time.monotonic() - _t0
                 if res[0] == "rr":
                     lo, ex = res[1], res[2]
                     for col, k in enumerate(chunk):

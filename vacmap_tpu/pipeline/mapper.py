@@ -202,6 +202,7 @@ class Mapper:
                 rebuild_dup_overlap=p.rebuild_dup_overlap,
                 rebuild_small_alignment=p.rebuild_small_alignment,
                 split_force_gap=p.split_force_gap,
+                defer_fill=defer,
             )
 
         def _finish(result):
