@@ -1,8 +1,10 @@
 """A/B the production fork-worker deployment: host fills vs the async
 device fill service (round-3 measurement for VERDICT item 1).
 
-Generates a bench-identical workload to FASTA/FASTQ, then runs the real
-CLI twice (-t N, --device-fills off / on) and reports wall throughput.
+Generates a bench-identical workload to FASTA/FASTQ, prebuilds the
+index (so neither timed run pays it), then runs the real CLI twice
+(-t N, --device-fills off / on) and reports wall throughput.  Device
+activation is verified through the service stats file, not log grep.
 """
 
 import json
@@ -24,39 +26,49 @@ WORK = sys.argv[4] if len(sys.argv) > 4 else "/tmp/vacmap_dfbench"
 
 def make_workload():
     os.makedirs(WORK, exist_ok=True)
-    ref = f"{WORK}/ref.fa"
-    fq = f"{WORK}/reads.fq"
-    if os.path.exists(ref) and os.path.exists(fq):
-        return ref, fq
-    rng = np.random.default_rng(20260817)
-    glen = int(GENOME_MB * 1e6)
-    g = bench.make_genome_codes(rng, glen)
-    with open(ref, "w") as f:
-        f.write(">chr1\n")
-        f.write(bench.codes_to_str(g))
-        f.write("\n")
-    with open(fq, "w") as f:
-        for i in range(N_READS):
-            st = int(rng.integers(0, glen - bench.READ_LEN - 4000))
-            frag = g[st : st + bench.READ_LEN].copy()
-            kind = i % 3
-            if kind == 1:
-                a, b = bench.READ_LEN // 3, 2 * bench.READ_LEN // 3
-                frag[a:b] = bench.revcomp_codes(frag[a:b])
-            elif kind == 2:
-                a = bench.READ_LEN // 2
-                frag = np.concatenate(
-                    [frag[:a], g[st + a + 3000 : st + bench.READ_LEN + 3000]]
-                )
-            s = bench.codes_to_str(bench.mutate_codes(rng, frag, bench.ERR))
-            f.write(f"@read_{i}\n{s}\n+\n{'I' * len(s)}\n")
-    return ref, fq
+    tag = f"{GENOME_MB}_{N_READS}"
+    ref = f"{WORK}/ref_{tag}.fa"
+    fq = f"{WORK}/reads_{tag}.fq"
+    vmi = f"{WORK}/ref_{tag}.vmi"
+    if not (os.path.exists(ref) and os.path.exists(fq)):
+        rng = np.random.default_rng(20260817)
+        glen = int(GENOME_MB * 1e6)
+        g = bench.make_genome_codes(rng, glen)
+        with open(ref, "w") as f:
+            f.write(">chr1\n")
+            f.write(bench.codes_to_str(g))
+            f.write("\n")
+        with open(fq, "w") as f:
+            for i in range(N_READS):
+                st = int(rng.integers(0, glen - bench.READ_LEN - 4000))
+                frag = g[st : st + bench.READ_LEN].copy()
+                kind = i % 3
+                if kind == 1:
+                    a, b = bench.READ_LEN // 3, 2 * bench.READ_LEN // 3
+                    frag[a:b] = bench.revcomp_codes(frag[a:b])
+                elif kind == 2:
+                    a = bench.READ_LEN // 2
+                    frag = np.concatenate(
+                        [frag[:a], g[st + a + 3000 : st + bench.READ_LEN + 3000]]
+                    )
+                s = bench.codes_to_str(bench.mutate_codes(rng, frag, bench.ERR))
+                f.write(f"@read_{i}\n{s}\n+\n{'I' * len(s)}\n")
+    if not os.path.exists(os.path.join(vmi, "meta.json")):
+        subprocess.run(
+            [sys.executable, "-m", "vacmap_tpu.index", ref, vmi],
+            check=True, timeout=1800,
+        )
+    return vmi, fq
 
 
 def run(ref, fq, fills, label):
     out = f"{WORK}/out_{label}.sam"
+    stats = f"{WORK}/fill_stats_{label}.txt"
     env = dict(os.environ)
     env.pop("VACMAP_TPU_NO_FILL_SERVER", None)
+    env["VACMAP_TPU_FILL_STATS"] = stats
+    if os.path.exists(stats):
+        os.remove(stats)
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-m", "vacmap_tpu.cli", "-ref", ref, "-read", fq,
@@ -69,9 +81,8 @@ def run(ref, fq, fills, label):
         print(r.stderr[-3000:])
         raise SystemExit(f"{label} failed rc={r.returncode}")
     n = sum(1 for l in open(out) if not l.startswith("@"))
-    # fill-service activation is logged by the CLI
-    active = "device fill service active" in r.stderr
-    return dt, n, active
+    st = open(stats).read().strip() if os.path.exists(stats) else ""
+    return dt, n, st
 
 
 def main():
@@ -79,12 +90,12 @@ def main():
     tot_bases = N_READS * bench.READ_LEN
     res = {}
     for label, fills in (("host", "off"), ("device", "on")):
-        dt, n, active = run(ref, fq, fills, label)
+        dt, n, st = run(ref, fq, fills, label)
         res[label] = {
             "wall_s": round(dt, 1),
             "mbp_per_s": round(tot_bases / dt / 1e6, 3),
             "records": n,
-            "fill_service_active": active,
+            "fill_stats": st,
         }
         print(json.dumps({label: res[label]}), flush=True)
     if "device" in res and "host" in res:

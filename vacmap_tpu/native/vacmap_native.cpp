@@ -2195,3 +2195,193 @@ extern "C" int align2p_batch_native(
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Multithreaded minimizer sketch + fully-native sorted index table.
+//
+// TPU-native replacement for the reference's minimap2-backed index build
+// (vacmap:331 `mp.Aligner(..., fn_idx_out=...)`).  The sequence is split
+// into overlapping kmer segments; a position p is emitted by the ONE
+// segment that contains ALL windows covering p (window starts p-w+1..p),
+// i.e. segment kmer range [a, b) emits p in [a+w-1, b-w] (first segment
+// from 0, last to the end).  Consecutive segments overlap by 2w-2 kmers
+// so emit ranges tile the sequence exactly: the union equals the
+// single-thread selection, disjoint, position-ascending -- no dedup.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <atomic>
+
+extern "C" int64_t minimizer_sketch(const uint8_t*, int64_t, int, int,
+                                    int64_t*, int64_t*, int8_t*);
+
+namespace {
+
+struct SketchPart {
+  std::vector<int64_t> hash, pos;
+  std::vector<int8_t> strand;
+};
+
+// segment bounds in kmer space for nseg segments over nk kmers
+static void sketch_segment(const uint8_t* seq, int64_t n, int k, int w,
+                           int64_t a, int64_t b, int64_t emit_lo,
+                           int64_t emit_hi, SketchPart* out) {
+  // bases for kmer range [a, b): a .. b + k - 1
+  const int64_t base_lo = a, base_hi = std::min<int64_t>(n, b + k - 1);
+  const int64_t nseq = base_hi - base_lo;
+  const int64_t cap = nseq;
+  std::vector<int64_t> oh(cap), op(cap);
+  std::vector<int8_t> os(cap);
+  const int64_t m = minimizer_sketch(seq + base_lo, nseq, k, w, oh.data(),
+                                     op.data(), os.data());
+  out->hash.reserve(m);
+  out->pos.reserve(m);
+  out->strand.reserve(m);
+  for (int64_t i = 0; i < m; i++) {
+    const int64_t p = op[i] + base_lo;
+    if (p >= emit_lo && p <= emit_hi) {
+      out->hash.push_back(oh[i]);
+      out->pos.push_back(p);
+      out->strand.push_back(os[i]);
+    }
+  }
+}
+
+static std::vector<SketchPart> sketch_parallel(const uint8_t* seq, int64_t n,
+                                               int k, int w, int nthreads) {
+  const int64_t nk = n - k + 1;
+  std::vector<SketchPart> parts;
+  if (nk <= 0) return parts;
+  int64_t nseg = nthreads;
+  const int64_t MIN_SEG = 4 * (int64_t)w + 64;  // below this, ST is fine
+  while (nseg > 1 && nk / nseg < MIN_SEG) nseg--;
+  parts.resize(nseg);
+  const int64_t ov = 2 * (int64_t)w - 2;
+  std::vector<std::thread> ts;
+  int64_t per = (nk + nseg - 1) / nseg;
+  for (int64_t s = 0; s < nseg; s++) {
+    // emit range [e_lo, e_hi]; segment kmers [a, b)
+    const int64_t e_lo = (s == 0) ? 0 : s * per;
+    const int64_t e_hi = (s == nseg - 1) ? nk - 1
+                                         : std::min(nk - 1, (s + 1) * per - 1);
+    if (e_lo > e_hi) continue;
+    const int64_t a = std::max<int64_t>(0, e_lo - (w - 1));
+    const int64_t b = std::min<int64_t>(nk, e_hi + w);  // kmer b-1 = e_hi+w-1
+    ts.emplace_back(sketch_segment, seq, n, k, w, a, b, e_lo, e_hi,
+                    &parts[s]);
+  }
+  for (auto& t : ts) t.join();
+  return parts;
+}
+
+}  // namespace
+
+extern "C" int64_t minimizer_sketch_mt(
+    const uint8_t* seq, int64_t n, int k, int w, int nthreads,
+    int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
+  if (n < k) return 0;
+  if (nthreads <= 1)
+    return minimizer_sketch(seq, n, k, w, out_hash, out_pos, out_strand);
+  auto parts = sketch_parallel(seq, n, k, w, nthreads);
+  int64_t m = 0;
+  for (auto& p : parts) {
+    const int64_t c = (int64_t)p.pos.size();
+    std::copy(p.hash.begin(), p.hash.end(), out_hash + m);
+    std::copy(p.pos.begin(), p.pos.end(), out_pos + m);
+    std::copy(p.strand.begin(), p.strand.end(), out_strand + m);
+    m += c;
+  }
+  return m;
+}
+
+// Full sorted index table: MT sketch -> scatter into 256 buckets on the
+// top 8 bits of the 2k-bit hash -> per-bucket stable sort by hash (pos
+// order preserved within equal hashes because the scatter is in position
+// order).  Output = (hash asc, pos asc), bit-identical to the numpy
+// argsort path in index/index.py::build.  Returns count, or -needed if
+// cap is too small.
+extern "C" int64_t index_build_sorted(
+    const uint8_t* seq, int64_t n, int k, int w, int nthreads, int64_t cap,
+    int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
+  if (n < k) return 0;
+  auto parts = sketch_parallel(seq, n, k, w, std::max(nthreads, 1));
+  int64_t total = 0;
+  for (auto& p : parts) total += (int64_t)p.pos.size();
+  if (total > cap) return -total;
+  const int shift = std::max(0, 2 * k - 8);
+  const int NB = 256;
+  // counts per (part, bucket) -> per-bucket offsets with parts in order
+  std::vector<int64_t> cnt(parts.size() * NB, 0);
+  for (size_t s = 0; s < parts.size(); s++)
+    for (int64_t i = 0; i < (int64_t)parts[s].hash.size(); i++)
+      cnt[s * NB + ((uint64_t)parts[s].hash[i] >> shift)]++;
+  std::vector<int64_t> bucket_off(NB + 1, 0);
+  for (int b = 0; b < NB; b++) {
+    int64_t c = 0;
+    for (size_t s = 0; s < parts.size(); s++) c += cnt[s * NB + b];
+    bucket_off[b + 1] = bucket_off[b] + c;
+  }
+  // scatter (parallel over parts would race per bucket; do parts serially
+  // per bucket by precomputing (part, bucket) write offsets)
+  std::vector<int64_t> woff(parts.size() * NB);
+  for (int b = 0; b < NB; b++) {
+    int64_t o = bucket_off[b];
+    for (size_t s = 0; s < parts.size(); s++) {
+      woff[s * NB + b] = o;
+      o += cnt[s * NB + b];
+    }
+  }
+  {
+    std::vector<std::thread> ts;
+    for (size_t s = 0; s < parts.size(); s++) {
+      ts.emplace_back([&, s]() {
+        std::vector<int64_t> o(woff.begin() + s * NB,
+                               woff.begin() + (s + 1) * NB);
+        const auto& p = parts[s];
+        for (int64_t i = 0; i < (int64_t)p.hash.size(); i++) {
+          const int b = (int)((uint64_t)p.hash[i] >> shift);
+          const int64_t at = o[b]++;
+          out_hash[at] = p.hash[i];
+          out_pos[at] = p.pos[i];
+          out_strand[at] = p.strand[i];
+        }
+      });
+    }
+    for (auto& t : ts) t.join();
+  }
+  // per-bucket stable sort by hash via index permutation (values already
+  // position-ascending within each bucket)
+  {
+    std::atomic<int> next{0};
+    auto work = [&]() {
+      std::vector<int32_t> idx;
+      std::vector<int64_t> th, tp;
+      std::vector<int8_t> ts_;
+      for (;;) {
+        const int b = next.fetch_add(1);
+        if (b >= NB) break;
+        const int64_t lo = bucket_off[b], hi = bucket_off[b + 1];
+        const int64_t m = hi - lo;
+        if (m <= 1) continue;
+        idx.resize(m);
+        for (int64_t i = 0; i < m; i++) idx[i] = (int32_t)i;
+        int64_t* h = out_hash + lo;
+        std::stable_sort(idx.begin(), idx.end(),
+                         [h](int32_t x, int32_t y) { return h[x] < h[y]; });
+        th.resize(m); tp.resize(m); ts_.resize(m);
+        int64_t* pp = out_pos + lo;
+        int8_t* ss = out_strand + lo;
+        for (int64_t i = 0; i < m; i++) {
+          th[i] = h[idx[i]]; tp[i] = pp[idx[i]]; ts_[i] = ss[idx[i]];
+        }
+        std::copy(th.begin(), th.end(), h);
+        std::copy(tp.begin(), tp.end(), pp);
+        std::copy(ts_.begin(), ts_.end(), ss);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < std::max(nthreads, 1); t++) pool.emplace_back(work);
+    for (auto& t : pool) t.join();
+  }
+  return total;
+}

@@ -37,14 +37,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .affine_ref import AlignResult, align2p
 
-TB = 8  # jobs per program (sublane tile)
+TB = 8  # default jobs per program (sublane tile)
+
+
+def tb_for(bucket: int) -> int:
+    """Production tile height per length bucket, measured on hardware
+    (tbscale sweep): per-row loop overhead dominates the fused
+    fill+traceback kernel, so larger tiles amortize it — tb=64 makes the
+    (1024, 256) call 2.8x faster than tb=8.  Bounded by VMEM: the bits
+    scratch is N*tb*N bytes and Mosaic rejects ~16 MB (tb=256@N=256,
+    tb=64@N=512 both fail to compile)."""
+    return 64 if bucket <= 256 else 32
+
+
+def batch_ladder(bucket: int, max_b: int):
+    """Dispatchable batch sizes for a bucket: tb, 2*tb, ... max_b.
+    Compute scales with the padded batch (grid = B//tb tiles), so the
+    dispatcher picks the snuggest rung instead of always padding to the
+    full shape — sub-full calls cost proportionally less device time."""
+    tb = tb_for(bucket)
+    sizes = []
+    b = tb
+    while b < max_b:
+        sizes.append(b)
+        b *= 2
+    sizes.append(max_b)
+    return sizes
 NEG = -1e9  # python literal: jnp scalars would be captured consts in the kernel
 
 
-def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
+def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, tb, match, mismatch, o1, e1,
                o2, e2):
-    """Fill the full N x N DP for TB jobs, writing per-row traceback bits
-    into ``bits_ref`` ((N, TB, N), VMEM out block or scratch).  Bit layout
+    """Fill the full N x N DP for tb jobs, writing per-row traceback bits
+    into ``bits_ref`` ((N, tb, N), VMEM out block or scratch).  Bit layout
     identical to the host kernel: op in bits 0-2 (0=DIAG 1=E1 2=E2 3=F1
     4=F2), ext flags 8/16/32/64."""
     # plain python floats: 0-D jnp constants need replicated layouts this
@@ -58,9 +83,9 @@ def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
     f_o1 = float(o1)
     f_o2 = float(o2)
 
-    tQ = tQ_ref[:, :]  # (TB, N) int32 query chars (lane l = position j-1)
-    tT = tT_ref[:, :]  # (TB, N) int32 target chars
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
+    tQ = tQ_ref[:, :]  # (tb, N) int32 query chars (lane l = position j-1)
+    tT = tT_ref[:, :]  # (tb, N) int32 target chars
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
     iota_f = iota.astype(jnp.float32)
 
     def unrepl(v):
@@ -93,13 +118,13 @@ def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
         return x
 
     def pick(tab, i):
-        # extract lane i of (TB, N) as a (TB, 1) broadcastable column
+        # extract lane i of (tb, N) as a (tb, 1) broadcastable column
         return jnp.sum(jnp.where(iota == i, tab, 0.0), axis=1)[:, None]
 
     def row(i, carry):
-        H, E1, E2 = carry  # (TB, N) for j = 1..N at row i-1
-        h0_prev = -pick(gap_l, i - 1)  # (TB,1) H(i-1, 0)
-        h0_cur = -pick(gap_l1, i - 1)  # (TB,1) H(i, 0) = -gapf(i)
+        H, E1, E2 = carry  # (tb, N) for j = 1..N at row i-1
+        h0_prev = -pick(gap_l, i - 1)  # (tb,1) H(i-1, 0)
+        h0_cur = -pick(gap_l1, i - 1)  # (tb,1) H(i, 0) = -gapf(i)
         tchar = jnp.sum(jnp.where(iota == i - 1, tT, 0), axis=1)[:, None]
         sub = jnp.where((tQ == tchar) & (tchar < 4), f_mat, f_mis)
         diag_in = jnp.where(iota == 0, h0_prev, pltpu.roll(H, shift=1, axis=1))
@@ -117,7 +142,7 @@ def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
         F2 = P2 - jpos * f_e2 - f_o2
         Hn = jnp.maximum(H0, jnp.maximum(F1, F2))
 
-        op = jnp.full((TB, N), 4, jnp.int32)
+        op = jnp.full((tb, N), 4, jnp.int32)
         op = jnp.where(Hn == F1, 3, op)
         op = jnp.where(Hn == E2n, 2, op)
         op = jnp.where(Hn == E1n, 1, op)
@@ -130,18 +155,18 @@ def _fill_body(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
         bits_ref[pl.ds(i - 1, 1)] = bits.astype(jnp.uint8)[None]
         return (Hn, E1n, E2n)
 
-    init = (-gap_l1, jnp.full((TB, N), NEG), jnp.full((TB, N), NEG))
+    init = (-gap_l1, jnp.full((tb, N), NEG), jnp.full((tb, N), NEG))
     jax.lax.fori_loop(1, N + 1, row, init)
 
 
-def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, match, mismatch, o1, e1,
+def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, tb, match, mismatch, o1, e1,
                  o2, e2):
-    _fill_body(tT_ref, tQ_ref, bits_ref, N=N, match=match,
+    _fill_body(tT_ref, tQ_ref, bits_ref, N=N, tb=tb, match=match,
                mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2)
 
 
 def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
-                    N, match, mismatch, o1, e1, o2, e2):
+                    N, tb, match, mismatch, o1, e1, o2, e2):
     """Fused fill + IN-KERNEL row-run traceback.
 
     The round-2 design walked the traceback as an XLA scan (one (B,)
@@ -154,7 +179,7 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
       in any row i > 0 the path emits n_ins(i) insertions (horizontal
       F/H moves) followed by exactly ONE exit op (diag or del), which
       decrements i — so rows N..1 can be processed in lockstep across
-      the TB jobs, and the only data-dependent iteration is the
+      the tb jobs, and the only data-dependent iteration is the
       (typically empty) insertion run, a short while_loop of vector ops.
 
     Outputs per job: two (N,) byte rows — lo = n_ins & 255 and
@@ -163,12 +188,12 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
     vectorized numpy) and reuses the existing C++ stream decoder, so the
     download is 2N bytes/job and contains no O(N^2) data.
     """
-    _fill_body(tT_ref, tQ_ref, bits_scr, N=N, match=match,
+    _fill_body(tT_ref, tQ_ref, bits_scr, N=N, tb=tb, match=match,
                mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2)
 
     tT = tT_ref[:, :]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
-    zeroN = tT * 0  # (TB, N) int32 with a standard (input-tied) layout
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+    zeroN = tT * 0  # (tb, N) int32 with a standard (input-tied) layout
 
     def unrepl(v):
         # tie iota-derived values to an input: replicated layouts cannot
@@ -178,13 +203,13 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
     iota_u = unrepl(iota)
 
     def full(col):
-        # (TB, 1) -> (TB, N) lane-broadcast with standard layout: (TB, 1)
+        # (tb, 1) -> (tb, N) lane-broadcast with standard layout: (tb, 1)
         # vectors carry a lane-replicated layout this Mosaic build cannot
         # pass through scf loop back-edges, so every loop-carried per-job
         # scalar lives as a full-width vector instead
         return col + zeroN
 
-    lens = lens_ref[:, :]  # (TB, N) int32: lane 0 = t_len, lane 1 = q_len
+    lens = lens_ref[:, :]  # (tb, N) int32: lane 0 = t_len, lane 1 = q_len
     tl = full(jnp.sum(jnp.where(iota_u == 0, lens, 0), axis=1,
                       keepdims=True))
     ql = full(jnp.sum(jnp.where(iota_u == 1, lens, 0), axis=1,
@@ -198,7 +223,7 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
     def row(it, carry):
         j, s, lo_acc, ex_acc = carry
         r = N - it  # rows N..1
-        brow = bits_scr[pl.ds(r - 1, 1)][0].astype(jnp.int32)  # (TB, N)
+        brow = bits_scr[pl.ds(r - 1, 1)][0].astype(jnp.int32)  # (tb, N)
         entering = tl == r  # traceback starts at (t_len, q_len), state H
         j = jnp.where(entering, ql, j)
         s = jnp.where(entering, 0, s)
@@ -255,7 +280,7 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "match", "mismatch", "o1", "e1", "o2", "e2",
+    static_argnames=("N", "tb", "match", "mismatch", "o1", "e1", "o2", "e2",
                      "interpret"),
 )
 def _fill_and_traceback(
@@ -264,6 +289,7 @@ def _fill_and_traceback(
     t_len: jnp.ndarray,  # (B,) int32
     q_len: jnp.ndarray,  # (B,) int32
     N: int,
+    tb: int = TB,
     match: int = 2,
     mismatch: int = -4,
     o1: int = 4,
@@ -275,16 +301,16 @@ def _fill_and_traceback(
     B = tT.shape[0]
     bits = pl.pallas_call(
         functools.partial(
-            _fill_kernel, N=N, match=match, mismatch=mismatch,
+            _fill_kernel, N=N, tb=tb, match=match, mismatch=mismatch,
             o1=o1, e1=e1, o2=o2, e2=e2,
         ),
-        grid=(B // TB,),
+        grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (N, TB, N), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+            (N, tb, N), lambda b: (0, b, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, B, N), jnp.uint8),
         interpret=interpret,
@@ -335,7 +361,7 @@ def _fill_and_traceback(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "match", "mismatch", "o1", "e1", "o2", "e2",
+    static_argnames=("N", "tb", "match", "mismatch", "o1", "e1", "o2", "e2",
                      "interpret"),
 )
 def _fill_and_rowruns(
@@ -343,6 +369,7 @@ def _fill_and_rowruns(
     tQ: jnp.ndarray,  # (B, N) int32
     lens: jnp.ndarray,  # (B, N) int32, lane 0 = t_len, lane 1 = q_len
     N: int,
+    tb: int = TB,
     match: int = 2,
     mismatch: int = -4,
     o1: int = 4,
@@ -354,26 +381,35 @@ def _fill_and_rowruns(
     B = tT.shape[0]
     return pl.pallas_call(
         functools.partial(
-            _fill_tb_kernel, N=N, match=match, mismatch=mismatch,
+            _fill_tb_kernel, N=N, tb=tb, match=match, mismatch=mismatch,
             o1=o1, e1=e1, o2=o2, e2=e2,
         ),
-        grid=(B // TB,),
+        grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N), jnp.uint8),
             jax.ShapeDtypeStruct((B, N), jnp.uint8),
         ],
-        scratch_shapes=[pltpu.VMEM((N, TB, N), jnp.uint8)],
+        scratch_shapes=[pltpu.VMEM((N, tb, N), jnp.uint8)],
         interpret=interpret,
     )(tT.astype(jnp.int32), tQ.astype(jnp.int32), lens.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_dl",))
+def _slice_concat_planes(lo, ex, n_dl: int):
+    """Fuse the used-rows slice and the lo|ex concat into ONE device op so
+    the downloader pays a single device->host transfer (the relay-attached
+    chip charges ~40-60 ms latency PER transfer, so two separate plane
+    fetches doubled the per-call download cost)."""
+    return jnp.concatenate([lo[:n_dl], ex[:n_dl]], axis=1)  # (n_dl, 2N)
 
 
 def rowruns_to_packed(lo: np.ndarray, ex: np.ndarray, t_len: np.ndarray,
@@ -465,24 +501,35 @@ class PallasFillAligner:
         lens = np.zeros((B, bucket), np.int32)
         lens[:, 0] = t_len
         lens[:, 1] = q_len
+        tb = tb_for(bucket)
+        if B % tb:
+            tb = TB  # non-ladder batch shapes keep the legacy tile
         lo, ex = _fill_and_rowruns(
             jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
-            jnp.asarray(lens), N=bucket, interpret=self.interpret, **self.kw,
+            jnp.asarray(lens), N=bucket, tb=tb, interpret=self.interpret,
+            **self.kw,
         )
         # download only the occupied rows: sub-full batches pad the
         # BATCH dim to the compiled shape, and on a relay-attached chip
         # the device->host fetch is the dominant per-call cost.  The
         # slice length quantizes to powers of two so the slice-op shape
         # universe stays tiny (each new shape is a compile).
-        if n_used is not None and n_used < lo.shape[0]:
+        n_dl = lo.shape[0]
+        if n_used is not None and n_used < n_dl:
             n_dl = 32
             while n_dl < n_used:
                 n_dl *= 2
-            if n_dl < lo.shape[0]:
-                lo, ex = lo[:n_dl], ex[:n_dl]
-                t_len, q_len = t_len[:n_dl], q_len[:n_dl]
-        return ("rowrun", lo, ex, np.asarray(t_len, np.int64),
-                np.asarray(q_len, np.int64), bucket)
+            n_dl = min(n_dl, lo.shape[0])
+        planes = _slice_concat_planes(lo, ex, n_dl=n_dl)
+        try:
+            # start the D2H copy now: it overlaps the dispatcher's next
+            # batch and the device's next fill, so the downloader's
+            # blocking np.asarray finds the bytes already on host
+            planes.copy_to_host_async()
+        except Exception:
+            pass
+        return ("rrp", planes, np.asarray(t_len[:n_dl], np.int64),
+                np.asarray(q_len[:n_dl], np.int64), bucket)
 
     def fetch(self, handle):
         """Blocking download of a dispatch_padded handle; returns a tagged
@@ -493,11 +540,14 @@ class PallasFillAligner:
 
         The rr planes go straight to the C++ decode_rowruns_batch on the
         consumer side, skipping the packed-stream re-expansion (~20 ms
-        host time per 1k-job batch)."""
+        host time per 1k-job batch).  The device side ships lo|ex as ONE
+        concatenated (n, 2N) plane = one transfer; the split is a cheap
+        host-side view."""
         if handle[0] == "scan":
             return ("packed", np.asarray(handle[1]))
-        _, lo, ex, t_len, q_len, bucket = handle
-        return ("rr", np.asarray(lo), np.asarray(ex))
+        _, planes, t_len, q_len, bucket = handle
+        arr = np.asarray(planes)
+        return ("rr", arr[:, :bucket], arr[:, bucket:])
 
     def fetch_packed(self, handle) -> np.ndarray:
         """Blocking download of a dispatch_padded handle; returns the
@@ -505,9 +555,10 @@ class PallasFillAligner:
         (compat/fallback path — fetch() is the production route)."""
         if handle[0] == "scan":
             return np.asarray(handle[1])
-        _, lo, ex, t_len, q_len, bucket = handle
+        _, planes, t_len, q_len, bucket = handle
+        arr = np.asarray(planes)
         return rowruns_to_packed(
-            np.asarray(lo), np.asarray(ex), t_len, q_len, bucket
+            arr[:, :bucket], arr[:, bucket:], t_len, q_len, bucket
         )
 
     def prewarm(self, batch_sizes: Sequence[int] = (64,),

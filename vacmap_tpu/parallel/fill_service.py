@@ -50,8 +50,14 @@ DEFAULT_BUCKETS = (256, 512)
 # and never grown by traffic (sub-full batches pad; over-full chunk)
 DEFAULT_SHAPE_B = {256: 1024, 512: 256}
 MAX_JOBS = 4096
-MAX_WAIT_MS = 3.0
-DEPTH = 2
+MAX_WAIT_MS = float(os.environ.get("VACMAP_TPU_FILL_WAIT_MS", "3.0"))
+# in-flight pipeline: the relay-attached chip charges ~30 ms latency per
+# device->host fetch.  Concurrent fetches CONTEND rather than pipeline on
+# the relay (measured: 3 downloader threads turned 32 ms/call into 99),
+# so one downloader drains; the deep queue lets the dispatcher run ahead
+# while each handle's copy_to_host_async (issued at dispatch) completes
+DEPTH = 6
+N_DOWNLOADERS = 1
 
 
 # ---------------------------------------------------------------------------
@@ -110,12 +116,42 @@ class _ServerCore:
         self.max_wait = max_wait_ms / 1e3
         self.inflight: "queue.Queue" = queue.Queue(maxsize=depth)
         self.stopping = False
+        self._stats_lock = threading.Lock()
+        self._stats = {"calls": 0, "reqs": 0, "jobs": 0, "fetch_s": 0.0}
+        # rungs whose compiles have landed (per bucket); the dispatcher
+        # never dispatches a shape that would compile mid-traffic
+        self.ready_rungs = {b: set() for b in self.buckets}
+
+    def _ladder(self, b: int):
+        try:
+            from ..ops.affine_pallas import batch_ladder
+
+            return batch_ladder(b, self.shape_b[b])
+        except Exception:  # host-emulation aligners: any shape works
+            return [self.shape_b[b]]
 
     def prewarm(self):
-        """Compile the full dispatch-shape universe (2 shapes by default)
-        so traffic never hits a fresh Mosaic compile mid-run."""
+        """Compile the top rung per bucket, then mark the service ready;
+        the remaining ladder rungs compile on a background thread and the
+        dispatcher adopts each as it lands (every relay round-trip before
+        ready is mapping time the clients spend on host fills)."""
         for b in self.buckets:
-            self.aligner.prewarm(batch_sizes=(self.shape_b[b],), buckets=(b,))
+            self.aligner.prewarm(batch_sizes=(self.shape_b[b],),
+                                 buckets=(b,))
+            self.ready_rungs[b] = {self.shape_b[b]}
+
+        def rest():
+            try:
+                for b in self.buckets:
+                    for r in self._ladder(b):
+                        if r in self.ready_rungs[b]:
+                            continue
+                        self.aligner.prewarm(batch_sizes=(r,), buckets=(b,))
+                        self.ready_rungs[b] = self.ready_rungs[b] | {r}
+            except Exception:
+                pass  # smaller rungs are an optimization only
+
+        threading.Thread(target=rest, daemon=True).start()
 
     def bucket_of(self, lt: int, lq: int) -> int:
         mx = lt if lt > lq else lq
@@ -177,9 +213,17 @@ class _ServerCore:
                 groups.setdefault(b, []).append(k)
         handles = []  # (bucket, handle, job_keys)
         for b, idxs in sorted(groups.items()):
-            B = self.shape_b[b]
-            for cs in range(0, len(idxs), B):
-                chunk = idxs[cs : cs + B]
+            Bmax = self.shape_b[b]
+            ladder = self._ladder(b)
+            for cs in range(0, len(idxs), Bmax):
+                chunk = idxs[cs : cs + Bmax]
+                # snuggest COMPILED rung: device compute scales with the
+                # padded batch (grid tiles), so sub-full chunks dispatch
+                # a proportionally smaller shape; rungs still compiling
+                # in the background are skipped (pad up instead)
+                avail = self.ready_rungs.get(b) or {Bmax}
+                B = next((r for r in ladder if r >= len(chunk)
+                          and r in avail), Bmax)
                 tT = np.full((B, b), 4, np.uint8)
                 tQ = np.full((B, b), 4, np.uint8)
                 t_len = np.ones(B, np.int32)
@@ -201,31 +245,40 @@ class _ServerCore:
 
     # -- downloader ----------------------------------------------------
     def run_download(self):
+        """Downloader loop; run in N_DOWNLOADERS threads so blocking
+        device->host fetches overlap (each item is self-contained: one
+        dispatch batch with its own requesters, so threads never share
+        response state).  The stop sentinel is re-queued so every
+        downloader thread sees it; the one that first sees it writes the
+        stats file."""
         import time as _time
 
         stats_path = os.environ.get("VACMAP_TPU_FILL_STATS")
-        n_calls = n_jobs_t = n_reqs = 0
-        fetch_s = 0.0
         t_start = _time.monotonic()
         while True:
             item = self.inflight.get()
             if item is None:
-                if stats_path:
+                self.inflight.put(None)  # release the other downloaders
+                with self._stats_lock:
+                    st, self._stats = self._stats, None
+                if stats_path and st is not None:
                     dt = max(_time.monotonic() - t_start, 1e-9)
                     with open(stats_path, "w") as fh:
                         fh.write(
                             "calls=%d reqs=%d jobs=%d jobs/call=%.1f "
                             "fetch_ms/call=%.1f wall_s=%.1f\n"
-                            % (n_calls, n_reqs, n_jobs_t,
-                               n_jobs_t / max(n_calls, 1),
-                               fetch_s * 1e3 / max(n_calls, 1), dt))
+                            % (st["calls"], st["reqs"], st["jobs"],
+                               st["jobs"] / max(st["calls"], 1),
+                               st["fetch_s"] * 1e3 / max(st["calls"], 1),
+                               dt))
                 break
             pending, jobs, handles, overflow, resp_put = item
             # per-request routing tables: req -> {(bucket, chunk#): rows}
             # (chunk# keys stop two same-bucket chunks from merging)
             per_req = [dict() for _ in pending]
             fetch = getattr(self.aligner, "fetch", None)
-            n_reqs += len(pending)
+            n_calls = n_jobs_t = 0
+            fetch_s = 0.0
             for ci, (b, h, chunk) in enumerate(handles):
                 n_calls += 1
                 n_jobs_t += len(chunk)
@@ -270,6 +323,12 @@ class _ServerCore:
                         msg[key] = ("packed", np.stack(slot[1], axis=1),
                                     slot[2])
                 resp_put(client_id, (req_id, msg))
+            with self._stats_lock:
+                if self._stats is not None:
+                    self._stats["calls"] += n_calls
+                    self._stats["jobs"] += n_jobs_t
+                    self._stats["reqs"] += len(pending)
+                    self._stats["fetch_s"] += fetch_s
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +410,9 @@ class AsyncFillAligner:
         self._do_prewarm = prewarm
         self._threads = [
             threading.Thread(target=self._dispatch_loop, daemon=True),
-            threading.Thread(target=self.core.run_download, daemon=True),
+        ] + [
+            threading.Thread(target=self.core.run_download, daemon=True)
+            for _ in range(N_DOWNLOADERS)
         ]
         for t in self._threads:
             t.start()
@@ -518,10 +579,13 @@ def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool):
         def resp_put(client_id, resp):
             resp_qs[client_id].put(resp)
 
-        dl = threading.Thread(target=core.run_download, daemon=True)
-        dl.start()
+        dls = [threading.Thread(target=core.run_download, daemon=True)
+               for _ in range(N_DOWNLOADERS)]
+        for dl in dls:
+            dl.start()
         core.run_dispatch(lambda tmo: req_q.get(timeout=tmo), resp_put)
-        dl.join()
+        for dl in dls:
+            dl.join()
     except Exception:
         ready_evt.set()  # never leave the parent hanging
         raise
