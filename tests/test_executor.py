@@ -50,3 +50,20 @@ def test_map_stream_matches_map_batch(world):
     got = list(ex.map_stream(iter(reads), batch_reads=3, n_threads=2))
     expect = ex.map_batch(reads, n_threads=2)
     assert got == expect
+
+
+def test_executor_uses_device_mesh(world):
+    """On a multi-device host the executor's chain step is the SHARDED
+    pjit step over the dp mesh (VERDICT round-2 item 4) — this suite runs
+    under the 8-virtual-device CPU mesh, so the mesh path MUST engage
+    (and the identity tests above then prove it changes nothing)."""
+    import jax
+
+    genome, idx, reads = world
+    ex = BatchExecutor(Mapper(idx, AlignerConfig(mode="H")))
+    assert len(jax.devices()) > 1
+    assert ex._mesh is not None
+    assert ex._mesh.devices.size == len(jax.devices())
+    ex.map_batch(reads[:3], n_threads=2)
+    # at least one sharded step was built and used
+    assert ex._sharded_steps

@@ -155,3 +155,53 @@ def test_k19_hifi_path(tmp_path, rng):
     )
     assert recs and recs[0][5] == 50_000 and recs[0][6] == 66_000
     assert "2000D" in recs[0][8]
+
+
+def test_native_sorted_builder_matches_numpy(rng):
+    """C++ index_build_sorted (MT segmented sketch + bucket sort,
+    vacmap_native.cpp) is bit-identical to the numpy argsort path —
+    table order, dtypes, occ cutoff — across contig boundaries and Ns."""
+    from vacmap_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    seqs = {}
+    for i, n in enumerate((130_001, 64_321, 350, 90_007)):
+        s = list(random_dna(rng, n))
+        for _ in range(n // 9000 + 1):  # sprinkle N runs
+            p = int(rng.integers(0, n - 20))
+            for j in range(p, p + int(rng.integers(1, 12))):
+                s[j] = "N"
+        seqs[f"c{i}"] = "".join(s)
+    a = ReferenceIndex.build(seqs, k=15, w=10)
+    # numpy twin: disable the native builder AND the native sketch
+    orig = ReferenceIndex._build_table_native
+    av = native.available
+    try:
+        ReferenceIndex._build_table_native = staticmethod(lambda *x: None)
+        native.available = lambda: False
+        b = ReferenceIndex.build(seqs, k=15, w=10)
+    finally:
+        ReferenceIndex._build_table_native = orig
+        native.available = av
+    assert a.mm_hash.dtype == b.mm_hash.dtype
+    assert a.mm_pos.dtype == b.mm_pos.dtype
+    assert np.array_equal(a.mm_hash, b.mm_hash)
+    assert np.array_equal(a.mm_pos, b.mm_pos)
+    assert np.array_equal(a.mm_strand, b.mm_strand)
+    assert a.occ_cutoff == b.occ_cutoff
+
+
+def test_minimizer_sketch_mt_matches_st(rng):
+    """Segment-parallel sketch selects exactly the single-thread set."""
+    from vacmap_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    codes = encode(random_dna(rng, 2_000_000))
+    st = native.minimizer_sketch_native(codes, 15, 10)
+    for nthreads in (2, 3, 4, 7):
+        mt = native.minimizer_sketch_mt_native(codes, 15, 10, nthreads)
+        assert np.array_equal(st[0], mt[0])
+        assert np.array_equal(st[1], mt[1])
+        assert np.array_equal(st[2], mt[2])

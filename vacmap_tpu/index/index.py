@@ -46,6 +46,38 @@ class ReferenceIndex:
     occ_cutoff: int  # auto occurrence filter (minimap2 mid_occ analogue)
 
     # ---- construction ----------------------------------------------------
+    @staticmethod
+    def _occ_cutoff_sorted(mm_hash: np.ndarray, occ_frac: float) -> int:
+        """Occurrence cutoff (minimap2 mid_occ analogue) from the
+        hash-sorted table: quantile over per-hash run lengths."""
+        if not len(mm_hash):
+            return 2**30
+        boundaries = np.flatnonzero(mm_hash[1:] != mm_hash[:-1])
+        counts = np.diff(np.concatenate(([0], boundaries + 1,
+                                         [len(mm_hash)])))
+        if not len(counts):
+            return 2**30
+        q = np.quantile(counts, 1.0 - occ_frac)
+        return int(max(10, q))
+
+    @staticmethod
+    def _build_table_native(seq_codes, starts, lens, k, w):
+        """Sorted minimizer table via the C++ builder (MT sketch +
+        bucket sort — vacmap_native.cpp::index_build_sorted); None when
+        the native lib is unavailable.  Output order and selection are
+        bit-identical to the numpy path below (tested)."""
+        from .. import native
+
+        if 2 * k > 32 or not native.available():
+            return None
+        res = native.index_build_sorted_native(seq_codes, starts, lens, k, w)
+        if res is None:
+            return None
+        oh, op, os_ = res
+        hash_dt = np.uint32 if 2 * k <= 32 else np.int64
+        pos_dt = np.uint32 if len(seq_codes) < 2**32 else np.int64
+        return oh.astype(hash_dt), op.astype(pos_dt), os_
+
     @classmethod
     def build(cls, contigs: Dict[str, str], k: int = 15, w: int = 10,
               occ_frac: float = 2e-4) -> "ReferenceIndex":
@@ -61,6 +93,17 @@ class ReferenceIndex:
         seq_codes = np.empty(off, np.uint8)
         for name, st, ln in zip(names, starts, lens):
             seq_codes[st : st + ln] = encode(contigs[name].upper())
+        built = cls._build_table_native(seq_codes, starts, lens, k, w)
+        if built is not None:
+            mm_hash, mm_pos, mm_strand = built
+            return cls(
+                k=k, w=w, contig_names=names,
+                contig_starts=np.asarray(starts, np.int64),
+                contig_lens=np.asarray(lens, np.int64),
+                seq_codes=seq_codes,
+                mm_hash=mm_hash, mm_pos=mm_pos, mm_strand=mm_strand,
+                occ_cutoff=cls._occ_cutoff_sorted(mm_hash, occ_frac),
+            )
         hs, ps, ss = [], [], []
         # sketch in bounded chunks (k+w-2 overlap) so peak memory stays
         # ~10x chunk size regardless of genome size

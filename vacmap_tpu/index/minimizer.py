@@ -57,7 +57,10 @@ def minimizers(
     from .. import native
 
     if k < 32 and native.available():
-        res = native.minimizer_sketch_native(seq_codes, k, w)
+        if len(seq_codes) >= (1 << 20):  # long inputs: segment-parallel
+            res = native.minimizer_sketch_mt_native(seq_codes, k, w)
+        else:
+            res = native.minimizer_sketch_native(seq_codes, k, w)
         if res is not None:
             return res
     kmers, valid = kmer_codes(seq_codes, k)

@@ -613,6 +613,81 @@ def minimizer_sketch_native(codes: np.ndarray, k: int, w: int):
     return oh[:m], op[:m], os_[:m]
 
 
+def minimizer_sketch_mt_native(codes: np.ndarray, k: int, w: int,
+                               nthreads: int = 0):
+    """Multithreaded C++ minimizer sketch (segmented, selection identical
+    to minimizer_sketch — see vacmap_native.cpp); returns (hashes,
+    positions, strands) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sketch_mt_bound"):
+        lib.minimizer_sketch_mt.restype = ctypes.c_int64
+        lib.minimizer_sketch_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._sketch_mt_bound = True
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    c = np.ascontiguousarray(codes, np.uint8)
+    cap = max(len(c), 1)
+    oh = np.empty(cap, np.int64)
+    op = np.empty(cap, np.int64)
+    os_ = np.empty(cap, np.int8)
+    m = lib.minimizer_sketch_mt(
+        c.ctypes.data, len(c), k, w, nthreads, oh.ctypes.data,
+        op.ctypes.data, os_.ctypes.data,
+    )
+    return oh[:m], op[:m], os_[:m]
+
+
+def index_build_sorted_native(codes: np.ndarray, ctg_starts, ctg_lens,
+                              k: int, w: int, nthreads: int = 0):
+    """Fully-native sorted minimizer table: MT per-contig sketch +
+    256-bucket hash scatter + per-bucket stable sort -> (hash asc,
+    pos asc), identical to the numpy argsort path in
+    index/index.py::build.  Returns (hashes, positions, strands)
+    int64/int64/int8 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_idx_sorted_bound"):
+        lib.index_build_sorted.restype = ctypes.c_int64
+        lib.index_build_sorted.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._idx_sorted_bound = True
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    c = np.ascontiguousarray(codes, np.uint8)
+    cs = np.ascontiguousarray(ctg_starts, np.int64)
+    cl = np.ascontiguousarray(ctg_lens, np.int64)
+    # minimizer density is 2/(w+1); 1/2 is a safe cap for any w >= 3
+    cap = max(len(c) // 2 + 64, 64)
+    oh = np.empty(cap, np.int64)
+    op = np.empty(cap, np.int64)
+    os_ = np.empty(cap, np.int8)
+    m = lib.index_build_sorted(
+        c.ctypes.data, len(c), k, w, nthreads, cap,
+        len(cs), cs.ctypes.data, cl.ctypes.data,
+        oh.ctypes.data, op.ctypes.data, os_.ctypes.data,
+    )
+    if m < 0:  # cap overflow (w < 3): retry with the exact size
+        oh = np.empty(-m, np.int64)
+        op = np.empty(-m, np.int64)
+        os_ = np.empty(-m, np.int8)
+        m = lib.index_build_sorted(
+            c.ctypes.data, len(c), k, w, nthreads, -m,
+            len(cs), cs.ctypes.data, cl.ctypes.data,
+            oh.ctypes.data, op.ctypes.data, os_.ctypes.data,
+        )
+    return oh[:m], op[:m], os_[:m]
+
+
 def harvest_join_native(ref_codes, windows, read_codes, readstart, readend,
                         g_rp, g_ref, k: int):
     """Full C++ harvest (table + scan + proximity + merge); returns an

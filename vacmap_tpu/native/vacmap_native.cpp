@@ -2302,9 +2302,20 @@ extern "C" int64_t minimizer_sketch_mt(
 // cap is too small.
 extern "C" int64_t index_build_sorted(
     const uint8_t* seq, int64_t n, int k, int w, int nthreads, int64_t cap,
+    int64_t nctg, const int64_t* ctg_starts, const int64_t* ctg_lens,
     int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
   if (n < k) return 0;
-  auto parts = sketch_parallel(seq, n, k, w, std::max(nthreads, 1));
+  // sketch per contig (kmers never span a boundary), segments in
+  // position order so per-bucket scatter order stays position-ascending
+  std::vector<SketchPart> parts;
+  for (int64_t c = 0; c < nctg; c++) {
+    auto ps = sketch_parallel(seq + ctg_starts[c], ctg_lens[c], k, w,
+                              std::max(nthreads, 1));
+    for (auto& p : ps) {
+      for (auto& q : p.pos) q += ctg_starts[c];
+      parts.push_back(std::move(p));
+    }
+  }
   int64_t total = 0;
   for (auto& p : parts) total += (int64_t)p.pos.size();
   if (total > cap) return -total;

@@ -365,9 +365,9 @@ def _fill_and_traceback(
                      "interpret"),
 )
 def _fill_and_rowruns(
-    tT: jnp.ndarray,  # (B, N) int32
-    tQ: jnp.ndarray,  # (B, N) int32
-    lens: jnp.ndarray,  # (B, N) int32, lane 0 = t_len, lane 1 = q_len
+    tT: jnp.ndarray,  # (B, N) uint8 or int32 char codes
+    tQ: jnp.ndarray,  # (B, N) uint8 or int32
+    lens: jnp.ndarray,  # (B, 2) or (B, N) int32: lane 0 t_len, lane 1 q_len
     N: int,
     tb: int = TB,
     match: int = 2,
@@ -379,6 +379,13 @@ def _fill_and_rowruns(
     interpret: bool = False,
 ):
     B = tT.shape[0]
+    # host->device bytes are the scarce resource on a relay-attached
+    # chip: callers upload uint8 chars and a (B, 2) lens; the widening
+    # casts and the lens lane-pad happen on device inside this jit
+    if lens.shape[1] != N:
+        lens_full = jnp.pad(lens, ((0, 0), (0, N - lens.shape[1])))
+    else:
+        lens_full = lens
     return pl.pallas_call(
         functools.partial(
             _fill_tb_kernel, N=N, tb=tb, match=match, mismatch=mismatch,
@@ -400,7 +407,7 @@ def _fill_and_rowruns(
         ],
         scratch_shapes=[pltpu.VMEM((N, tb, N), jnp.uint8)],
         interpret=interpret,
-    )(tT.astype(jnp.int32), tQ.astype(jnp.int32), lens.astype(jnp.int32))
+    )(tT.astype(jnp.int32), tQ.astype(jnp.int32), lens_full.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("n_dl",))
@@ -498,15 +505,15 @@ class PallasFillAligner:
             )
             return ("scan", h)
         B = tT.shape[0]
-        lens = np.zeros((B, bucket), np.int32)
-        lens[:, 0] = t_len
-        lens[:, 1] = q_len
+        lens2 = np.zeros((B, 2), np.int32)
+        lens2[:, 0] = t_len
+        lens2[:, 1] = q_len
         tb = tb_for(bucket)
         if B % tb:
             tb = TB  # non-ladder batch shapes keep the legacy tile
         lo, ex = _fill_and_rowruns(
-            jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
-            jnp.asarray(lens), N=bucket, tb=tb, interpret=self.interpret,
+            jnp.asarray(tT, jnp.uint8), jnp.asarray(tQ, jnp.uint8),
+            jnp.asarray(lens2), N=bucket, tb=tb, interpret=self.interpret,
             **self.kw,
         )
         # download only the occupied rows: sub-full batches pad the

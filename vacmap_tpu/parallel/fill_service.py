@@ -51,12 +51,14 @@ DEFAULT_BUCKETS = (256, 512)
 DEFAULT_SHAPE_B = {256: 1024, 512: 256}
 MAX_JOBS = 4096
 MAX_WAIT_MS = float(os.environ.get("VACMAP_TPU_FILL_WAIT_MS", "3.0"))
-# in-flight pipeline: the relay-attached chip charges ~30 ms latency per
-# device->host fetch.  Concurrent fetches CONTEND rather than pipeline on
-# the relay (measured: 3 downloader threads turned 32 ms/call into 99),
-# so one downloader drains; the deep queue lets the dispatcher run ahead
-# while each handle's copy_to_host_async (issued at dispatch) completes
-DEPTH = 6
+# in-flight pipeline: depth 2 makes the batcher SELF-CLOCKING -- the
+# dispatcher blocks on inflight.put while the device works, so incoming
+# requests pile into ONE next batch (batch-while-busy): occupancy rises
+# adaptively under load and latency stays one small window when idle.
+# A deeper queue just serializes many small calls on the device.
+# Concurrent fetches CONTEND rather than pipeline on the relay (measured:
+# 3 downloader threads turned 32 ms/call into 99), so one downloader.
+DEPTH = int(os.environ.get("VACMAP_TPU_FILL_DEPTH", "2"))
 N_DOWNLOADERS = 1
 
 

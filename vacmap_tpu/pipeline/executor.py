@@ -55,6 +55,21 @@ class BatchExecutor:
             if dfa is not None:
                 mapper.global_aligner = dfa
                 self._owned_fill_aligner = dfa
+        # multi-device hosts: the chain DP shards its batch dim over ALL
+        # local devices (dp mesh, VERDICT.md round-2 item 4).  Steps are
+        # cached per chain-parameter set; single-device hosts keep the
+        # plain jit path (no resharding overhead).
+        self._mesh = None
+        self._sharded_steps = {}
+        try:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+
+                self._mesh = make_mesh()
+        except Exception:
+            self._mesh = None
 
     def close(self):
         """Stop the in-process fill service pipeline (if this executor
@@ -121,6 +136,19 @@ class BatchExecutor:
                 # Pallas needs a TPU backend; fall back to the scan kernel
                 # (e.g. CPU test meshes) and remember
                 self.use_pallas = False
+        if self._mesh is not None:
+            key = (variant, kmersize, maxdiff, maxgap, skipcost)
+            step = self._sharded_steps.get(key)
+            if step is None:
+                from ..parallel.mesh import ShardedChainStep
+
+                step = ShardedChainStep(
+                    self._mesh, kmersize=kmersize, maxdiff=maxdiff,
+                    maxgap=maxgap, skipcost=skipcost, variant=variant,
+                )
+                self._sharded_steps[key] = step
+            S, P, _best, _n = step(anchors, n_valid, skip_i, maxdiff_i)
+            return S, P
         from ..ops.chain_jax import chain_scores_batch
 
         return chain_scores_batch(

@@ -1,0 +1,123 @@
+"""Per-read SV signature calling + truth scoring.
+
+Turns alignment records into naive SV calls (big CIGAR indels + split-read
+breakpoint signatures) and scores them against a vacsim truth set.  This
+is the measurement half of the reference's validation recipe (vacsim +
+external benchmarkers, SURVEY.md section 4): vacmap itself only emits
+alignments, so recall/precision here quantify whether the alignments
+carry recoverable SV evidence — the quantity the reference optimizes.
+
+Used by bench.py (per-round sv_recall / sv_precision in BENCH_rN.json)
+and examples/evaluate_sv.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+
+def call_signatures(records, min_size: int = 60) -> List[Tuple]:
+    """Alignment records for ONE read -> [(kind, contig, pos, size)].
+
+    records: (readid, contig, strand, q_st, q_en, r_st, r_en, mapq, cigar)
+    rows as produced by Mapper.map_read_records.
+    """
+    calls = []
+    for r in records:
+        pos = r[5]
+        for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", r[8]):
+            ln = int(ln)
+            if op == "D" and ln >= min_size:
+                calls.append(("DEL", r[1], pos, ln))
+            if op == "I" and ln >= min_size:
+                calls.append(("INS", r[1], pos, ln))
+            if op in "M=XD":
+                pos += ln
+    # split-read signatures: adjacent segments in query order
+    recs = sorted(records, key=lambda r: r[3])
+    for a, b in zip(recs, recs[1:]):
+        if a[1] != b[1]:
+            calls.append(("TRA", a[1], a[6], 0))
+            continue
+        if a[2] != b[2]:
+            calls.append(("INV", a[1], min(a[6], b[5]), abs(b[6] - b[5])))
+            continue
+        qgap = b[3] - a[4]
+        rgap = b[5] - a[6]
+        if rgap - qgap >= min_size:
+            calls.append(("DEL", a[1], a[6], rgap - qgap))
+        elif qgap - rgap >= min_size:
+            calls.append(("INS", a[1], a[6], qgap - rgap))
+        elif b[5] < a[6] - min_size and qgap > -min_size:
+            # re-visited reference interval = duplication signature
+            calls.append(("DUP", a[1], b[5], a[6] - b[5]))
+    return calls
+
+
+def cluster_calls(calls: Sequence[Tuple], window: int = 300,
+                  min_support: int = 2) -> List[Tuple]:
+    """Group per-read calls into candidate events: same kind/contig,
+    positions within ``window``; keep clusters with >= min_support reads.
+    Returns [(kind, contig, median_pos, support)]."""
+    import numpy as np
+
+    by_key: Dict[Tuple, List[int]] = {}
+    for kind, contig, pos, _size in calls:
+        by_key.setdefault((kind, contig), []).append(int(pos))
+    events = []
+    for (kind, contig), ps in by_key.items():
+        ps.sort()
+        start = 0
+        for i in range(1, len(ps) + 1):
+            if i == len(ps) or ps[i] - ps[i - 1] > window:
+                grp = ps[start:i]
+                if len(grp) >= min_support:
+                    events.append(
+                        (kind, contig, int(np.median(grp)), len(grp))
+                    )
+                start = i
+    return events
+
+
+# vacsim event kinds whose alignment signature differs from the VCF kind
+_TRUTH_ALIASES = {
+    "DUP": ("DUP", "INS"),  # a duplication reads as INS at the insert site
+    "TRA": ("TRA",),
+    "DEL": ("DEL",),
+    "INS": ("INS",),
+    "INV": ("INV",),
+}
+
+
+def _near_truth(event, ev, tol):
+    """event (kind, contig, pos, support) matches truth row (kind, contig,
+    st, en, ...) if the kinds alias and the position is within ``tol`` of
+    EITHER breakpoint (INV/DUP clusters form at both ends)."""
+    if event[0] not in _TRUTH_ALIASES.get(ev[0], (ev[0],)):
+        return False
+    if event[1] != ev[1]:
+        return False
+    pts = [int(ev[2])]
+    if len(ev) > 3:
+        try:
+            pts.append(int(ev[3]))
+        except (TypeError, ValueError):
+            pass
+    return any(abs(event[2] - p) <= tol for p in pts)
+
+
+def score_events(truth, events, tol: int = 500):
+    """(recall, precision, n_truth, n_events): a truth entry (kind,
+    contig, st, en, ...) is found if some event of an alias kind lies
+    within ``tol`` of either breakpoint; an event is true if it matches
+    some truth entry the same way."""
+    found = sum(
+        1 for ev in truth if any(_near_truth(e, ev, tol) for e in events)
+    )
+    true_events = sum(
+        1 for e in events if any(_near_truth(e, ev, tol) for ev in truth)
+    )
+    recall = found / len(truth) if truth else 1.0
+    precision = true_events / len(events) if events else 1.0
+    return recall, precision, len(truth), len(events)
