@@ -264,15 +264,18 @@ class _ServerCore:
                 with self._stats_lock:
                     st, self._stats = self._stats, None
                 if stats_path and st is not None:
+                    import resource
+
+                    ru = resource.getrusage(resource.RUSAGE_SELF)
                     dt = max(_time.monotonic() - t_start, 1e-9)
                     with open(stats_path, "w") as fh:
                         fh.write(
                             "calls=%d reqs=%d jobs=%d jobs/call=%.1f "
-                            "fetch_ms/call=%.1f wall_s=%.1f\n"
+                            "fetch_ms/call=%.1f wall_s=%.1f cpu_s=%.1f\n"
                             % (st["calls"], st["reqs"], st["jobs"],
                                st["jobs"] / max(st["calls"], 1),
                                st["fetch_s"] * 1e3 / max(st["calls"], 1),
-                               dt))
+                               dt, ru.ru_utime + ru.ru_stime))
                 break
             pending, jobs, handles, overflow, resp_put = item
             # per-request routing tables: req -> {(bucket, chunk#): rows}
