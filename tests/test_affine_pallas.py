@@ -129,8 +129,8 @@ def test_rowrun_traceback_interpret_exact(rng):
     lens = np.zeros((B, N), np.int32)
     lens[:, 0] = tl
     lens[:, 1] = ql
-    lo, ex = _fill_and_rowruns(tT, tQ, lens, N=N, interpret=True)
-    packed = rowruns_to_packed(np.asarray(lo), np.asarray(ex), tl, ql, N)
+    planes = np.asarray(_fill_and_rowruns(tT, tQ, lens, N=N, interpret=True))
+    packed = rowruns_to_packed(planes[:, :N], planes[:, N:], tl, ql, N)
     for eqx in (False, True):
         dec = _decode_packed_python(packed, cases, eqx=eqx)
         for i, (t_, q_) in enumerate(cases):
@@ -167,9 +167,8 @@ def test_native_decode_rowruns_matches_python(rng):
         tQ[i, : len(q)] = q
         lens[i, 0] = len(t)
         lens[i, 1] = len(q)
-    lo, ex = _fill_and_rowruns(tT, tQ, lens, N=N, interpret=True)
-    lo = np.asarray(lo)
-    ex = np.asarray(ex)
+    planes = np.asarray(_fill_and_rowruns(tT, tQ, lens, N=N, interpret=True))
+    lo, ex = planes[:, :N], planes[:, N:]
     t_len = lens[:, 0].astype(np.int64)
     q_len = lens[:, 1].astype(np.int64)
     packed = rowruns_to_packed(lo, ex, t_len, q_len, N)

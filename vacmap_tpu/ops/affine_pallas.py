@@ -165,7 +165,7 @@ def _fill_kernel(tT_ref, tQ_ref, bits_ref, *, N, tb, match, mismatch, o1, e1,
                mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2)
 
 
-def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
+def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, planes_ref, bits_scr, *,
                     N, tb, match, mismatch, o1, e1, o2, e2):
     """Fused fill + IN-KERNEL row-run traceback.
 
@@ -182,11 +182,12 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
       the tb jobs, and the only data-dependent iteration is the
       (typically empty) insertion run, a short while_loop of vector ops.
 
-    Outputs per job: two (N,) byte rows — lo = n_ins & 255 and
-    ex = is_diag | (n_ins >> 8 << 1) for matrix row l+1 at lane l.  The
-    host re-expands these run-lengths into the packed op stream (cheap
-    vectorized numpy) and reuses the existing C++ stream decoder, so the
-    download is 2N bytes/job and contains no O(N^2) data.
+    Outputs per job: ONE (2N,) byte row — lanes [0, N) = lo = n_ins & 255
+    and lanes [N, 2N) = ex = is_diag | (n_ins >> 8 << 1) for matrix row
+    l+1 at lane l.  Both planes share one output block so the downloader
+    pays a single device->host transfer with no separate concat op.  The
+    host feeds the planes to the C++ row-run decoder, so the download is
+    2N bytes/job and contains no O(N^2) data.
     """
     _fill_body(tT_ref, tQ_ref, bits_scr, N=N, tb=tb, match=match,
                mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2)
@@ -274,8 +275,8 @@ def _fill_tb_kernel(tT_ref, tQ_ref, lens_ref, lo_ref, ex_ref, bits_scr, *,
 
     init = (zeroN, zeroN, zeroN, zeroN)
     _, _, lo_acc, ex_acc = jax.lax.fori_loop(0, N, row, init)
-    lo_ref[:, :] = lo_acc.astype(jnp.uint8)
-    ex_ref[:, :] = ex_acc.astype(jnp.uint8)
+    planes_ref[:, 0:N] = lo_acc.astype(jnp.uint8)
+    planes_ref[:, N : 2 * N] = ex_acc.astype(jnp.uint8)
 
 
 @functools.partial(
@@ -397,26 +398,13 @@ def _fill_and_rowruns(
             pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, N), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N), jnp.uint8),
-            jax.ShapeDtypeStruct((B, N), jnp.uint8),
-        ],
+        out_specs=pl.BlockSpec(
+            (tb, 2 * N), lambda b: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * N), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((N, tb, N), jnp.uint8)],
         interpret=interpret,
     )(tT.astype(jnp.int32), tQ.astype(jnp.int32), lens_full.astype(jnp.int32))
-
-
-@functools.partial(jax.jit, static_argnames=("n_dl",))
-def _slice_concat_planes(lo, ex, n_dl: int):
-    """Fuse the used-rows slice and the lo|ex concat into ONE device op so
-    the downloader pays a single device->host transfer (the relay-attached
-    chip charges ~40-60 ms latency PER transfer, so two separate plane
-    fetches doubled the per-call download cost)."""
-    return jnp.concatenate([lo[:n_dl], ex[:n_dl]], axis=1)  # (n_dl, 2N)
 
 
 def rowruns_to_packed(lo: np.ndarray, ex: np.ndarray, t_len: np.ndarray,
@@ -511,7 +499,7 @@ class PallasFillAligner:
         tb = tb_for(bucket)
         if B % tb:
             tb = TB  # non-ladder batch shapes keep the legacy tile
-        lo, ex = _fill_and_rowruns(
+        planes = _fill_and_rowruns(
             jnp.asarray(tT, jnp.uint8), jnp.asarray(tQ, jnp.uint8),
             jnp.asarray(lens2), N=bucket, tb=tb, interpret=self.interpret,
             **self.kw,
@@ -521,13 +509,14 @@ class PallasFillAligner:
         # the device->host fetch is the dominant per-call cost.  The
         # slice length quantizes to powers of two so the slice-op shape
         # universe stays tiny (each new shape is a compile).
-        n_dl = lo.shape[0]
+        n_dl = planes.shape[0]
         if n_used is not None and n_used < n_dl:
             n_dl = 32
             while n_dl < n_used:
                 n_dl *= 2
-            n_dl = min(n_dl, lo.shape[0])
-        planes = _slice_concat_planes(lo, ex, n_dl=n_dl)
+            n_dl = min(n_dl, planes.shape[0])
+        if n_dl < planes.shape[0]:
+            planes = planes[:n_dl]
         try:
             # start the D2H copy now: it overlaps the dispatcher's next
             # batch and the device's next fill, so the downloader's

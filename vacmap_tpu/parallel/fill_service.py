@@ -200,21 +200,38 @@ class _ServerCore:
         self.inflight.put(None)
 
     def _dispatch_batch(self, pending, resp_put):
-        # flatten jobs, group by bucket
-        jobs = []  # (req_idx, job_idx, t, q)
-        for ri, (_, _, lens, buf) in enumerate(pending):
-            for ji, (t, q) in enumerate(unpack_pairs(lens, buf)):
-                jobs.append((ri, ji, t, q))
-        groups: Dict[int, List[int]] = {}
-        overflow = []  # jobs the device can't take (oversize / empty)
-        for k, (ri, ji, t, q) in enumerate(jobs):
-            b = self.bucket_of(len(t), len(q))
-            if b < 0 or len(t) == 0 or len(q) == 0:
-                overflow.append(k)
-            else:
-                groups.setdefault(b, []).append(k)
+        """Flatten requests -> bucket groups -> padded device dispatches.
+
+        Fully vectorized (bulk numpy over the concatenated request
+        buffers, no per-job Python): the service's host CPU is stolen
+        from the mapping workers on the same cores, so per-job service
+        cost must stay in the single-digit microseconds."""
+        # one concatenated view of all requests' byte buffers
+        bufs = [p[3] for p in pending]
+        all_buf = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+        lens_all = np.concatenate([p[2] for p in pending])  # (M, 2) int32
+        n_jobs_per_req = np.array([len(p[2]) for p in pending], np.int64)
+        job_req = np.repeat(np.arange(len(pending)), n_jobs_per_req)
+        job_ji = np.arange(len(job_req)) - np.repeat(
+            np.cumsum(n_jobs_per_req) - n_jobs_per_req, n_jobs_per_req
+        )
+        t_lens = lens_all[:, 0].astype(np.int64)
+        q_lens = lens_all[:, 1].astype(np.int64)
+        pair_sz = t_lens + q_lens
+        t_offs = np.cumsum(pair_sz) - pair_sz  # start of each job's t
+        q_offs = t_offs + t_lens
+        # bucket of each job (-1 = overflow/host)
+        mx = np.maximum(t_lens, q_lens)
+        bucket_arr = np.full(len(mx), -1, np.int64)
+        for b in reversed(self.buckets):
+            bucket_arr[mx <= b] = b
+        bucket_arr[(t_lens == 0) | (q_lens == 0)] = -1
+        overflow = np.flatnonzero(bucket_arr < 0)
         handles = []  # (bucket, handle, job_keys)
-        for b, idxs in sorted(groups.items()):
+        for b in self.buckets:
+            idxs = np.flatnonzero(bucket_arr == b)
+            if not len(idxs):
+                continue
             Bmax = self.shape_b[b]
             ladder = self._ladder(b)
             for cs in range(0, len(idxs), Bmax):
@@ -230,12 +247,23 @@ class _ServerCore:
                 tQ = np.full((B, b), 4, np.uint8)
                 t_len = np.ones(B, np.int32)
                 q_len = np.ones(B, np.int32)
-                for col, k in enumerate(chunk):
-                    _, _, t, q = jobs[k]
-                    tT[col, : len(t)] = t
-                    tQ[col, : len(q)] = q
-                    t_len[col] = len(t)
-                    q_len[col] = len(q)
+                tl = t_lens[chunk]
+                ql = q_lens[chunk]
+                t_len[: len(chunk)] = tl
+                q_len[: len(chunk)] = ql
+                # bulk scatter: all chunk jobs' bytes in two fancy writes
+                rows = np.repeat(np.arange(len(chunk)), tl)
+                within = np.arange(int(tl.sum())) - np.repeat(
+                    np.cumsum(tl) - tl, tl
+                )
+                src = np.repeat(t_offs[chunk], tl) + within
+                tT[rows, within] = all_buf[src]
+                rows = np.repeat(np.arange(len(chunk)), ql)
+                within = np.arange(int(ql.sum())) - np.repeat(
+                    np.cumsum(ql) - ql, ql
+                )
+                src = np.repeat(q_offs[chunk], ql) + within
+                tQ[rows, within] = all_buf[src]
                 try:
                     h = self.aligner.dispatch_padded(
                         tT, tQ, t_len, q_len, b, n_used=len(chunk)
@@ -243,7 +271,9 @@ class _ServerCore:
                 except TypeError:  # aligners without n_used support
                     h = self.aligner.dispatch_padded(tT, tQ, t_len, q_len, b)
                 handles.append((b, h, chunk))
-        self.inflight.put((pending, jobs, handles, overflow, resp_put))
+        self.inflight.put(
+            (pending, (job_req, job_ji), handles, overflow, resp_put)
+        )
 
     # -- downloader ----------------------------------------------------
     def run_download(self):
@@ -277,13 +307,24 @@ class _ServerCore:
                                st["fetch_s"] * 1e3 / max(st["calls"], 1),
                                dt, ru.ru_utime + ru.ru_stime))
                 break
-            pending, jobs, handles, overflow, resp_put = item
-            # per-request routing tables: req -> {(bucket, chunk#): rows}
+            pending, (job_req, job_ji), handles, overflow, resp_put = item
+            # per-request routing tables: req -> {(bucket, chunk#): slot}
             # (chunk# keys stop two same-bucket chunks from merging)
             per_req = [dict() for _ in pending]
             fetch = getattr(self.aligner, "fetch", None)
             n_calls = n_jobs_t = 0
             fetch_s = 0.0
+
+            def req_groups(chunk):
+                # chunk rows grouped by requester: [(ri, rows)] — bulk
+                # argsort instead of a per-job Python loop
+                rks = job_req[chunk]
+                order = np.argsort(rks, kind="stable")
+                srk = rks[order]
+                cuts = np.flatnonzero(srk[1:] != srk[:-1]) + 1
+                for g in np.split(order, cuts):
+                    yield int(srk[0] if not len(g) else rks[g[0]]), g
+
             for ci, (b, h, chunk) in enumerate(handles):
                 n_calls += 1
                 n_jobs_t += len(chunk)
@@ -296,38 +337,25 @@ class _ServerCore:
                 fetch_s += _time.monotonic() - _t0
                 if res[0] == "rr":
                     lo, ex = res[1], res[2]
-                    for col, k in enumerate(chunk):
-                        ri, ji, _, _ = jobs[k]
-                        slot = per_req[ri].setdefault(
-                            (b, ci), ("rr", [], [], [])
+                    for ri, rows in req_groups(chunk):
+                        per_req[ri][(b, ci)] = (
+                            "rr", lo[rows], ex[rows],
+                            job_ji[chunk[rows]].tolist(),
                         )
-                        slot[1].append(lo[col])
-                        slot[2].append(ex[col])
-                        slot[3].append(ji)
                 else:
                     packed = res[1]
-                    for col, k in enumerate(chunk):
-                        ri, ji, _, _ = jobs[k]
-                        slot = per_req[ri].setdefault(
-                            (b, ci), ("packed", [], [])
+                    for ri, rows in req_groups(chunk):
+                        per_req[ri][(b, ci)] = (
+                            "packed", packed[:, rows],
+                            job_ji[chunk[rows]].tolist(),
                         )
-                        slot[1].append(packed[:, col])
-                        slot[2].append(ji)
-            for k in overflow:
-                ri, ji, _, _ = jobs[k]
-                per_req[ri].setdefault((-1, 0), ("host", []))[1].append(ji)
+            if len(overflow):
+                for ri, rows in req_groups(np.asarray(overflow)):
+                    per_req[ri][(-1, 0)] = (
+                        "host", job_ji[np.asarray(overflow)[rows]].tolist()
+                    )
             for ri, (client_id, req_id, _, _) in enumerate(pending):
-                msg = {}
-                for key, slot in per_req[ri].items():
-                    if slot[0] == "host":
-                        msg[key] = ("host", slot[1])
-                    elif slot[0] == "rr":
-                        msg[key] = ("rr", np.stack(slot[1]),
-                                    np.stack(slot[2]), slot[3])
-                    else:
-                        msg[key] = ("packed", np.stack(slot[1], axis=1),
-                                    slot[2])
-                resp_put(client_id, (req_id, msg))
+                resp_put(client_id, (req_id, per_req[ri]))
             with self._stats_lock:
                 if self._stats is not None:
                     self._stats["calls"] += n_calls
