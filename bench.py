@@ -85,22 +85,45 @@ _G = {}
 
 def _map_chunk(chunk_id):
     import re as _re
+    from collections import deque
 
-    from vacmap_tpu.pipeline.mapper import Mapper
+    from vacmap_tpu.pipeline.mapper import Mapper, PendingLines
 
     # index/config shared with the workers by fork COW (same shape as the
-    # CLI deployment, cli.py worker processes)
+    # CLI deployment, cli.py worker processes); with a fill server, the
+    # worker keeps the CLI's deferred window of in-flight device fills
     m = Mapper(_G["idx"], _G["cfg"])
-    out = []
-    for name, seq in _G["chunks"][chunk_id]:
-        lines = m.map_read(name, seq)
+    clients = _G.get("fill_clients")
+    if clients is not None:
+        m.global_aligner = clients[chunk_id]
+    out = {}
+
+    def digest(j, lines):
         max_del = 0
         for line in lines:
             cig = line.split("\t")[5]
             for mm in _re.finditer(r"(\d+)D", cig):
                 max_del = max(max_del, int(mm.group(1)))
-        out.append((1 if lines else 0, len(lines), max_del))
-    return out
+        out[j] = (1 if lines else 0, len(lines), max_del)
+
+    if clients is None:
+        for j, (name, seq) in enumerate(_G["chunks"][chunk_id]):
+            digest(j, m.map_read(name, seq))
+        return [out[j] for j in range(len(out))]
+    window = deque()  # (j, PendingLines) — deferred fills in flight
+    for j, (name, seq) in enumerate(_G["chunks"][chunk_id]):
+        r = m.map_read_deferred(name, seq)
+        if isinstance(r, PendingLines):
+            window.append((j, r))
+            if len(window) >= 32:
+                jj, p = window.popleft()
+                digest(jj, p.finish())
+        else:
+            digest(j, r)
+    while window:
+        jj, p = window.popleft()
+        digest(jj, p.finish())
+    return [out[j] for j in range(len(out))]
 
 
 def main():
@@ -138,16 +161,43 @@ def main():
     mapper = Mapper(idx, cfg)
     mapper.map_read(reads[0][0], reads[0][1])  # warm-up
 
-    # throughput with the CLI's process-parallel deployment
+    # throughput with the CLI's process-parallel deployment, measured
+    # BOTH ways: host fills only, and the production device-fill service
+    # (one TPU-owning process shared by the fork workers).  The headline
+    # e2e is the better of the two — the CLI's --device-fills auto makes
+    # the same choice at deploy time.
     import multiprocessing as mp_
 
     n_workers = min(4, mp_.cpu_count())
     chunks = [reads[i::n_workers] for i in range(n_workers)]
     _G.update(idx=idx, cfg=cfg, chunks=chunks)
-    t0 = time.time()
-    with mp_.get_context("fork").Pool(n_workers) as pool:
-        results = pool.map(_map_chunk, range(n_workers))
-    dt = time.time() - t0
+
+    def run_pool():
+        t0 = time.time()
+        with mp_.get_context("fork").Pool(n_workers) as pool:
+            results = pool.map(_map_chunk, range(n_workers))
+        return time.time() - t0, results
+
+    _G["fill_clients"] = None
+    dt_host, results = run_pool()
+    dt, e2e_device_mbp_s = dt_host, None
+    fill_handle = None
+    try:
+        from vacmap_tpu.parallel.fill_service import start_fill_server
+
+        fill_handle = start_fill_server(n_workers, wait_ready=True,
+                                        ready_timeout=300)
+    except Exception:
+        fill_handle = None
+    if fill_handle is not None:
+        _G["fill_clients"] = [fill_handle.client(i) for i in range(n_workers)]
+        dt_dev, results_dev = run_pool()
+        fill_handle.stop()
+        _G["fill_clients"] = None
+        total_b = sum(len(s) for _, s in reads)
+        e2e_device_mbp_s = total_b / dt_dev / 1e6
+        if dt_dev < dt_host:  # device deployment wins: headline + stats
+            dt, results = dt_dev, results_dev
     flat = {}
     for w, res in enumerate(results):
         for j, r in enumerate(res):
@@ -365,6 +415,10 @@ def main():
         "aligned_frac": round(n_aligned / N_READS, 4),
         "sv_split_frac": round(sv_split / max(sv_total, 1), 4),
         "ms_per_read": round(dt / N_READS * 1000, 2),
+        "e2e_host_mbp_per_s": round(total_bases / dt_host / 1e6, 3),
+        "e2e_device_fills_mbp_per_s": (
+            round(e2e_device_mbp_s, 3) if e2e_device_mbp_s else None
+        ),
         "stage_shares_pct": shares,
         "chain_kernel_mbp_per_s": round(chain_mbp_s, 1),
         "index_build_mbp_per_s": round(idx_build_mbp_s, 1),
@@ -375,6 +429,8 @@ def main():
         out["pallas_P_agree"] = round(p_agree, 4)
     if dev_fill is not None:
         out["device_fill"] = dev_fill
+    if sv_acc is not None:
+        out["sv_accuracy"] = sv_acc
     print(json.dumps(out), flush=True)
     # exit without interpreter teardown: an abandoned (timed-out) device
     # thread wedged in a remote compile must not crash the exit path

@@ -227,13 +227,10 @@ def _dedup_records(paths, cfg, shard=(0, 1)):
                 yield rec
 
 
-def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
+def _worker_loop(raw_q, cooked_q, mapper, cfg, use_async: bool):
+    """One mapping thread: pulls reads, emits SAM line batches."""
     from collections import deque
 
-    mapper = Mapper(index, cfg)
-    use_async = fill_client is not None and cfg.mode != "asm"
-    if use_async:
-        mapper.global_aligner = fill_client
     map_fn = mapper.map_contig if cfg.mode == "asm" else mapper.map_read
     batch: List[str] = []
     chars = 0
@@ -257,6 +254,7 @@ def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
     while True:
         item = raw_q.get()
         if isinstance(item, int):
+            raw_q.put(item)  # release sibling threads of this worker
             break
         name, seq, qual, comment = item
         if use_async:
@@ -273,6 +271,39 @@ def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
         emit(window.popleft().finish())
     if batch:
         cooked_q.put(batch)
+
+
+def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
+    import threading as _threading
+
+    use_async = fill_client is not None and cfg.mode != "asm"
+    # with the device service attached, each worker process runs a
+    # second mapping thread: blocking device waits (divergence edit
+    # batches, non-deferred fills) overlap the sibling's host stages.
+    # Host-only workers stay single-threaded (GIL: no host win).
+    n_threads = int(os.environ.get(
+        "VACMAP_TPU_WORKER_THREADS", "2" if use_async else "1"
+    ))
+    mappers = []
+    for _ in range(max(n_threads, 1)):
+        m = Mapper(index, cfg)
+        if use_async:
+            m.global_aligner = fill_client
+        mappers.append(m)
+    if len(mappers) == 1:
+        _worker_loop(raw_q, cooked_q, mappers[0], cfg, use_async)
+    else:
+        ts = [
+            _threading.Thread(
+                target=_worker_loop,
+                args=(raw_q, cooked_q, m, cfg, use_async),
+            )
+            for m in mappers
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
     cooked_q.put(1)  # per-worker done sentinel
 
 

@@ -108,8 +108,14 @@ class _ServerCore:
     (async device handle) — see ops.affine_pallas.PallasFillAligner."""
 
     def __init__(self, aligner, buckets=DEFAULT_BUCKETS, depth=DEPTH,
-                 max_jobs=MAX_JOBS, max_wait_ms=MAX_WAIT_MS, shape_b=None):
+                 max_jobs=MAX_JOBS, max_wait_ms=MAX_WAIT_MS, shape_b=None,
+                 edit_aligner=None):
         self.aligner = aligner
+        # second job kind: exact edit distances (divergence filter) on
+        # the Myers kernel; jobs bounce to the host ladder until its
+        # shapes are compiled (see prewarm)
+        self.edit_aligner = edit_aligner
+        self.edit_ready: set = set()
         self.buckets = tuple(sorted(buckets))
         self.shape_b = dict(shape_b or DEFAULT_SHAPE_B)
         for b in self.buckets:  # every bucket needs a dispatch shape
@@ -119,7 +125,8 @@ class _ServerCore:
         self.inflight: "queue.Queue" = queue.Queue(maxsize=depth)
         self.stopping = False
         self._stats_lock = threading.Lock()
-        self._stats = {"calls": 0, "reqs": 0, "jobs": 0, "fetch_s": 0.0}
+        self._stats = {"calls": 0, "reqs": 0, "jobs": 0, "fetch_s": 0.0,
+                       "disp_cpu": 0.0, "dl_cpu": 0.0}
         # rungs whose compiles have landed (per bucket); the dispatcher
         # never dispatches a shape that would compile mid-traffic
         self.ready_rungs = {b: set() for b in self.buckets}
@@ -152,6 +159,14 @@ class _ServerCore:
                         self.ready_rungs[b] = self.ready_rungs[b] | {r}
             except Exception:
                 pass  # smaller rungs are an optimization only
+            ea = self.edit_aligner
+            if ea is not None:
+                for bk in ea.buckets:
+                    try:
+                        ea.prewarm(buckets=(bk,))
+                        self.edit_ready = self.edit_ready | {bk}
+                    except Exception:
+                        pass  # edit offload is an optimization only
 
         threading.Thread(target=rest, daemon=True).start()
 
@@ -206,12 +221,17 @@ class _ServerCore:
         buffers, no per-job Python): the service's host CPU is stolen
         from the mapping workers on the same cores, so per-job service
         cost must stay in the single-digit microseconds."""
+        import time as _time
+        _cpu0 = _time.thread_time()
         # one concatenated view of all requests' byte buffers
         bufs = [p[3] for p in pending]
         all_buf = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
         lens_all = np.concatenate([p[2] for p in pending])  # (M, 2) int32
         n_jobs_per_req = np.array([len(p[2]) for p in pending], np.int64)
+        kinds = np.array([0 if len(p) < 5 or p[4] == "fill" else 1
+                          for p in pending], np.int64)
         job_req = np.repeat(np.arange(len(pending)), n_jobs_per_req)
+        job_kind = kinds[job_req]
         job_ji = np.arange(len(job_req)) - np.repeat(
             np.cumsum(n_jobs_per_req) - n_jobs_per_req, n_jobs_per_req
         )
@@ -220,14 +240,46 @@ class _ServerCore:
         pair_sz = t_lens + q_lens
         t_offs = np.cumsum(pair_sz) - pair_sz  # start of each job's t
         q_offs = t_offs + t_lens
-        # bucket of each job (-1 = overflow/host)
+        # bucket of each FILL job (-1 = overflow/host)
         mx = np.maximum(t_lens, q_lens)
         bucket_arr = np.full(len(mx), -1, np.int64)
         for b in reversed(self.buckets):
             bucket_arr[mx <= b] = b
         bucket_arr[(t_lens == 0) | (q_lens == 0)] = -1
-        overflow = np.flatnonzero(bucket_arr < 0)
-        handles = []  # (bucket, handle, job_keys)
+        bucket_arr[job_kind == 1] = -1
+        handles = []  # (bucket, handle, job_keys [, kind])
+        # ---- edit-distance jobs (exact Myers kernel) ------------------
+        edit_unrouted = np.zeros(len(mx), bool)
+        edit_idx = np.flatnonzero(job_kind == 1)
+        if len(edit_idx):
+            ea = self.edit_aligner
+            eb = np.full(len(edit_idx), -1, np.int64)
+            if ea is not None:
+                for k, (T, Wd) in enumerate(sorted(ea.buckets,
+                                                   reverse=True)):
+                    if (T, Wd) not in self.edit_ready:
+                        continue
+                    ok = (t_lens[edit_idx] <= T) & (q_lens[edit_idx]
+                                                    <= Wd * 32)
+                    ok &= (t_lens[edit_idx] > 0) & (q_lens[edit_idx] > 0)
+                    eb[ok] = k
+            edit_unrouted[edit_idx[eb < 0]] = True
+            if ea is not None:
+                sbuckets = sorted(ea.buckets, reverse=True)
+                for k, (T, Wd) in enumerate(sbuckets):
+                    idxs = edit_idx[eb == k]
+                    B = ea.shape_b[T]
+                    for cs in range(0, len(idxs), B):
+                        chunk = idxs[cs : cs + B]
+                        jobs = [
+                            (all_buf[t_offs[j] : t_offs[j] + t_lens[j]],
+                             all_buf[q_offs[j] : q_offs[j] + q_lens[j]])
+                            for j in chunk
+                        ]
+                        h = ea.dispatch_jobs(jobs, T, Wd)
+                        handles.append(((T, Wd), h, chunk, "edit"))
+        overflow = np.flatnonzero((bucket_arr < 0) & (job_kind == 0)
+                                  | edit_unrouted)
         for b in self.buckets:
             idxs = np.flatnonzero(bucket_arr == b)
             if not len(idxs):
@@ -271,6 +323,9 @@ class _ServerCore:
                 except TypeError:  # aligners without n_used support
                     h = self.aligner.dispatch_padded(tT, tQ, t_len, q_len, b)
                 handles.append((b, h, chunk))
+        with self._stats_lock:
+            if self._stats is not None:
+                self._stats["disp_cpu"] += _time.thread_time() - _cpu0
         self.inflight.put(
             (pending, (job_req, job_ji), handles, overflow, resp_put)
         )
@@ -301,13 +356,16 @@ class _ServerCore:
                     with open(stats_path, "w") as fh:
                         fh.write(
                             "calls=%d reqs=%d jobs=%d jobs/call=%.1f "
-                            "fetch_ms/call=%.1f wall_s=%.1f cpu_s=%.1f\n"
+                            "fetch_ms/call=%.1f wall_s=%.1f cpu_s=%.1f "
+                            "disp_cpu=%.1f dl_cpu=%.1f\n"
                             % (st["calls"], st["reqs"], st["jobs"],
                                st["jobs"] / max(st["calls"], 1),
                                st["fetch_s"] * 1e3 / max(st["calls"], 1),
-                               dt, ru.ru_utime + ru.ru_stime))
+                               dt, ru.ru_utime + ru.ru_stime,
+                               st["disp_cpu"], st["dl_cpu"]))
                 break
             pending, (job_req, job_ji), handles, overflow, resp_put = item
+            _dlcpu0 = _time.thread_time()
             # per-request routing tables: req -> {(bucket, chunk#): slot}
             # (chunk# keys stop two same-bucket chunks from merging)
             per_req = [dict() for _ in pending]
@@ -325,10 +383,20 @@ class _ServerCore:
                 for g in np.split(order, cuts):
                     yield int(srk[0] if not len(g) else rks[g[0]]), g
 
-            for ci, (b, h, chunk) in enumerate(handles):
+            for ci, hrec in enumerate(handles):
+                b, h, chunk = hrec[0], hrec[1], hrec[2]
+                kind = hrec[3] if len(hrec) > 3 else "fill"
                 n_calls += 1
                 n_jobs_t += len(chunk)
                 _t0 = _time.monotonic()
+                if kind == "edit":
+                    dists = self.edit_aligner.fetch(h)
+                    fetch_s += _time.monotonic() - _t0
+                    for ri, rows in req_groups(chunk):
+                        per_req[ri][(b, ci)] = (
+                            "edist", dists[rows], job_ji[chunk[rows]].tolist()
+                        )
+                    continue
                 # blocking device->host fetch
                 if fetch is not None:
                     res = fetch(h)
@@ -354,7 +422,7 @@ class _ServerCore:
                     per_req[ri][(-1, 0)] = (
                         "host", job_ji[np.asarray(overflow)[rows]].tolist()
                     )
-            for ri, (client_id, req_id, _, _) in enumerate(pending):
+            for ri, (client_id, req_id, *_rest) in enumerate(pending):
                 resp_put(client_id, (req_id, per_req[ri]))
             with self._stats_lock:
                 if self._stats is not None:
@@ -362,6 +430,7 @@ class _ServerCore:
                     self._stats["jobs"] += n_jobs_t
                     self._stats["reqs"] += len(pending)
                     self._stats["fetch_s"] += fetch_s
+                    self._stats["dl_cpu"] += _time.thread_time() - _dlcpu0
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +480,17 @@ def decode_response(msg, pairs, eqx: bool):
     return results
 
 
+def decode_edit_response(msg, n_pairs: int):
+    """Edit-kind response -> per-job exact distance or None (host
+    fallback: unrouted / oversized / service not ready)."""
+    results: List[Optional[int]] = [None] * n_pairs
+    for slot in msg.values():
+        if slot[0] == "edist":
+            for d, ji in zip(slot[1], slot[2]):
+                results[ji] = int(d)
+    return results
+
+
 # ---------------------------------------------------------------------------
 # in-process transport (single-process executor)
 # ---------------------------------------------------------------------------
@@ -430,7 +510,8 @@ class AsyncFillAligner:
 
             aligner = PallasFillAligner(buckets=buckets)
         self.core = _ServerCore(aligner, buckets=buckets, depth=depth,
-                                max_jobs=max_jobs, max_wait_ms=max_wait_ms)
+                                max_jobs=max_jobs, max_wait_ms=max_wait_ms,
+                                edit_aligner=_make_edit_aligner())
         self.req_q: "queue.Queue" = queue.Queue()
         self._events: Dict[int, dict] = {}
         self._lock = threading.Lock()
@@ -507,6 +588,20 @@ class AsyncFillAligner:
             raise RuntimeError("device fill service timed out")
         return decode_response(box["msg"], pairs, eqx)
 
+    def edit_batch(self, pairs, timeout: float = 600.0):
+        """Exact edit distances on device; None entries = host fallback."""
+        if not pairs or self.failed or not self.ready.is_set():
+            return [None] * len(pairs)
+        box = {"event": threading.Event(), "msg": None}
+        with self._lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._events[req_id] = box
+        self.req_q.put((0, req_id, *pack_pairs(pairs), "edit"))
+        if not box["event"].wait(timeout=timeout):
+            raise RuntimeError("device fill service timed out")
+        return decode_edit_response(box["msg"], len(pairs))
+
     def stop(self, timeout: float = 10.0):
         """Drain and join the pipeline threads.  Joining matters at
         process exit: a dispatcher thread still inside a device call
@@ -559,6 +654,26 @@ class HostEmulFillAligner:
                 | (o[:, 3] << 6)).astype(np.uint8)
 
 
+def _make_edit_aligner():
+    """Myers edit-distance device aligner (or None).  Host-emulation mode
+    has no device; edit jobs then bounce to the host ladder."""
+    if os.environ.get("VACMAP_TPU_FILL_HOST"):
+        from ..ops.myers_pallas import PallasMyersAligner
+
+        return PallasMyersAligner(interpret=True, buckets=((512, 128),),
+                                  shape_b={512: 8}, tb={512: 8})
+    try:
+        import jax
+
+        if jax.default_backend() in ("cpu",):
+            return None
+        from ..ops.myers_pallas import PallasMyersAligner
+
+        return PallasMyersAligner()
+    except Exception:
+        return None
+
+
 def _make_aligner(buckets):
     """The service's device aligner, or None when no accelerator is
     usable.  VACMAP_TPU_FILL_HOST=1 forces the host-emulation aligner
@@ -603,7 +718,8 @@ def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool):
         if aligner is None:
             ready_evt.set()  # no accelerator: parent falls back to host
             return
-        core = _ServerCore(aligner, buckets=buckets)
+        core = _ServerCore(aligner, buckets=buckets,
+                           edit_aligner=_make_edit_aligner())
         if prewarm:
             core.prewarm()  # whole dispatch-shape universe, BEFORE ready
         ok_val.value = 1
@@ -760,6 +876,24 @@ class FillClient:
             self.failed = True
             return self._host(pairs, eqx)
         return decode_response(box["msg"], pairs, eqx)
+
+    def edit_batch(self, pairs, timeout: float = 600.0):
+        """Exact edit distances on device; None entries = host fallback."""
+        if not pairs or self.failed or not self._server_ready():
+            return [None] * len(pairs)
+        self._ensure_router()
+        box = {"event": threading.Event(), "msg": None}
+        with self._lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._events[req_id] = box
+        self.req_q.put((self.worker_id, req_id, *pack_pairs(pairs), "edit"))
+        if not box["event"].wait(timeout=timeout):
+            with self._lock:
+                self._events.pop(req_id, None)
+            self.failed = True
+            return [None] * len(pairs)
+        return decode_edit_response(box["msg"], len(pairs))
 
     @staticmethod
     def _host(pairs, eqx):

@@ -156,16 +156,36 @@ def divergence_filter(
     read_len: int,
     ref: RefView,
     max_ratio: float,
+    edit_client=None,
 ) -> List[List[tuple]]:
-    out = []
+    """Drop segments whose span divergence exceeds max_ratio.
+
+    With ``edit_client`` (a fill-service client exposing ``edit_batch``)
+    the whole batch of span pairs is resolved as EXACT device edit
+    distances (ops/myers_pallas.py) — decisions identical to the host
+    ladder; unrouted pairs fall back per pair."""
+    spans, metas, out = [], [], []
     for seg in segs:
         t, q = query_target_between(
             seg[0], seg[-1], read_codes, rc_read_codes, read_len, ref
         )
+        spans.append((t, q))
+    dists = None
+    if edit_client is not None and spans:
+        try:
+            dists = edit_client.edit_batch(spans)
+        except Exception:
+            dists = None
+    for k, seg in enumerate(segs):
+        t, q = spans[k]
         if len(t) == 0 or len(q) == 0:
             out.append(seg)
             continue
-        if not divergence_exceeds(t, q, max_ratio):
+        d = dists[k] if dists is not None else None
+        if d is not None:
+            if d <= int(max_ratio * min(len(t), len(q))):
+                out.append(seg)
+        elif not divergence_exceeds(t, q, max_ratio):
             out.append(seg)
     return out
 
@@ -731,7 +751,9 @@ def refine_chain(
         return [], [], False
     with trace.span("rf.diverg"):
         segs = divergence_filter(
-            segs, read_codes, rc_read_codes, read_len, ref, max_divergence
+            segs, read_codes, rc_read_codes, read_len, ref, max_divergence,
+            edit_client=(global_aligner
+                         if hasattr(global_aligner, "edit_batch") else None),
         )
     if not segs:
         return [], [], False
