@@ -92,7 +92,7 @@ class ReferenceIndex:
         # (no second whole-genome copy)
         seq_codes = np.empty(off, np.uint8)
         for name, st, ln in zip(names, starts, lens):
-            seq_codes[st : st + ln] = encode(contigs[name].upper())
+            seq_codes[st : st + ln] = encode(contigs[name])
         built = cls._build_table_native(seq_codes, starts, lens, k, w)
         if built is not None:
             mm_hash, mm_pos, mm_strand = built
@@ -220,38 +220,57 @@ class ReferenceIndex:
 
         # ``contigs`` may be a dict OR a streaming iterable of
         # (name, seq) pairs — with an iterable the genome is never held
-        # in Python strings: each contig is encoded and appended to the
-        # on-disk code file as it arrives.
+        # in Python strings: each contig is encoded (case-insensitive
+        # LUT, no .upper() copy) and appended straight into the final
+        # ``seq.npy``, whose npy header is reserved up front and patched
+        # with the total length once the stream ends (one disk pass
+        # instead of spill-then-copy).
+        import struct
+
         items = contigs.items() if hasattr(contigs, "items") else contigs
         names, starts, lens = [], [], []
         off = 0
-        with open(os.path.join(tmp, "seq.bin"), "wb") as sf:
+        HDR = 128  # npy v1: 10-byte prelude + 118-byte padded header
+        seq_path = os.path.join(path, "seq.npy")
+        with open(seq_path, "w+b") as sf:
+            sf.write(b"\x00" * HDR)
             for name, s in items:
                 names.append(name)
                 starts.append(off)
                 lens.append(len(s))
                 off += len(s)
-                encode(s.upper()).tofile(sf)
+                encode(s).tofile(sf)
+            d = ("{'descr': '|u1', 'fortran_order': False, "
+                 "'shape': (%d,), }" % off)
+            pad = HDR - 10 - len(d) - 1
+            hdr = (b"\x93NUMPY" + bytes([1, 0])
+                   + struct.pack("<H", len(d) + pad + 1)
+                   + d.encode() + b" " * pad + b"\n")
+            assert len(hdr) == HDR
+            sf.seek(0)
+            sf.write(hdr)
         hash_dt = np.uint32 if 2 * k <= 32 else np.int64
         pos_dt = np.uint32 if off < 2**32 else np.int64
         rec_dt = np.dtype([("h", hash_dt), ("p", pos_dt), ("s", np.int8)])
         NB = 256
         shift = max(0, 2 * k - 8)
 
-        # final on-disk seq array (blockwise copy from the spill file)
-        seq_mm = open_memmap(
-            os.path.join(path, "seq.npy"), mode="w+", dtype=np.uint8,
-            shape=(off,),
-        )
-        with open(os.path.join(tmp, "seq.bin"), "rb") as sf:
-            cur = 0
-            while cur < off:
-                blk = np.fromfile(sf, np.uint8, count=64 << 20)
-                if not len(blk):
-                    break
-                seq_mm[cur : cur + len(blk)] = blk
-                cur += len(blk)
-        seq_mm.flush()
+        seq_mm = np.load(seq_path, mmap_mode="r")
+
+        # ---- fast path: native MT sorted build over the DISK-backed
+        # genome (OS-paged) into disk-backed table memmaps.  Peak RSS is
+        # the table working set (~2 B/bp), not the genome; output is
+        # bit-identical to the spill path below (both equal build()).
+        from .. import native as _native
+
+        if (2 * k <= 32 and _native.available()
+                and not os.environ.get("VACMAP_TPU_FORCE_SPILL")):
+            idx = cls._external_native_table(
+                path, tmp, seq_mm, names, starts, lens, k, w, occ_frac,
+                hash_dt, pos_dt,
+            )
+            if idx is not None:
+                return idx
 
         # ---- spill phase: sketch chunks, scatter to hash-radix buckets
         bucket_files = [
@@ -350,6 +369,83 @@ class ReferenceIndex:
         del seq_mm, mm_h, mm_p, mm_s
 
         np.save(os.path.join(path, "starts.npy"), np.asarray(starts, np.int64))
+        np.save(os.path.join(path, "lens.npy"), np.asarray(lens, np.int64))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "magic": VMI_MAGIC, "k": k, "w": w, "names": names,
+                    "occ_cutoff": occ_cutoff,
+                },
+                f,
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return cls.load(path)
+
+    @classmethod
+    def _external_native_table(cls, path, tmp, seq_mm, names, starts, lens,
+                               k, w, occ_frac, hash_dt, pos_dt):
+        """Genome-scale table build via the C++ MT sorted builder
+        (vacmap_native.cpp::index_build_sorted) writing into disk-backed
+        int64 memmaps, then a blockwise converting copy into the final
+        uint32 ``.vmi`` arrays.  Returns the loaded index, or None to
+        fall through to the pure-python spill builder (no native lib /
+        capacity miss)."""
+        import json
+        import os
+        import shutil
+
+        from numpy.lib.format import open_memmap
+
+        from .. import native as _native
+
+        off = int(seq_mm.shape[0])
+        cap = max(off // 2 + 64, 64)
+        # table temporaries: RAM when the estimated table (density
+        # 2/(w+1), 17 B/entry int64 working set, x2 safety) fits in half
+        # of free memory — the builder's RSS is then ~the table, never
+        # the genome (which stays OS-paged on disk).  Disk-backed
+        # memmaps otherwise (truly RAM-starved hosts; slower: the
+        # radix scatter dirties them in random order).
+        try:
+            avail = (os.sysconf("SC_AVPHYS_PAGES")
+                     * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            avail = 0
+        est = int(off * (2.0 / (w + 1)) * 17 * 2)
+        if est < avail // 2:
+            th = np.empty(cap, np.int64)
+            tp = np.empty(cap, np.int64)
+            ts = np.empty(cap, np.int8)
+        else:
+            th = open_memmap(os.path.join(tmp, "th.npy"), mode="w+",
+                             dtype=np.int64, shape=(cap,))
+            tp = open_memmap(os.path.join(tmp, "tp.npy"), mode="w+",
+                             dtype=np.int64, shape=(cap,))
+            ts = open_memmap(os.path.join(tmp, "ts.npy"), mode="w+",
+                             dtype=np.int8, shape=(cap,))
+        m = _native.index_build_sorted_native(
+            seq_mm, starts, lens, k, w, out=(th, tp, ts)
+        )
+        if m is None:
+            return None
+        mm_h = open_memmap(os.path.join(path, "mm_hash.npy"), mode="w+",
+                           dtype=hash_dt, shape=(m,))
+        mm_p = open_memmap(os.path.join(path, "mm_pos.npy"), mode="w+",
+                           dtype=pos_dt, shape=(m,))
+        mm_s = open_memmap(os.path.join(path, "mm_strand.npy"), mode="w+",
+                           dtype=np.int8, shape=(m,))
+        BLK = 64 << 20
+        for i in range(0, m, BLK):
+            j = min(i + BLK, m)
+            mm_h[i:j] = th[i:j].astype(hash_dt)
+            mm_p[i:j] = tp[i:j].astype(pos_dt)
+            mm_s[i:j] = ts[i:j]
+        for a in (mm_h, mm_p, mm_s):
+            a.flush()
+        occ_cutoff = cls._occ_cutoff_sorted(mm_h, occ_frac)
+        del th, tp, ts, mm_h, mm_p, mm_s
+        np.save(os.path.join(path, "starts.npy"),
+                np.asarray(starts, np.int64))
         np.save(os.path.join(path, "lens.npy"), np.asarray(lens, np.int64))
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
@@ -507,7 +603,7 @@ class ReferenceIndex:
         (top clusters by anchor count), bounding downstream chaining work
         on repetitive reads; <= 0 disables the cap.
         """
-        codes = encode(read.upper())
+        codes = encode(read)
         h, p, s = minimizers(codes, self.k, self.w)
         if len(h) == 0:
             return np.empty((0, 4), np.int64)

@@ -603,9 +603,9 @@ def minimizer_sketch_native(codes: np.ndarray, k: int, w: int):
         lib._sketch_bound = True
     c = np.ascontiguousarray(codes, np.uint8)
     cap = max(len(c), 1)
-    oh = np.zeros(cap, np.int64)
-    op = np.zeros(cap, np.int64)
-    os_ = np.zeros(cap, np.int8)
+    oh = np.empty(cap, np.int64)
+    op = np.empty(cap, np.int64)
+    os_ = np.empty(cap, np.int8)
     m = lib.minimizer_sketch(
         c.ctypes.data, len(c), k, w, oh.ctypes.data, op.ctypes.data,
         os_.ctypes.data,
@@ -643,12 +643,18 @@ def minimizer_sketch_mt_native(codes: np.ndarray, k: int, w: int,
 
 
 def index_build_sorted_native(codes: np.ndarray, ctg_starts, ctg_lens,
-                              k: int, w: int, nthreads: int = 0):
+                              k: int, w: int, nthreads: int = 0,
+                              out=None):
     """Fully-native sorted minimizer table: MT per-contig sketch +
     256-bucket hash scatter + per-bucket stable sort -> (hash asc,
     pos asc), identical to the numpy argsort path in
     index/index.py::build.  Returns (hashes, positions, strands)
-    int64/int64/int8 or None."""
+    int64/int64/int8 or None.
+
+    With ``out=(oh, op, os_)`` (preallocated int64/int64/int8 arrays,
+    e.g. disk-backed memmaps for genome-scale external builds) the table
+    is written in place and the COUNT is returned (or None when the
+    capacity is insufficient / the lib is unavailable)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -666,6 +672,16 @@ def index_build_sorted_native(codes: np.ndarray, ctg_starts, ctg_lens,
     c = np.ascontiguousarray(codes, np.uint8)
     cs = np.ascontiguousarray(ctg_starts, np.int64)
     cl = np.ascontiguousarray(ctg_lens, np.int64)
+    if out is not None:
+        oh, op, os_ = out
+        assert oh.dtype == np.int64 and op.dtype == np.int64
+        assert os_.dtype == np.int8
+        m = lib.index_build_sorted(
+            c.ctypes.data, len(c), k, w, nthreads, len(oh),
+            len(cs), cs.ctypes.data, cl.ctypes.data,
+            oh.ctypes.data, op.ctypes.data, os_.ctypes.data,
+        )
+        return None if m < 0 else m
     # minimizer density is 2/(w+1); 1/2 is a safe cap for any w >= 3
     cap = max(len(c) // 2 + 64, 64)
     oh = np.empty(cap, np.int64)

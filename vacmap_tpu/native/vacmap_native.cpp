@@ -803,96 +803,142 @@ static inline uint64_t mm_hash64(uint64_t x, uint64_t mask) {
   return x;
 }
 
-extern "C" int64_t minimizer_sketch(
+// Streaming ranged sketch: ONE pass, O(w) state, zero O(n) temporaries.
+// Selection identical to the two-pass winmin/cover formulation it
+// replaces (and to index/minimizer.py): position p is emitted iff its
+// key (min of the two strand hashes; BIG when palindromic or the kmer
+// touches a non-ACGT base) is not BIG and equals the minimum of at
+// least one covering window.  Only positions in [emit_lo, emit_hi]
+// (kmer indices) are written, ascending — the MT segmented build calls
+// this directly per segment.
+//
+// Structure: a monotone deque over the last w keys that KEEPS ties
+// (pop strictly-greater), so at each window every tied minimum is
+// present in the head run and gets flagged; a position's flag is final
+// once its last covering window has been processed, at which point it
+// is emitted from a w-deep ring (restores global position order).
+extern "C" int64_t minimizer_sketch_range(
     const uint8_t* seq, int64_t n, int k, int w,
+    int64_t emit_lo, int64_t emit_hi,
     int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
-  if (n < k) return 0;
+  if (n < k || w < 1) return 0;
   const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
   const int64_t nk = n - k + 1;
   const uint64_t BIG = ~0ull;
-  // keyed[i] for window minima; recompute on the fly with a deque of
-  // (key, pos); emit all positions whose key equals some window min.
-  std::vector<uint64_t> keyed(nk);
-  std::vector<int8_t> strands(nk);
-  {
-    uint64_t fwd = 0, rev = 0;
-    int valid_run = 0;
-    const uint64_t shift_rev = 2 * (k - 1);
+  if (emit_lo < 0) emit_lo = 0;
+  if (emit_hi >= nk) emit_hi = nk - 1;
+  int64_t m = 0;
+  const uint64_t shift_rev = 2 * (k - 1);
+  if (nk < w) {  // single degenerate window: global min, all ties
+    uint64_t fwd = 0, rev = 0, mn = BIG;
+    int64_t valid_run = 0;
+    std::vector<uint64_t> keys(nk, BIG);
+    std::vector<int8_t> strs(nk, 0);
     for (int64_t i = 0; i < n; i++) {
       const uint8_t c = seq[i];
       if (c < 4) {
         fwd = ((fwd << 2) | c) & mask;
         rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
         valid_run++;
-      } else {
-        fwd = 0; rev = 0; valid_run = 0;
-      }
+      } else { fwd = 0; rev = 0; valid_run = 0; }
       const int64_t p = i - k + 1;
       if (p < 0) continue;
       if (valid_run >= k) {
         const uint64_t hf = mm_hash64(fwd, mask);
         const uint64_t hr = mm_hash64(rev, mask);
-        if (hf == hr) { keyed[p] = BIG; strands[p] = 0; }
-        else if (hf < hr) { keyed[p] = hf; strands[p] = 1; }
-        else { keyed[p] = hr; strands[p] = -1; }
-      } else {
-        keyed[p] = BIG;
-        strands[p] = 0;
+        if (hf < hr) { keys[p] = hf; strs[p] = 1; }
+        else if (hr < hf) { keys[p] = hr; strs[p] = -1; }
       }
+      mn = std::min(mn, keys[p]);
     }
-  }
-  int64_t m = 0;
-  if (nk < w) {
-    uint64_t mn = BIG;
-    for (int64_t i = 0; i < nk; i++) mn = std::min(mn, keyed[i]);
     if (mn == BIG) return 0;
-    for (int64_t i = 0; i < nk; i++)
-      if (keyed[i] == mn) {
-        out_hash[m] = (int64_t)mn; out_pos[m] = i; out_strand[m] = strands[i];
+    for (int64_t p = 0; p < nk; p++)
+      if (keys[p] == mn && p >= emit_lo && p <= emit_hi) {
+        out_hash[m] = (int64_t)mn; out_pos[m] = p; out_strand[m] = strs[p];
         m++;
       }
     return m;
   }
-  // window minima: monotone deque over keys; a position is selected iff
-  // its key equals the min of at least one covering window.  Track for
-  // each position the max over covering-window minima and compare.
-  // Simpler single pass: compute winmin[t] for each window t, then mark
-  // positions where keyed[p] == winmin[t] for some t covering p by
-  // keeping a rolling max of winmin over the trailing w windows.
-  std::vector<uint64_t> winmin(nk - w + 1);
-  {
-    std::vector<int64_t> dq(nk);
-    int64_t qh = 0, qt = 0;  // deque of indices, keys increasing
-    for (int64_t i = 0; i < nk; i++) {
-      while (qt > qh && keyed[dq[qt - 1]] >= keyed[i]) qt--;
-      dq[qt++] = i;
-      if (dq[qh] <= i - w) qh++;
-      if (i >= w - 1) winmin[i - w + 1] = keyed[dq[qh]];
+  // rings over the trailing w kmer positions (slot = p % w)
+  static thread_local std::vector<uint64_t> rkey;
+  static thread_local std::vector<int8_t> rstr;
+  static thread_local std::vector<uint8_t> rq;
+  rkey.assign(w, BIG);
+  rstr.assign(w, 0);
+  rq.assign(w, 0);
+  // circular monotone deque (keys weakly increasing head->tail)
+  int64_t dcap = 2;
+  while (dcap < w + 1) dcap <<= 1;
+  const int64_t dmask = dcap - 1;
+  static thread_local std::vector<int64_t> dqp;
+  static thread_local std::vector<uint64_t> dqk;
+  static thread_local std::vector<int32_t> dqs;  // ring slot of each entry
+  dqp.resize(dcap);
+  dqk.resize(dcap);
+  dqs.resize(dcap);
+  int64_t qh = 0, qt = 0;  // counters; index with & dmask
+  uint64_t fwd = 0, rev = 0;
+  int64_t valid_run = 0;
+  int32_t rp = 0;  // rolling ring slot == p % w (no division)
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t c = seq[i];
+    if (c < 4) {
+      fwd = ((fwd << 2) | c) & mask;
+      rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
+      valid_run++;
+    } else { fwd = 0; rev = 0; valid_run = 0; }
+    const int64_t p = i - k + 1;
+    if (p < 0) continue;
+    uint64_t key = BIG;
+    int8_t st = 0;
+    if (valid_run >= k) {
+      const uint64_t hf = mm_hash64(fwd, mask);
+      const uint64_t hr = mm_hash64(rev, mask);
+      if (hf < hr) { key = hf; st = 1; }
+      else if (hr < hf) { key = hr; st = -1; }
     }
-  }
-  {
-    // cover[p] = max(winmin[max(0,p-w+1) .. min(p, nW-1)])
-    const int64_t nW = nk - w + 1;
-    std::vector<int64_t> dq(nk);
-    int64_t qh = 0, qt = 0;  // deque over winmin, keys decreasing (max)
-    int64_t pushed = -1;
-    for (int64_t p = 0; p < nk; p++) {
-      const int64_t t_new = std::min(p, nW - 1);
-      while (pushed < t_new) {
-        pushed++;
-        while (qt > qh && winmin[dq[qt - 1]] <= winmin[pushed]) qt--;
-        dq[qt++] = pushed;
-      }
-      while (qh < qt && dq[qh] < p - w + 1) qh++;
-      if (qh < qt && keyed[p] != BIG && winmin[dq[qh]] == keyed[p]) {
-        out_hash[m] = (int64_t)keyed[p];
-        out_pos[m] = p;
-        out_strand[m] = strands[p];
+    if (p >= w && rq[rp]) {  // finalize position p-w (flag is final)
+      const int64_t fp = p - w;
+      if (fp >= emit_lo && fp <= emit_hi) {
+        out_hash[m] = (int64_t)rkey[rp];
+        out_pos[m] = fp;
+        out_strand[m] = rstr[rp];
         m++;
       }
     }
+    rkey[rp] = key; rstr[rp] = st; rq[rp] = 0;
+    while (qt > qh && dqk[(qt - 1) & dmask] > key) qt--;  // ties stay
+    dqp[qt & dmask] = p;
+    dqk[qt & dmask] = key;
+    dqs[qt & dmask] = rp;
+    qt++;
+    if (++rp == w) rp = 0;
+    const int64_t t = p - w + 1;  // window [t, p] complete
+    if (t < 0) continue;
+    while (qh < qt && dqp[qh & dmask] < t) qh++;
+    const uint64_t mn = dqk[qh & dmask];
+    if (mn != BIG)
+      for (int64_t j = qh; j < qt && dqk[j & dmask] == mn; j++)
+        rq[dqs[j & dmask]] = 1;
+  }
+  for (int64_t fp = nk - w; fp < nk; fp++) {  // trailing w positions
+    const int64_t rs = fp % w;
+    if (rq[rs] && fp >= emit_lo && fp <= emit_hi) {
+      out_hash[m] = (int64_t)rkey[rs];
+      out_pos[m] = fp;
+      out_strand[m] = rstr[rs];
+      m++;
+    }
   }
   return m;
+}
+
+extern "C" int64_t minimizer_sketch(
+    const uint8_t* seq, int64_t n, int k, int w,
+    int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
+  if (n < k) return 0;
+  return minimizer_sketch_range(seq, n, k, w, 0, n, out_hash, out_pos,
+                                out_strand);
 }
 
 // ---------------------------------------------------------------------------
@@ -2211,65 +2257,75 @@ extern "C" int align2p_batch_native(
 
 #include <thread>
 #include <atomic>
+#include <chrono>
+#include <memory>
 
-extern "C" int64_t minimizer_sketch(const uint8_t*, int64_t, int, int,
-                                    int64_t*, int64_t*, int8_t*);
+extern "C" int64_t minimizer_sketch_range(const uint8_t*, int64_t, int, int,
+                                          int64_t, int64_t,
+                                          int64_t*, int64_t*, int8_t*);
 
 namespace {
 
 struct SketchPart {
-  std::vector<int64_t> hash, pos;
-  std::vector<int8_t> strand;
+  // uninitialized heap buffers (NOT zero-filled vectors: at genome
+  // scale the value-initialization alone was >15 GB of page-touching)
+  std::unique_ptr<int64_t[]> hash, pos;
+  std::unique_ptr<int8_t[]> strand;
+  int64_t n = 0;
 };
 
-// segment bounds in kmer space for nseg segments over nk kmers
+// segment bounds in kmer space: kmers [a, b), emit positions
+// [emit_lo, emit_hi]
 static void sketch_segment(const uint8_t* seq, int64_t n, int k, int w,
                            int64_t a, int64_t b, int64_t emit_lo,
                            int64_t emit_hi, SketchPart* out) {
   // bases for kmer range [a, b): a .. b + k - 1
   const int64_t base_lo = a, base_hi = std::min<int64_t>(n, b + k - 1);
   const int64_t nseq = base_hi - base_lo;
-  const int64_t cap = nseq;
-  std::vector<int64_t> oh(cap), op(cap);
-  std::vector<int8_t> os(cap);
-  const int64_t m = minimizer_sketch(seq + base_lo, nseq, k, w, oh.data(),
-                                     op.data(), os.data());
-  out->hash.reserve(m);
-  out->pos.reserve(m);
-  out->strand.reserve(m);
-  for (int64_t i = 0; i < m; i++) {
-    const int64_t p = op[i] + base_lo;
-    if (p >= emit_lo && p <= emit_hi) {
-      out->hash.push_back(oh[i]);
-      out->pos.push_back(p);
-      out->strand.push_back(os[i]);
-    }
-  }
+  // the streaming kernel filters to the emit range itself, so the
+  // output buffers are sized to the emit range (every position is
+  // emitted at most once); only the emitted prefix is ever touched
+  const int64_t cap = std::max<int64_t>(emit_hi - emit_lo + 1, 1);
+  out->hash.reset(new int64_t[cap]);
+  out->pos.reset(new int64_t[cap]);
+  out->strand.reset(new int8_t[cap]);
+  out->n = minimizer_sketch_range(
+      seq + base_lo, nseq, k, w, emit_lo - base_lo, emit_hi - base_lo,
+      out->hash.get(), out->pos.get(), out->strand.get());
+  for (int64_t i = 0; i < out->n; i++) out->pos[i] += base_lo;
 }
 
+// bounded-size segments drained by a fixed thread pool: allocation per
+// in-flight segment stays small and threads load-balance
 static std::vector<SketchPart> sketch_parallel(const uint8_t* seq, int64_t n,
                                                int k, int w, int nthreads) {
   const int64_t nk = n - k + 1;
   std::vector<SketchPart> parts;
   if (nk <= 0) return parts;
-  int64_t nseg = nthreads;
+  const int64_t MAX_SEG = 16ll << 20;  // kmers per segment
   const int64_t MIN_SEG = 4 * (int64_t)w + 64;  // below this, ST is fine
+  int64_t nseg = std::max<int64_t>(nthreads, (nk + MAX_SEG - 1) / MAX_SEG);
   while (nseg > 1 && nk / nseg < MIN_SEG) nseg--;
   parts.resize(nseg);
-  const int64_t ov = 2 * (int64_t)w - 2;
+  const int64_t per = (nk + nseg - 1) / nseg;
+  std::atomic<int64_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      const int64_t s = next.fetch_add(1);
+      if (s >= nseg) break;
+      // emit range [e_lo, e_hi]; segment kmers [a, b)
+      const int64_t e_lo = (s == 0) ? 0 : s * per;
+      const int64_t e_hi =
+          (s == nseg - 1) ? nk - 1 : std::min(nk - 1, (s + 1) * per - 1);
+      if (e_lo > e_hi) continue;
+      const int64_t a = std::max<int64_t>(0, e_lo - (w - 1));
+      const int64_t b = std::min<int64_t>(nk, e_hi + w);  // last = e_hi+w-1
+      sketch_segment(seq, n, k, w, a, b, e_lo, e_hi, &parts[s]);
+    }
+  };
+  const int np = (int)std::min<int64_t>(std::max(nthreads, 1), nseg);
   std::vector<std::thread> ts;
-  int64_t per = (nk + nseg - 1) / nseg;
-  for (int64_t s = 0; s < nseg; s++) {
-    // emit range [e_lo, e_hi]; segment kmers [a, b)
-    const int64_t e_lo = (s == 0) ? 0 : s * per;
-    const int64_t e_hi = (s == nseg - 1) ? nk - 1
-                                         : std::min(nk - 1, (s + 1) * per - 1);
-    if (e_lo > e_hi) continue;
-    const int64_t a = std::max<int64_t>(0, e_lo - (w - 1));
-    const int64_t b = std::min<int64_t>(nk, e_hi + w);  // kmer b-1 = e_hi+w-1
-    ts.emplace_back(sketch_segment, seq, n, k, w, a, b, e_lo, e_hi,
-                    &parts[s]);
-  }
+  for (int t = 0; t < np; t++) ts.emplace_back(work);
   for (auto& t : ts) t.join();
   return parts;
 }
@@ -2285,11 +2341,10 @@ extern "C" int64_t minimizer_sketch_mt(
   auto parts = sketch_parallel(seq, n, k, w, nthreads);
   int64_t m = 0;
   for (auto& p : parts) {
-    const int64_t c = (int64_t)p.pos.size();
-    std::copy(p.hash.begin(), p.hash.end(), out_hash + m);
-    std::copy(p.pos.begin(), p.pos.end(), out_pos + m);
-    std::copy(p.strand.begin(), p.strand.end(), out_strand + m);
-    m += c;
+    std::copy(p.hash.get(), p.hash.get() + p.n, out_hash + m);
+    std::copy(p.pos.get(), p.pos.get() + p.n, out_pos + m);
+    std::copy(p.strand.get(), p.strand.get() + p.n, out_strand + m);
+    m += p.n;
   }
   return m;
 }
@@ -2305,6 +2360,13 @@ extern "C" int64_t index_build_sorted(
     int64_t nctg, const int64_t* ctg_starts, const int64_t* ctg_lens,
     int64_t* out_hash, int64_t* out_pos, int8_t* out_strand) {
   if (n < k) return 0;
+  const bool timing = getenv("VACMAP_TPU_IDX_TIME") != nullptr;
+  auto tick = [&]() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t0 = timing ? tick() : 0.0;
   // sketch per contig (kmers never span a boundary), segments in
   // position order so per-bucket scatter order stays position-ascending
   std::vector<SketchPart> parts;
@@ -2312,19 +2374,23 @@ extern "C" int64_t index_build_sorted(
     auto ps = sketch_parallel(seq + ctg_starts[c], ctg_lens[c], k, w,
                               std::max(nthreads, 1));
     for (auto& p : ps) {
-      for (auto& q : p.pos) q += ctg_starts[c];
+      for (int64_t i = 0; i < p.n; i++) p.pos[i] += ctg_starts[c];
       parts.push_back(std::move(p));
     }
   }
+  if (timing) {
+    fprintf(stderr, "[idx] sketch %.2fs\n", tick() - t0);
+    t0 = tick();
+  }
   int64_t total = 0;
-  for (auto& p : parts) total += (int64_t)p.pos.size();
+  for (auto& p : parts) total += p.n;
   if (total > cap) return -total;
   const int shift = std::max(0, 2 * k - 8);
   const int NB = 256;
   // counts per (part, bucket) -> per-bucket offsets with parts in order
   std::vector<int64_t> cnt(parts.size() * NB, 0);
   for (size_t s = 0; s < parts.size(); s++)
-    for (int64_t i = 0; i < (int64_t)parts[s].hash.size(); i++)
+    for (int64_t i = 0; i < parts[s].n; i++)
       cnt[s * NB + ((uint64_t)parts[s].hash[i] >> shift)]++;
   std::vector<int64_t> bucket_off(NB + 1, 0);
   for (int b = 0; b < NB; b++) {
@@ -2349,7 +2415,7 @@ extern "C" int64_t index_build_sorted(
         std::vector<int64_t> o(woff.begin() + s * NB,
                                woff.begin() + (s + 1) * NB);
         const auto& p = parts[s];
-        for (int64_t i = 0; i < (int64_t)p.hash.size(); i++) {
+        for (int64_t i = 0; i < p.n; i++) {
           const int b = (int)((uint64_t)p.hash[i] >> shift);
           const int64_t at = o[b]++;
           out_hash[at] = p.hash[i];
@@ -2360,39 +2426,61 @@ extern "C" int64_t index_build_sorted(
     }
     for (auto& t : ts) t.join();
   }
-  // per-bucket stable sort by hash via index permutation (values already
-  // position-ascending within each bucket)
+  if (timing) {
+    fprintf(stderr, "[idx] scatter %.2fs\n", tick() - t0);
+    t0 = tick();
+  }
+  // per-bucket stable LSD radix by the low `shift` hash bits (the top 8
+  // already define the bucket); stability preserves the
+  // position-ascending order within equal hashes
   {
+    const int rem_bits = shift;
+    const int PASS_BITS = 11;
+    const int npass = std::max(1, (rem_bits + PASS_BITS - 1) / PASS_BITS);
     std::atomic<int> next{0};
     auto work = [&]() {
-      std::vector<int32_t> idx;
       std::vector<int64_t> th, tp;
       std::vector<int8_t> ts_;
+      std::vector<int64_t> hist;
       for (;;) {
         const int b = next.fetch_add(1);
         if (b >= NB) break;
         const int64_t lo = bucket_off[b], hi = bucket_off[b + 1];
         const int64_t m = hi - lo;
         if (m <= 1) continue;
-        idx.resize(m);
-        for (int64_t i = 0; i < m; i++) idx[i] = (int32_t)i;
-        int64_t* h = out_hash + lo;
-        std::stable_sort(idx.begin(), idx.end(),
-                         [h](int32_t x, int32_t y) { return h[x] < h[y]; });
         th.resize(m); tp.resize(m); ts_.resize(m);
-        int64_t* pp = out_pos + lo;
+        int64_t* sh = out_hash + lo;
+        int64_t* sp = out_pos + lo;
         int8_t* ss = out_strand + lo;
-        for (int64_t i = 0; i < m; i++) {
-          th[i] = h[idx[i]]; tp[i] = pp[idx[i]]; ts_[i] = ss[idx[i]];
+        int64_t* dh = th.data();
+        int64_t* dp = tp.data();
+        int8_t* ds = ts_.data();
+        for (int pass = 0; pass < npass; pass++) {
+          const int bit_lo = pass * PASS_BITS;
+          const int bits = std::min(PASS_BITS, rem_bits - bit_lo);
+          if (bits <= 0) break;
+          const int64_t R = 1ll << bits;
+          hist.assign(R + 1, 0);
+          for (int64_t i = 0; i < m; i++)
+            hist[(((uint64_t)sh[i]) >> bit_lo & (R - 1)) + 1]++;
+          for (int64_t r = 0; r < R; r++) hist[r + 1] += hist[r];
+          for (int64_t i = 0; i < m; i++) {
+            const int64_t at = hist[((uint64_t)sh[i]) >> bit_lo & (R - 1)]++;
+            dh[at] = sh[i]; dp[at] = sp[i]; ds[at] = ss[i];
+          }
+          std::swap(sh, dh); std::swap(sp, dp); std::swap(ss, ds);
         }
-        std::copy(th.begin(), th.end(), h);
-        std::copy(tp.begin(), tp.end(), pp);
-        std::copy(ts_.begin(), ts_.end(), ss);
+        if (sh != out_hash + lo) {  // odd pass count: copy back
+          std::copy(sh, sh + m, out_hash + lo);
+          std::copy(sp, sp + m, out_pos + lo);
+          std::copy(ss, ss + m, out_strand + lo);
+        }
       }
     };
     std::vector<std::thread> pool;
     for (int t = 0; t < std::max(nthreads, 1); t++) pool.emplace_back(work);
     for (auto& t : pool) t.join();
   }
+  if (timing) fprintf(stderr, "[idx] sort %.2fs\n", tick() - t0);
   return total;
 }

@@ -655,13 +655,25 @@ class HostEmulFillAligner:
 
 
 def _make_edit_aligner():
-    """Myers edit-distance device aligner (or None).  Host-emulation mode
-    has no device; edit jobs then bounce to the host ladder."""
+    """Myers edit-distance device aligner (or None).
+
+    DEFAULT OFF (`VACMAP_TPU_EDIT_OFFLOAD=1` opts in): measured on the
+    relay-attached chip (bench 1000x20kb, 4 workers), routing the
+    divergence spans to the device Myers kernel was a 7.8x e2e LOSS —
+    ~30k edit jobs/run at 0.8-6.3 ms/job swamp the chip while the host
+    adaptive cap ladder settles the same decisions in <1 core-second
+    total (most spans exit at half-cap).  Per-job device offload only
+    pays when device-time/job << host-time/job or the host is the
+    bottleneck and the device idle; neither holds for this job class.
+    Host-emulation mode keeps the interpret-mode aligner so the routing
+    stays covered by tests."""
     if os.environ.get("VACMAP_TPU_FILL_HOST"):
         from ..ops.myers_pallas import PallasMyersAligner
 
         return PallasMyersAligner(interpret=True, buckets=((512, 128),),
                                   shape_b={512: 8}, tb={512: 8})
+    if not os.environ.get("VACMAP_TPU_EDIT_OFFLOAD"):
+        return None
     try:
         import jax
 
