@@ -126,6 +126,25 @@ def _map_chunk(chunk_id):
     return [out[j] for j in range(len(out))]
 
 
+def probe_device(timeout: float = 150.0) -> bool:
+    """True when the accelerator answers a trivial computation in time.
+
+    Runs in a subprocess because a dead relay blocks jax backend init
+    uninterruptibly; a False result downgrades the bench to host-only
+    numbers instead of hanging the driver."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+            "print('deviceok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "deviceok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     from vacmap_tpu import trace
     from vacmap_tpu.config import AlignerConfig
@@ -181,14 +200,21 @@ def main():
     _G["fill_clients"] = None
     dt_host, results = run_pool()
     dt, e2e_device_mbp_s = dt_host, None
+    # one up-front accelerator probe, in a SUBPROCESS: a dead/unreachable
+    # compile relay hangs inside C land (jax.devices() never returns), so
+    # no in-process guard can save the bench — and the bench must ALWAYS
+    # print its JSON line for the driver.  The flag gates every device
+    # section below.
+    device_ok = probe_device()
     fill_handle = None
-    try:
-        from vacmap_tpu.parallel.fill_service import start_fill_server
+    if device_ok:
+        try:
+            from vacmap_tpu.parallel.fill_service import start_fill_server
 
-        fill_handle = start_fill_server(n_workers, wait_ready=True,
-                                        ready_timeout=300)
-    except Exception:
-        fill_handle = None
+            fill_handle = start_fill_server(n_workers, wait_ready=True,
+                                            ready_timeout=300)
+        except Exception:
+            fill_handle = None
     if fill_handle is not None:
         _G["fill_clients"] = [fill_handle.client(i) for i in range(n_workers)]
         dt_dev, results_dev = run_pool()
@@ -240,14 +266,16 @@ def main():
         alist.append(a.astype(np.int32))
     kbases = sum(len(s) for _, s in reads[:64])
     batch = prepare_batch(alist, "global", 40.0, 50)
-    S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
-    S.block_until_ready()
-    t0 = time.time()
+    chain_mbp_s = None
     reps = 10
-    for _ in range(reps):
+    if device_ok:
         S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
         S.block_until_ready()
-    chain_mbp_s = kbases / ((time.time() - t0) / reps) / 1e6
+        t0 = time.time()
+        for _ in range(reps):
+            S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
+            S.block_until_ready()
+        chain_mbp_s = kbases / ((time.time() - t0) / reps) / 1e6
 
     # Pallas chain at its production operating point: the executor
     # dispatches bucketed batches (N <= 2048); oversized reads take the
@@ -272,6 +300,8 @@ def main():
 
     pallas_mbp_s = None
     try:
+        if not device_ok:
+            raise RuntimeError("device unreachable")
         import jax
 
         from vacmap_tpu.ops.chain_pallas import (
@@ -308,6 +338,8 @@ def main():
     # capture real fill jobs from a few reads and run them on-hardware
     dev_fill = None
     try:
+        if not device_ok:
+            raise RuntimeError("device unreachable")
         import jax
 
         if jax.default_backend() not in ("cpu",):
@@ -420,9 +452,12 @@ def main():
             round(e2e_device_mbp_s, 3) if e2e_device_mbp_s else None
         ),
         "stage_shares_pct": shares,
-        "chain_kernel_mbp_per_s": round(chain_mbp_s, 1),
+        "chain_kernel_mbp_per_s": (
+            round(chain_mbp_s, 1) if chain_mbp_s is not None else None
+        ),
         "index_build_mbp_per_s": round(idx_build_mbp_s, 1),
         "padded_anchors": int(batch[0].shape[1]),
+        "device_ok": device_ok,
     }
     if pallas_mbp_s is not None:
         out["pallas_chain_mbp_per_s"] = round(pallas_mbp_s, 1)

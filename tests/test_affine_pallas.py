@@ -85,6 +85,7 @@ def test_rowrun_traceback_interpret_exact(rng):
     from vacmap_tpu.ops.affine_pallas import (
         _decode_packed_python,
         _fill_and_rowruns,
+        pack_chars,
         rowruns_to_packed,
     )
     from vacmap_tpu.ops.affine_ref import align2p
@@ -129,7 +130,8 @@ def test_rowrun_traceback_interpret_exact(rng):
     lens = np.zeros((B, N), np.int32)
     lens[:, 0] = tl
     lens[:, 1] = ql
-    planes = np.asarray(_fill_and_rowruns(tT, tQ, lens, N=N, interpret=True))
+    planes = np.asarray(_fill_and_rowruns(
+        pack_chars(tT, tQ), lens, N=N, interpret=True))
     packed = rowruns_to_packed(planes[:, :N], planes[:, N:], tl, ql, N)
     for eqx in (False, True):
         dec = _decode_packed_python(packed, cases, eqx=eqx)
@@ -149,6 +151,7 @@ def test_native_decode_rowruns_matches_python(rng):
     from vacmap_tpu.ops.affine_pallas import (
         _decode_packed_python,
         _fill_and_rowruns,
+        pack_chars,
         rowruns_to_packed,
     )
 
@@ -167,7 +170,8 @@ def test_native_decode_rowruns_matches_python(rng):
         tQ[i, : len(q)] = q
         lens[i, 0] = len(t)
         lens[i, 1] = len(q)
-    planes = np.asarray(_fill_and_rowruns(tT, tQ, lens, N=N, interpret=True))
+    planes = np.asarray(_fill_and_rowruns(
+        pack_chars(tT, tQ), lens, N=N, interpret=True))
     lo, ex = planes[:, :N], planes[:, N:]
     t_len = lens[:, 0].astype(np.int64)
     q_len = lens[:, 1].astype(np.int64)

@@ -214,3 +214,29 @@ def test_edit_route_exact_and_divergence_parity(monkeypatch, rng):
         if r is not None:
             assert (r > cap) == host
     al.stop()
+
+
+def test_ambiguous_code4_jobs_route_to_host(monkeypatch, rng):
+    """Jobs containing ambiguous code 4 must host-fallback (the packed
+    device upload is 2-bit) and still return exact results."""
+    monkeypatch.setenv("VACMAP_TPU_FILL_HOST", "1")
+    from vacmap_tpu.parallel.fill_service import (
+        AsyncFillAligner, HostEmulFillAligner,
+    )
+    from vacmap_tpu.pipeline.extend import _host_global_batch
+
+    al = AsyncFillAligner(aligner=HostEmulFillAligner(), prewarm=True)
+    assert al.ready.wait(30)
+    pairs = []
+    for i in range(5):
+        t = rng.integers(0, 4, 120 + i).astype(np.uint8)
+        q = t.copy()
+        q[::7] = (q[::7] + 1) % 4
+        if i % 2:
+            t[3] = 4  # ambiguous base
+        pairs.append((t, q))
+    res = al.align_batch(pairs, eqx=False)
+    want = _host_global_batch(pairs, eqx=False)
+    for r, w in zip(res, want):
+        assert r.cigar == w.cigar  # service scores are placeholders
+    al.stop()

@@ -360,14 +360,35 @@ def _fill_and_traceback(
     return packed.astype(jnp.uint8)  # (S//4, B)
 
 
+def pack_chars(tT: np.ndarray, tQ: np.ndarray) -> np.ndarray:
+    """(B, N) x2 char planes -> ONE (B, N//2) uint8 2-bit-packed plane
+    (t in the first N//4 bytes, q in the rest).  Codes are masked to two
+    bits — jobs containing ambiguous code 4 must be routed to the host
+    (the service does; see fill_service._dispatch_batch).  Upload bytes
+    are the scarce resource on a relay-attached chip: this is 4x fewer
+    than the two uint8 planes."""
+    B, N = tT.shape
+    t4 = (tT & 3).reshape(B, N // 4, 4).astype(np.uint16)
+    q4 = (tQ & 3).reshape(B, N // 4, 4).astype(np.uint16)
+    out = np.empty((B, N // 2), np.uint8)
+    out[:, : N // 4] = (
+        t4[:, :, 0] | (t4[:, :, 1] << 2) | (t4[:, :, 2] << 4)
+        | (t4[:, :, 3] << 6)
+    ).astype(np.uint8)
+    out[:, N // 4 :] = (
+        q4[:, :, 0] | (q4[:, :, 1] << 2) | (q4[:, :, 2] << 4)
+        | (q4[:, :, 3] << 6)
+    ).astype(np.uint8)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("N", "tb", "match", "mismatch", "o1", "e1", "o2", "e2",
                      "interpret"),
 )
 def _fill_and_rowruns(
-    tT: jnp.ndarray,  # (B, N) uint8 or int32 char codes
-    tQ: jnp.ndarray,  # (B, N) uint8 or int32
+    tq_packed: jnp.ndarray,  # (B, N//2) uint8: pack_chars(tT, tQ)
     lens: jnp.ndarray,  # (B, 2) or (B, N) int32: lane 0 t_len, lane 1 q_len
     N: int,
     tb: int = TB,
@@ -379,10 +400,17 @@ def _fill_and_rowruns(
     e2: int = 1,
     interpret: bool = False,
 ):
-    B = tT.shape[0]
+    B = tq_packed.shape[0]
     # host->device bytes are the scarce resource on a relay-attached
-    # chip: callers upload uint8 chars and a (B, 2) lens; the widening
-    # casts and the lens lane-pad happen on device inside this jit
+    # chip: callers upload ONE 2-bit-packed char plane and a (B, 2)
+    # lens; the unpack, widening casts and the lens lane-pad happen on
+    # device inside this jit
+    p = tq_packed.astype(jnp.int32)
+    chars = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
+    ).reshape(B, p.shape[1] * 4)  # (B, 2N)
+    tT = chars[:, :N]
+    tQ = chars[:, N:]
     if lens.shape[1] != N:
         lens_full = jnp.pad(lens, ((0, 0), (0, N - lens.shape[1])))
     else:
@@ -500,7 +528,7 @@ class PallasFillAligner:
         if B % tb:
             tb = TB  # non-ladder batch shapes keep the legacy tile
         planes = _fill_and_rowruns(
-            jnp.asarray(tT, jnp.uint8), jnp.asarray(tQ, jnp.uint8),
+            jnp.asarray(pack_chars(tT, tQ)),
             jnp.asarray(lens2), N=bucket, tb=tb, interpret=self.interpret,
             **self.kw,
         )

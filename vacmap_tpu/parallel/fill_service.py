@@ -247,6 +247,17 @@ class _ServerCore:
             bucket_arr[mx <= b] = b
         bucket_arr[(t_lens == 0) | (q_lens == 0)] = -1
         bucket_arr[job_kind == 1] = -1
+        # jobs containing ambiguous code 4 go to the host: the device
+        # upload is 2-bit packed (ops/affine_pallas.pack_chars), which
+        # cannot represent N-vs-X non-matches.  Nonzero jobs' byte spans
+        # tile all_buf contiguously, so one reduceat over their starts
+        # computes every job's max code.
+        nz = pair_sz > 0
+        if len(all_buf) and nz.any():
+            seg_max = np.maximum.reduceat(all_buf, t_offs[nz])
+            amb = np.zeros(len(mx), bool)
+            amb[nz] = seg_max >= 4
+            bucket_arr[amb] = -1
         handles = []  # (bucket, handle, job_keys [, kind])
         # ---- edit-distance jobs (exact Myers kernel) ------------------
         edit_unrouted = np.zeros(len(mx), bool)

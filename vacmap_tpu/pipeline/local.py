@@ -12,8 +12,14 @@ from typing import List, Tuple
 
 import numpy as np
 
+from .. import trace
 from ..ops.chain_ref import chain_local
-from ..ops.harvest import harvest_anchors
+from ..ops.harvest import harvest_anchors as _harvest_anchors
+
+
+def harvest_anchors(*a, **kw):
+    with trace.span("lr.harvest"):
+        return _harvest_anchors(*a, **kw)
 
 
 def merge_guide_chains(paths: List[np.ndarray]) -> List[np.ndarray]:

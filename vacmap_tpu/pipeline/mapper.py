@@ -111,10 +111,11 @@ class Mapper:
         """
         cfg = self.config
         p = cfg.preset
-        seq = seq.upper()
-        read_len = len(seq)
-        codes = encode(seq)
-        rc_codes = revcomp_codes(codes)
+        with trace.span("prep"):
+            seq = seq.upper()
+            read_len = len(seq)
+            codes = encode(seq)
+            rc_codes = revcomp_codes(codes)
 
         if precomputed is None:
             with trace.span("seed"):
@@ -276,28 +277,34 @@ class Mapper:
         if not records:
             return []
         try:
-            return records_to_sam(
-                records,
-                seq.upper(),
-                None if cfg.ignore_quals else qual,
-                self.ref_fetch_str,
-                md=cfg.md,
-                cs=cfg.cs,
-                short_cs=cfg.shortcs,
-                cigar2cg=cfg.cigar2cg,
-                markunbalancetra=cfg.resolved_markunbalancetra,
-                hardclip=cfg.hardclip,
-                fakecigar=cfg.fakecigar,
-                rg_id=cfg.rg_id,
-                comment=comment if cfg.copycomments else None,
-                collapse_eqx=not cfg.resolved_eqx,
-                keep_order=cfg.preset.emit_keep_order,
-                mapq_quantize=cfg.preset.emit_mapq_quantize,
-            )
+            with trace.span("sam_emit"):
+                return self._records_to_sam(name, records, seq, qual,
+                                            comment)
         except Exception as err:
             if cfg.debug:
                 log.error("read %s SAM emission failed: %s", name, err)
             return []
+
+    def _records_to_sam(self, name, records, seq, qual, comment):
+        cfg = self.config
+        return records_to_sam(
+            records,
+            seq.upper(),
+            None if cfg.ignore_quals else qual,
+            self.ref_fetch_str,
+            md=cfg.md,
+            cs=cfg.cs,
+            short_cs=cfg.shortcs,
+            cigar2cg=cfg.cigar2cg,
+            markunbalancetra=cfg.resolved_markunbalancetra,
+            hardclip=cfg.hardclip,
+            fakecigar=cfg.fakecigar,
+            rg_id=cfg.rg_id,
+            comment=comment if cfg.copycomments else None,
+            collapse_eqx=not cfg.resolved_eqx,
+            keep_order=cfg.preset.emit_keep_order,
+            mapq_quantize=cfg.preset.emit_mapq_quantize,
+        )
 
     # ------------------------------------------------------------------
     def map_contig(
