@@ -1667,25 +1667,70 @@ template <typename T>
 static inline void lookup_ranges(const T* table, const int64_t* pstarts,
                                  int shift, const T* q, int64_t m,
                                  int64_t* lo_out, int64_t* hi_out) {
-  for (int64_t i = 0; i < m; i++) {
-    const T h = q[i];
-    const uint64_t p = (uint64_t)h >> shift;
-    int64_t lo = pstarts[p], hi = pstarts[p + 1];
-    // lower bound
-    int64_t a = lo, b = hi;
-    while (a < b) {
-      const int64_t mid = (a + b) >> 1;
-      if (table[mid] < h) a = mid + 1; else b = mid;
+  if (m < 64) {  // small batches: the plain serial search
+    for (int64_t i = 0; i < m; i++) {
+      const T h = q[i];
+      const uint64_t p = (uint64_t)h >> shift;
+      int64_t a = pstarts[p], b = pstarts[p + 1];
+      while (a < b) {
+        const int64_t mid = (a + b) >> 1;
+        if (table[mid] < h) a = mid + 1; else b = mid;
+      }
+      lo_out[i] = a;
+      b = pstarts[p + 1];
+      while (a < b) {
+        const int64_t mid = (a + b) >> 1;
+        if (table[mid] <= h) a = mid + 1; else b = mid;
+      }
+      hi_out[i] = a;
     }
-    lo_out[i] = a;
-    // upper bound
-    b = hi;
-    while (a < b) {
-      const int64_t mid = (a + b) >> 1;
-      if (table[mid] <= h) a = mid + 1; else b = mid;
-    }
-    hi_out[i] = a;
+    return;
   }
+  // level-synchronous batched binary search: each query's probe chain is
+  // serially dependent, but ACROSS queries the probes are independent —
+  // running one level for all queries per pass (prefetching a fixed
+  // distance ahead) overlaps the cache misses that dominate lookups
+  // into a genome-scale table.
+  static thread_local std::vector<int64_t> A, Bv;
+  A.resize(m);
+  Bv.resize(m);
+  const int64_t D = 16;  // prefetch distance (queries ahead)
+  for (int64_t i = 0; i < m; i++) {
+    const uint64_t p = (uint64_t)q[i] >> shift;
+    A[i] = pstarts[p];
+    Bv[i] = pstarts[p + 1];
+  }
+  bool any = true;
+  while (any) {
+    any = false;
+    for (int64_t i = 0; i < m; i++) {
+      if (i + D < m && A[i + D] < Bv[i + D])
+        __builtin_prefetch(&table[(A[i + D] + Bv[i + D]) >> 1]);
+      if (A[i] >= Bv[i]) continue;
+      const int64_t mid = (A[i] + Bv[i]) >> 1;
+      if (table[mid] < q[i]) A[i] = mid + 1; else Bv[i] = mid;
+      any = true;
+    }
+  }
+  for (int64_t i = 0; i < m; i++) lo_out[i] = A[i];
+  // upper bound, starting from the lower bound
+  for (int64_t i = 0; i < m; i++) {
+    const uint64_t p = (uint64_t)q[i] >> shift;
+    Bv[i] = pstarts[p + 1];
+  }
+  any = true;
+  while (any) {
+    any = false;
+    for (int64_t i = 0; i < m; i++) {
+      if (i + D < m && A[i + D] < Bv[i + D])
+        __builtin_prefetch(&table[(A[i + D] + Bv[i + D]) >> 1]);
+      if (A[i] >= Bv[i]) continue;
+      const int64_t mid = (A[i] + Bv[i]) >> 1;
+      if (table[mid] <= q[i]) A[i] = mid + 1; else Bv[i] = mid;
+      any = true;
+    }
+  }
+  for (int64_t i = 0; i < m; i++) hi_out[i] = A[i];
 }
 
 extern "C" void hash_lookup_ranges_u32(
