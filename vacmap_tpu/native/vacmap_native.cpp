@@ -1053,14 +1053,19 @@ extern "C" int64_t harvest_join(
     return true;
   };
 
-  int64_t m = 0;
-  for (int64_t strand = 1; strand >= -1; strand -= 2) {
-    h_r.clear(); h_y.clear(); h_d.clear();
+  // precompute the rolling kmer stream ONCE for both strands, so the
+  // strand loops are pure probe loops that can prefetch the (1 MB,
+  // random-access) head table a fixed distance ahead
+  const int64_t span = readend - readstart;
+  static thread_local std::vector<uint64_t> kf_arr, kr_arr;
+  static thread_local std::vector<uint8_t> val_arr;
+  kf_arr.resize(span);
+  kr_arr.resize(span);
+  val_arr.assign(span, 0);
+  {
     uint64_t fwd = 0, rev = 0;
     int run = 0;
     const uint64_t shift_rev = 2 * (k - 1);
-    // rolling kmers over the read; start so that position `readstart` has
-    // a full k-mer
     for (int64_t i = readstart; i < readend + k - 1 && i < read_len; i++) {
       const uint8_t c = read_codes[i];
       if (c < 4) {
@@ -1069,10 +1074,25 @@ extern "C" int64_t harvest_join(
         run++;
       } else { fwd = rev = 0; run = 0; }
       const int64_t p = i - k + 1;
-      if (p < readstart || p >= readend || run < k) continue;
-      const uint64_t km = (strand == 1) ? fwd : rev;
-      if (fwd == rev) continue;  // palindrome
-      int32_t id = head[km];
+      if (p < readstart || p >= readend) continue;
+      const int64_t s = p - readstart;
+      val_arr[s] = (run >= k) && (fwd != rev);  // palindromes excluded
+      kf_arr[s] = fwd;
+      kr_arr[s] = rev;
+    }
+  }
+
+  int64_t m = 0;
+  const int64_t PD = 16;  // head-probe prefetch distance
+  for (int64_t strand = 1; strand >= -1; strand -= 2) {
+    h_r.clear(); h_y.clear(); h_d.clear();
+    const uint64_t* km_arr = (strand == 1) ? kf_arr.data() : kr_arr.data();
+    for (int64_t s = 0; s < span; s++) {
+      if (s + PD < span && val_arr[s + PD])
+        __builtin_prefetch(&head[km_arr[s + PD]]);
+      if (!val_arr[s]) continue;
+      const int64_t p = readstart + s;
+      int32_t id = head[km_arr[s]];
       if (id < 0) continue;
       // guide proximity (findClosest_1 semantics)
       int64_t i1;
