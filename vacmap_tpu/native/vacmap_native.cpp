@@ -93,6 +93,17 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
       hin = hout;
       bscore[w] += hout;
     }
+    // early abort (junk pairs): cells with true value <= cap are tracked
+    // exactly (no <=cap path leaves the band) and a block's min is
+    // >= bscore - 63, so if every in-band block bottom exceeds cap + 63
+    // there is no <=cap cell in this column — and since a column's
+    // in-band minimum never drops below the previous column's (left/diag
+    // moves cost >= 0), the final score must exceed cap.
+    if (banded && (j & 15) == 15) {
+      int64_t mn = INT64_MAX;
+      for (int64_t w = b_lo; w <= b_hi; w++) mn = std::min(mn, bscore[w]);
+      if (mn - 63 > cap) return cap + 1;
+    }
   }
   const int64_t score = bscore[W - 1];
   if (cap >= 0 && score > cap) return cap + 1;
