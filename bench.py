@@ -96,6 +96,10 @@ def _map_chunk(chunk_id):
     clients = _G.get("fill_clients")
     if clients is not None:
         m.global_aligner = clients[chunk_id]
+    else:
+        from vacmap_tpu.pipeline.extend import HostBatchFillAligner
+
+        m.global_aligner = HostBatchFillAligner()
     out = {}
 
     def digest(j, lines):
@@ -106,10 +110,6 @@ def _map_chunk(chunk_id):
                 max_del = max(max_del, int(mm.group(1)))
         out[j] = (1 if lines else 0, len(lines), max_del)
 
-    if clients is None:
-        for j, (name, seq) in enumerate(_G["chunks"][chunk_id]):
-            digest(j, m.map_read(name, seq))
-        return [out[j] for j in range(len(out))]
     window = deque()  # (j, PendingLines) — deferred fills in flight
     for j, (name, seq) in enumerate(_G["chunks"][chunk_id]):
         r = m.map_read_deferred(name, seq)

@@ -330,3 +330,48 @@ def test_backtrack_all_native_matches_python(rng):
             assert np.array_equal(a, b), trial
         assert np.allclose(got[1], exp[1]), trial
         assert np.allclose(got[2], exp[2]), trial
+
+
+def test_striped_band_adversarial_vs_scalar(rng):
+    """Banded striped batch vs the scalar full-width kernel on
+    gap-dominated and mixed-size jobs (the offset-space band must cover
+    single big indels by construction; local wander must escalate)."""
+    from vacmap_tpu import native
+    from vacmap_tpu.ops.affine_ref import align2p
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+
+    def mut(t, err):
+        q = t.copy()
+        idx = rng.choice(len(t), int(err * len(t)), replace=False)
+        q[idx] = (q[idx] + rng.integers(1, 4, len(idx))) % 4
+        return q
+
+    pairs = []
+    for _ in range(3):
+        # big deletion: t = left + gap + right, q = left + right
+        left = rng.integers(0, 4, int(rng.integers(100, 400))).astype(np.uint8)
+        gap = rng.integers(0, 4, int(rng.integers(800, 3000))).astype(np.uint8)
+        right = rng.integers(0, 4, int(rng.integers(100, 400))).astype(np.uint8)
+        pairs.append((np.concatenate([left, gap, right]),
+                      mut(np.concatenate([left, right]), 0.08)))
+        # big insertion (swapped)
+        pairs.append((mut(np.concatenate([left, right]), 0.08),
+                      np.concatenate([left, gap, right])))
+    for _ in range(20):  # similar-size noisy pairs, various sizes
+        n = int(rng.integers(50, 1500))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        pairs.append((t, mut(t, float(rng.uniform(0.02, 0.3)))))
+    for _ in range(4):  # wildly asymmetric
+        pairs.append((rng.integers(0, 4, int(rng.integers(2000, 3500))).astype(np.uint8),
+                      rng.integers(0, 4, int(rng.integers(50, 300))).astype(np.uint8)))
+    rng.shuffle(pairs)
+    for eqx in (False, True):
+        res = native.align2p_batch_native(pairs, eqx=eqx)
+        cigs = native.ops_to_cigars_many(res)
+        for (t, q), c in zip(pairs, cigs):
+            want = align2p(t, q, match=2, mismatch=-4, gap_open_1=4,
+                           gap_extend_1=2, gap_open_2=24, gap_extend_2=1,
+                           bw=-1, zdrop=-1, eqx=eqx).cigar
+            assert c == want, (len(t), len(q))

@@ -277,10 +277,13 @@ def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
     import threading as _threading
 
     use_async = fill_client is not None and cfg.mode != "asm"
+    host_defer = fill_client is None and cfg.mode != "asm"
     # with the device service attached, each worker process runs a
     # second mapping thread: blocking device waits (divergence edit
     # batches, non-deferred fills) overlap the sibling's host stages.
-    # Host-only workers stay single-threaded (GIL: no host win).
+    # Host-only workers stay single-threaded (GIL: no host win) but use
+    # the same deferred window so the striped fill kernel sees
+    # cross-read batches (HostBatchFillAligner).
     n_threads = int(os.environ.get(
         "VACMAP_TPU_WORKER_THREADS", "2" if use_async else "1"
     ))
@@ -289,7 +292,12 @@ def _worker(raw_q, cooked_q, index, cfg, fill_client=None):
         m = Mapper(index, cfg)
         if use_async:
             m.global_aligner = fill_client
+        elif host_defer:
+            from .pipeline.extend import HostBatchFillAligner
+
+            m.global_aligner = HostBatchFillAligner()
         mappers.append(m)
+    use_async = use_async or host_defer
     if len(mappers) == 1:
         _worker_loop(raw_q, cooked_q, mappers[0], cfg, use_async)
     else:
@@ -441,6 +449,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 dfa = fill_handle1.client(0)
                 mapper0.global_aligner = dfa
                 log.info("device fill service starting (background)")
+        if dfa is None and cfg.mode != "asm":
+            # host deferred window: cross-read striped fill batches
+            from .pipeline.extend import HostBatchFillAligner
+
+            dfa = HostBatchFillAligner()
+            mapper0.global_aligner = dfa
         window: deque = deque()
         max_window = int(os.environ.get("VACMAP_TPU_FILL_WINDOW", "32"))
         for rec in _dedup_records(read_paths, cfg, shard=shard):

@@ -13,6 +13,7 @@
 //
 // Built as a plain shared library; Python binds via ctypes (no pybind11).
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <immintrin.h>
@@ -2037,7 +2038,14 @@ static const int16_t SNEG16 = -30000;
 static int stripe_traceback(
     const uint8_t* bits, int64_t Qmax, int lane,
     const uint8_t* target, int64_t T, const uint8_t* query, int64_t Q,
-    int eqx, int32_t* out_ops, int64_t max_ops, int64_t* n_ops) {
+    int eqx, int32_t* out_ops, int64_t max_ops, int64_t* n_ops,
+    int64_t R = -1, int64_t dlo = 0, int64_t dhi = 0, int64_t Wb = -1) {
+  if (Wb < 0) Wb = Qmax;  // full-width row stride
+  // R >= 0: the fill ran a shared band of radius R around the stripe
+  // diagonal c(i) = i*Qmax/Tmax.  Bits outside the band are stale, and a
+  // path touching a clipped band edge may be band-limited — return 2 so
+  // the caller redoes the job full-width (same escalate-on-edge-touch
+  // convention as the scalar banded path above, fuzz-verified there).
   int64_t i = T, j = Q;
   int state = 0;
   static thread_local std::vector<std::pair<int, int64_t>> rev;
@@ -2049,7 +2057,17 @@ static int stripe_traceback(
   while (i > 0 || j > 0) {
     if (i == 0) { push(1, j); break; }
     if (j == 0) { push(2, i); break; }
-    const uint8_t b = bits[(((size_t)(i - 1) * Qmax) + (j - 1)) * 16 + lane];
+    int64_t off = j - 1;  // full-width: plain column index
+    if (R >= 0) {
+      // offset-space band (same geometry as the scalar banded path):
+      // j in [i + dlo, i + dhi], stride-anchored at i + dlo
+      const int64_t jlo = (i + dlo < 1) ? 1 : i + dlo;
+      const int64_t jhi = (i + dhi > Qmax) ? Qmax : i + dhi;
+      if (j < jlo || j > jhi) return 2;
+      if ((j == jlo && jlo > 1) || (j == jhi && jhi < Q)) return 2;
+      off = j - (i + dlo);
+    }
+    const uint8_t b = bits[(((size_t)(i - 1) * Wb) + off) * 16 + lane];
     if (state == 0) {
       const int op = b & 7;
       if (op == 0) {
@@ -2090,16 +2108,62 @@ static int stripe_traceback(
 
 // Run one stripe of up to 16 jobs.  jobs[l] indexes the batch arrays;
 // n_jobs <= 16 (missing lanes run a 1x1 dummy).
+static double g_t_prep = 0, g_t_sweep = 0, g_t_tb = 0;
+static int64_t g_cells = 0;
+
+static inline double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
 static int run_stripe16(
     const uint8_t* seqs, const int64_t* t_off, const int64_t* t_len,
     const int64_t* q_off, const int64_t* q_len,
     const int64_t* jobs, int n_jobs,
     int match, int mismatch, int o1, int e1, int o2, int e2, int eqx,
-    int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta, int64_t* cursor) {
+    int32_t* out_ops, int64_t ops_cap, int64_t* ops_meta, int64_t* cursor,
+    bool force_full, std::vector<int64_t>* escalated) {
+  const bool prof = getenv("VACMAP_TPU_STRIPE_STATS") != nullptr;
+  double t0 = prof ? now_s() : 0;
   int64_t Tmax = 1, Qmax = 1;
   for (int l = 0; l < n_jobs; l++) {
     Tmax = std::max(Tmax, t_len[jobs[l]]);
     Qmax = std::max(Qmax, q_len[jobs[l]]);
+  }
+  // shared band radius: base 64 plus the 75th-percentile lane deviation
+  // from the stripe diagonal (jobs are size-sorted, so most lanes sit
+  // close; outlier lanes land outside the band, escalate at traceback
+  // and re-run in a full-width striped pass).  The N^2-byte bits traffic
+  // is what caps this kernel on the memory-bandwidth-throttled bench
+  // host, so banding pays ~2.5x.
+  // offset-space band (the scalar banded path's geometry, level-0
+  // radius): every lane's endpoint diagonal q_l - t_l lies inside
+  // [dlo, dhi], so single-gap paths are covered by construction and
+  // only local wander can clip — caught by edge-touch escalation.
+  // The N^2-byte bits traffic caps this kernel on the
+  // memory-bandwidth-throttled bench host, so banding pays ~2.5x.
+  int64_t R = -1, dlo = 0, dhi = 0;
+  if (!force_full) {
+    int64_t dmin = 0, dmax = 0;
+    for (int l = 0; l < n_jobs; l++) {
+      const int64_t d = q_len[jobs[l]] - t_len[jobs[l]];
+      dmin = std::min<int64_t>(dmin, d);
+      dmax = std::max<int64_t>(dmax, d);
+    }
+    R = 64;
+    dlo = dmin - R;
+    dhi = dmax + R;
+    if (dhi - dlo + 32 >= Qmax) R = -1;  // band wouldn't shrink the sweep
+  }
+  // jobs above the legacy 768 cap ride the striped kernel ONLY when the
+  // band keeps the traceback buffer small; otherwise the group belongs
+  // on the scalar adaptive-band path (rc=3: caller reroutes, nothing
+  // written yet)
+  if (Qmax > 768) {
+    if (R < 0 ||
+        (size_t)Tmax * (size_t)(dhi - dlo + 1) * 16 > (48u << 20))
+      return 3;
   }
   // transposed char planes (int16), pad char 4 (mismatches everything)
   static thread_local std::vector<int16_t> tT, tQ;
@@ -2149,7 +2213,11 @@ static int run_stripe16(
   Hprev.resize(rowlen); Hcur.resize(rowlen);
   E1prev.assign(rowlen, SNEG16); E1cur.resize(rowlen);
   E2prev.assign(rowlen, SNEG16); E2cur.resize(rowlen);
-  bits.resize((size_t)Tmax * Qmax * 16);
+  // band-local bits rows: banded groups store only [jlo(i), jhi(i)] per
+  // row, so the traceback buffer is O(Tmax * band) not O(Tmax * Qmax) —
+  // what lets the striped kernel take jobs the old full buffer couldn't
+  const int64_t Wb = (R >= 0) ? (dhi - dlo + 1) : Qmax;
+  bits.resize((size_t)Tmax * Wb * 16);
 
   auto gapf = [&](int64_t l) -> int16_t {
     return (int16_t)std::min((int64_t)o1 + (int64_t)e1 * l,
@@ -2177,20 +2245,34 @@ static int run_stripe16(
   const __m256i v32 = _mm256_set1_epi16(32);
   const __m256i v64 = _mm256_set1_epi16(64);
 
+  if (prof) { g_t_prep += now_s() - t0; t0 = now_s(); }
   int16_t score16[16] = {0};
   for (int64_t i = 1; i <= Tmax; i++) {
+    int64_t jlo = 1, jhi = Qmax;
+    if (R >= 0) {
+      jlo = (i + dlo < 1) ? 1 : i + dlo;
+      jhi = (i + dhi > Qmax) ? Qmax : i + dhi;
+    }
     const __m256i tvec = _mm256_loadu_si256(
         (const __m256i*)&tT[(size_t)(i - 1) * 16]);
     const __m256i tvalid = _mm256_cmpgt_epi16(vfour, tvec);
     const int16_t hg = (int16_t)-gapf(i);
     // F gaps open from the pre-F maximum H0 of the previous column (the
-    // prefix-max formulation of affine_ref.py); at j=0, H0 = boundary
-    __m256i H0_jm1 = _mm256_set1_epi16(hg);  // H0(i, 0)
-    _mm256_storeu_si256((__m256i*)&Hcur[0], H0_jm1);
-    __m256i diag_carry = _mm256_loadu_si256((const __m256i*)&Hprev[0]);
+    // prefix-max formulation of affine_ref.py); at j=0, H0 = boundary.
+    // Banded rows with jlo > 1 start from a -inf left wall instead (the
+    // out-of-band cell), and store it so the next row's diagonal read of
+    // this column sees the wall too.
+    __m256i H0_jm1 = (jlo == 1) ? _mm256_set1_epi16(hg) : vneg;
+    _mm256_storeu_si256((__m256i*)&Hcur[(size_t)(jlo - 1) * 16], H0_jm1);
+    __m256i diag_carry =
+        _mm256_loadu_si256((const __m256i*)&Hprev[(size_t)(jlo - 1) * 16]);
     __m256i F1 = vneg, F2 = vneg;
-    uint8_t* bits_row = &bits[(size_t)(i - 1) * Qmax * 16];
-    for (int64_t j = 1; j <= Qmax; j++) {
+    // anchor the row at offset j - (i + dlo) when banded (stride-stable
+    // even when jlo clamps to the matrix edge); plain (j-1) otherwise
+    uint8_t* bits_row = &bits[(size_t)(i - 1) * Wb * 16];
+    if (R >= 0)  // store index (j-1): (j-1) - (i+dlo-1) = j-(i+dlo)
+      bits_row -= (ptrdiff_t)(i + dlo - 1) * 16;
+    for (int64_t j = jlo; j <= jhi; j++) {
       const __m256i Hp_j =
           _mm256_loadu_si256((const __m256i*)&Hprev[(size_t)j * 16]);
       const __m256i E1p =
@@ -2243,26 +2325,59 @@ static int run_stripe16(
       H0_jm1 = H0;
     }
     for (int l = 0; l < n_jobs; l++)
-      if (t_len[jobs[l]] == i)
+      if (t_len[jobs[l]] == i && q_len[jobs[l]] >= jlo - 1
+          && q_len[jobs[l]] <= jhi)
         score16[l] = Hcur[(size_t)q_len[jobs[l]] * 16 + l];
     std::swap(Hprev, Hcur);
     std::swap(E1prev, E1cur);
     std::swap(E2prev, E2cur);
+    if (R >= 0 && i < Tmax) {
+      // columns entering the band next row hold stale row i-1 values
+      // after the swap: reset them to the out-of-band wall
+      const int64_t hi2 =
+          (i + 1 + dhi > Qmax) ? Qmax : i + 1 + dhi;
+      for (int64_t j2 = jhi + 1; j2 <= hi2; j2++) {
+        _mm256_storeu_si256((__m256i*)&Hprev[(size_t)j2 * 16], vneg);
+        _mm256_storeu_si256((__m256i*)&E1prev[(size_t)j2 * 16], vneg);
+        _mm256_storeu_si256((__m256i*)&E2prev[(size_t)j2 * 16], vneg);
+      }
+    }
+  }
+  if (prof) {
+    g_t_sweep += now_s() - t0;
+    g_cells += Tmax * Wb * 16;
+    t0 = now_s();
   }
   (void)score16;  // per-pair score available if a caller ever needs it
   for (int l = 0; l < n_jobs; l++) {
     const int64_t p = jobs[l];
     int64_t n_ops = 0;
-    const int rc = stripe_traceback(
+    int rc = stripe_traceback(
         bits.data(), Qmax, l,
         seqs + t_off[p], t_len[p], seqs + q_off[p], q_len[p], eqx,
-        out_ops + *cursor * 2, ops_cap - *cursor, &n_ops);
+        out_ops + *cursor * 2, ops_cap - *cursor, &n_ops,
+        R, dlo, dhi, Wb);
+    if (rc == 2) {
+      // band-limited lane: collect for the caller's full-width striped
+      // second pass (cheaper than a scalar redo)
+      escalated->push_back(p);
+      continue;
+    }
     if (rc != 0) return rc;
     ops_meta[p * 2] = *cursor;
     ops_meta[p * 2 + 1] = n_ops;
     *cursor += n_ops;
   }
+  if (prof) g_t_tb += now_s() - t0;
   return 0;
+}
+
+extern "C" void stripe_prof_dump() {
+  fprintf(stderr, "[stripeprof] prep=%.3fs sweep=%.3fs tb=%.3fs "
+          "cells=%ldM (%.0f Mcells/s sweep)\n",
+          g_t_prep, g_t_sweep, g_t_tb, (long)(g_cells / 1000000),
+          g_cells / std::max(g_t_sweep, 1e-9) / 1e6);
+  g_t_prep = g_t_sweep = g_t_tb = 0; g_cells = 0;
 }
 #endif  // __AVX2__
 
@@ -2275,25 +2390,67 @@ extern "C" int align2p_batch_native(
 #if defined(__AVX2__)
   // jobs small enough for the striped kernel (full-matrix int16): group
   // size-sorted so stripe dims hug each lane's true dims
-  static const int64_t STRIPE_MAX = 768;
-  static thread_local std::vector<int64_t> striped, scalar_jobs;
-  striped.clear(); scalar_jobs.clear();
+  static const int64_t STRIPE_MAX = 4096;
+  static thread_local std::vector<int64_t> striped, striped_big,
+      scalar_jobs;
+  striped.clear(); striped_big.clear(); scalar_jobs.clear();
   for (int64_t p = 0; p < n_pairs; p++) {
     const int64_t mx = std::max(t_len[p], q_len[p]);
-    if (mx <= STRIPE_MAX && t_len[p] > 0 && q_len[p] > 0 && n_pairs >= 4)
+    if (t_len[p] <= 0 || q_len[p] <= 0 || n_pairs < 4)
+      scalar_jobs.push_back(p);
+    else if (mx <= 768)
       striped.push_back(p);
+    else if (mx <= STRIPE_MAX)
+      striped_big.push_back(p);  // banded-only class: never mixed with
+                                 // small jobs (padding would explode)
     else
       scalar_jobs.push_back(p);
   }
-  std::sort(striped.begin(), striped.end(), [&](int64_t a, int64_t b) {
-    return std::max(t_len[a], q_len[a]) > std::max(t_len[b], q_len[b]);
-  });
-  for (size_t s = 0; s < striped.size(); s += 16) {
-    const int n_jobs = (int)std::min<size_t>(16, striped.size() - s);
+  auto by_size = [&](int64_t a, int64_t b) {
+    // primary: 64-wide size buckets (padding stays bounded); secondary:
+    // endpoint diagonal q-t, so each 16-group's offset band [dmin, dmax]
+    // stays tight and the banded sweep actually shrinks
+    const int64_t ma = std::max(t_len[a], q_len[a]) >> 6;
+    const int64_t mb = std::max(t_len[b], q_len[b]) >> 6;
+    if (ma != mb) return ma > mb;
+    return (q_len[a] - t_len[a]) < (q_len[b] - t_len[b]);
+  };
+  std::sort(striped.begin(), striped.end(), by_size);
+  std::sort(striped_big.begin(), striped_big.end(), by_size);
+  static thread_local std::vector<int64_t> escalated;
+  escalated.clear();
+  for (auto* cls : {&striped, &striped_big}) {
+    auto& lst = *cls;
+    for (size_t s = 0; s < lst.size(); s += 16) {
+      const int n_jobs = (int)std::min<size_t>(16, lst.size() - s);
+      const int rc = run_stripe16(
+          seqs, t_off, t_len, q_off, q_len, &lst[s], n_jobs,
+          match, mismatch, o1, e1, o2, e2, eqx,
+          out_ops, ops_cap, ops_meta, &cursor, false, &escalated);
+      if (rc == 3) {  // band too wide for a big group: scalar path
+        for (int l = 0; l < n_jobs; l++) scalar_jobs.push_back(lst[s + l]);
+        continue;
+      }
+      if (rc != 0) return rc;
+    }
+  }
+  // band-limited jobs: full-width striped second pass when small enough,
+  // scalar otherwise
+  static thread_local std::vector<int64_t> esc_small;
+  esc_small.clear();
+  if (getenv("VACMAP_TPU_STRIPE_STATS") && !escalated.empty())
+    fprintf(stderr, "[stripe] escalated %zu/%zu\n", escalated.size(),
+            striped.size());
+  for (const int64_t p : escalated) {
+    if (std::max(t_len[p], q_len[p]) <= 768) esc_small.push_back(p);
+    else scalar_jobs.push_back(p);
+  }
+  for (size_t s = 0; s < esc_small.size(); s += 16) {
+    const int n_jobs = (int)std::min<size_t>(16, esc_small.size() - s);
     const int rc = run_stripe16(
-        seqs, t_off, t_len, q_off, q_len, &striped[s], n_jobs,
+        seqs, t_off, t_len, q_off, q_len, &esc_small[s], n_jobs,
         match, mismatch, o1, e1, o2, e2, eqx,
-        out_ops, ops_cap, ops_meta, &cursor);
+        out_ops, ops_cap, ops_meta, &cursor, true, nullptr);
     if (rc != 0) return rc;
   }
 #else
@@ -2333,7 +2490,6 @@ extern "C" int align2p_batch_native(
 
 #include <thread>
 #include <atomic>
-#include <chrono>
 #include <memory>
 
 extern "C" int64_t minimizer_sketch_range(const uint8_t*, int64_t, int, int,

@@ -816,6 +816,58 @@ def refine_chain(
     return _assemble(all_results)
 
 
+class HostBatchFillAligner:
+    """Deferred HOST fill aligner: ``submit`` queues a read's fill jobs,
+    the first ``wait`` flushes EVERYTHING queued as one native batch.
+
+    The striped AVX2 kernel runs 16 jobs per group; per-read batches
+    (~35 jobs) leave the tail group mostly dummy lanes and give the
+    size/diagonal sort little to work with.  Cross-read batching over
+    the caller's deferred window (cli worker / bench: 32 reads in
+    flight) turns ~3 ragged groups per read into ~70 well-sorted groups
+    per flush with one partial tail.  Per-pair results are independent
+    of batch composition (band escalation is exact), so output is
+    byte-identical to the per-read path."""
+
+    __slots__ = ("_queued", "_results", "_next")
+
+    def __init__(self):
+        self._queued: List[tuple] = []  # (pairs, eqx, handle)
+        self._results: dict = {}
+        self._next = 0  # monotone handle counter (pops must never reuse)
+
+    def submit(self, pairs, eqx: bool = False):
+        handle = self._next
+        self._next += 1
+        self._queued.append((list(pairs), eqx, handle))
+        return handle
+
+    def wait(self, handle):
+        if handle not in self._results:
+            self._flush()
+        return self._results.pop(handle)
+
+    def _flush(self):
+        by_eqx = {False: [], True: []}
+        for pairs, eqx, h in self._queued:
+            by_eqx[bool(eqx)].append((pairs, h))
+        self._queued.clear()
+        for eqx, entries in by_eqx.items():
+            if not entries:
+                continue
+            flat = [p for pairs, _ in entries for p in pairs]
+            res = _host_global_batch(flat, eqx)
+            off = 0
+            for pairs, h in entries:
+                self._results[h] = res[off : off + len(pairs)]
+                off += len(pairs)
+
+    def __call__(self, pairs, eqx: bool = False):
+        return _host_global_batch(pairs, eqx)
+
+    align_batch = __call__
+
+
 class PendingRefine:
     """A refine_chain whose device fill batch is in flight; ``finish()``
     blocks on the results and completes record assembly."""
