@@ -205,3 +205,47 @@ def test_minimizer_sketch_mt_matches_st(rng):
         assert np.array_equal(st[0], mt[0])
         assert np.array_equal(st[1], mt[1])
         assert np.array_equal(st[2], mt[2])
+
+
+def test_seeds_native_tail_matches_numpy(rng):
+    """seeds_core (one-call C++ tail) vs the numpy path: bit-identical
+    anchors across random + repeat-dense genomes, cutoffs and caps."""
+    from vacmap_tpu import native
+    from vacmap_tpu.seq import encode
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    b = "ACGT"
+    g = rng.integers(0, 4, 300_000)
+    seg = g[1000:3000].copy()
+    for pos in (50_000, 120_000, 200_000):  # repeats stress the cap
+        g[pos : pos + 2000] = seg
+    gs = "".join(b[x] for x in g)
+    idx = ReferenceIndex.build({"c1": gs[:150_000], "c2": gs[150_000:]},
+                               k=15, w=10)
+    assert idx.mm_hash.dtype == np.uint32
+
+    def numpy_seeds(read, check_num, mid_occ):
+        import vacmap_tpu.native as N
+        lib = N._lib
+        N._lib = None  # force the numpy path
+        try:
+            return idx.seeds(read, check_num=check_num, mid_occ=mid_occ)
+        finally:
+            N._lib = lib
+
+    comp = str.maketrans("ACGT", "TGCA")
+    for i in range(8):
+        st = int(rng.integers(0, 280_000))
+        ln = int(rng.integers(500, 12_000))
+        rd = list(gs[st : st + ln])
+        for _ in range(int(0.06 * ln)):
+            pos = int(rng.integers(0, len(rd)))
+            rd[pos] = b[int(rng.integers(0, 4))]
+        read = "".join(rd)
+        if i % 2:
+            read = read.translate(comp)[::-1]
+        for check_num, mid_occ in ((100, -1), (2, -1), (0, -1), (100, 3)):
+            want = numpy_seeds(read, check_num, mid_occ)
+            got = idx.seeds(read, check_num=check_num, mid_occ=mid_occ)
+            assert np.array_equal(got, want), (i, check_num, mid_occ)

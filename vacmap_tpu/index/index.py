@@ -608,6 +608,23 @@ class ReferenceIndex:
         if len(h) == 0:
             return np.empty((0, 4), np.int64)
         cutoff = self.occ_cutoff if mid_occ < 0 else mid_occ
+        # one-call native tail: lookup + expand + cluster cap + colinear
+        # merge + final sort (bit-identical to the numpy path below,
+        # which remains the oracle/fallback)
+        if merge and self.mm_hash.dtype == np.uint32:
+            from .. import native
+
+            if native.available() and len(self.mm_hash):
+                self._lookup_ranges(h[:0])  # ensure prefix tables exist
+                anchors = native.seeds_core_native(
+                    self.mm_hash, self.mm_pos, self.mm_strand,
+                    self._prefix_starts, self._prefix_shift,
+                    h, p, s, cutoff,
+                    check_num if check_num and check_num > 0 else 0,
+                    self.k,
+                )
+                if anchors is not None:
+                    return anchors
         # match the table dtype so searchsorted never upcasts the (large)
         # table array
         h = h.astype(self.mm_hash.dtype, copy=False)

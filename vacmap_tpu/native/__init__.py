@@ -847,3 +847,50 @@ def align2p_batch_native(pairs, match=2, mismatch=-4, o1=4, e1=2, o2=24,
     if rc != 0:
         return None
     return [out_ops[meta[i, 0] : meta[i, 0] + meta[i, 1]] for i in range(n)]
+
+
+def seeds_core_native(mm_hash, mm_pos, mm_strand, pstarts, shift,
+                      qh, qp, qs, cutoff, check_num, k,
+                      merge_max_len: int = 250):
+    """Whole seeding tail (lookup + expand + cluster cap + colinear merge
+    + final sort) in one C++ call; returns an (n, 4) int64 anchor array
+    or None (lib unavailable / unsupported dtypes).  Bit-identical to
+    index/index.py::seeds' numpy path (tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if mm_hash.dtype != np.uint32 or mm_pos.dtype != np.uint32:
+        return None
+    if not hasattr(lib, "_seeds_core_bound"):
+        lib.seeds_core_u32.restype = ctypes.c_int64
+        lib.seeds_core_u32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._seeds_core_bound = True
+    qh = np.ascontiguousarray(qh, np.int64)
+    qp = np.ascontiguousarray(qp, np.int64)
+    qs = np.ascontiguousarray(qs, np.int8)
+    ps = np.ascontiguousarray(pstarts, np.int64)
+    cap = 4 * len(qh) + 1024
+    for _ in range(2):
+        out = np.empty((cap, 4), np.int64)
+        n = lib.seeds_core_u32(
+            mm_hash.ctypes.data if mm_hash.flags.c_contiguous
+            else np.ascontiguousarray(mm_hash).ctypes.data,
+            mm_pos.ctypes.data if mm_pos.flags.c_contiguous
+            else np.ascontiguousarray(mm_pos).ctypes.data,
+            mm_strand.ctypes.data if mm_strand.flags.c_contiguous
+            else np.ascontiguousarray(mm_strand).ctypes.data,
+            ps.ctypes.data, int(shift),
+            qh.ctypes.data, qp.ctypes.data, qs.ctypes.data, len(qh),
+            int(cutoff), int(check_num), int(k), int(merge_max_len),
+            out.ctypes.data, cap,
+        )
+        if n >= 0:
+            return out[:n]
+        cap = -n + 16
+    return None

@@ -2716,3 +2716,179 @@ extern "C" int64_t index_build_sorted(
   if (timing) fprintf(stderr, "[idx] sort %.2fs\n", tick() - t0);
   return total;
 }
+
+// ---------------------------------------------------------------------------
+// Whole seeding tail in one call (index/index.py::seeds): batched range
+// lookup over the sorted minimizer table, hit expansion, reference
+// cluster cap, strand-aware colinear merge and the final
+// (readpos, refpos) sort.  The numpy formulation spends most of its
+// time in per-call overhead on ~1-20k-element arrays; one native pass
+// removes ~25 numpy dispatches per read.  Semantics bit-identical to
+// the python path (differential-tested).
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t seeds_core_u32(
+    const uint32_t* table, const uint32_t* mm_pos, const int8_t* mm_strand,
+    const int64_t* pstarts, int shift,
+    const int64_t* qh, const int64_t* qp, const int8_t* qs, int64_t m,
+    int64_t cutoff, int64_t check_num, int64_t k, int64_t merge_max_len,
+    int64_t* out, int64_t out_cap) {
+  if (m == 0) return 0;
+  // ---- batched range lookup ------------------------------------------
+  static thread_local std::vector<uint32_t> q32;
+  static thread_local std::vector<int64_t> lo_v, hi_v;
+  q32.resize(m);
+  lo_v.resize(m);
+  hi_v.resize(m);
+  for (int64_t i = 0; i < m; i++) q32[i] = (uint32_t)qh[i];
+  lookup_ranges(table, pstarts, shift, q32.data(), m, lo_v.data(),
+                hi_v.data());
+  // ---- expansion ------------------------------------------------------
+  struct Hit { int64_t r, y, s; };
+  static thread_local std::vector<Hit> hits;
+  hits.clear();
+  for (int64_t i = 0; i < m; i++) {
+    const int64_t occ = hi_v[i] - lo_v[i];
+    if (occ <= 0 || occ > cutoff) continue;
+    for (int64_t t = lo_v[i]; t < hi_v[i]; t++)
+      hits.push_back({qp[i], (int64_t)mm_pos[t],
+                      (int64_t)qs[i] * (int64_t)mm_strand[t]});
+  }
+  const int64_t n = (int64_t)hits.size();
+  if (n == 0) return 0;
+  // ---- cluster cap (top check_num ref clusters by anchor count; ties
+  // resolved exactly like np.argsort(counts)[::-1][:check_num]:
+  // stable-ascending order reversed -> equal counts keep the HIGHER
+  // cluster id) -----------------------------------------------------------
+  static thread_local std::vector<int32_t> order;
+  order.resize(n);
+  for (int64_t i = 0; i < n; i++) order[i] = (int32_t)i;
+  static thread_local std::vector<Hit> kept;
+  kept.clear();
+  if (check_num > 0) {
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t b) {
+                       return hits[a].y < hits[b].y;
+                     });
+    static thread_local std::vector<int32_t> cl_of;
+    cl_of.resize(n);
+    int64_t n_cl = 0;
+    int64_t prev_y = hits[order[0]].y;
+    for (int64_t i = 0; i < n; i++) {
+      const int64_t y = hits[order[i]].y;
+      if (i > 0 && y - prev_y > 100000) n_cl++;
+      cl_of[order[i]] = (int32_t)n_cl;
+      prev_y = y;
+    }
+    n_cl++;
+    if (n_cl > check_num) {
+      static thread_local std::vector<int64_t> counts;
+      counts.assign(n_cl, 0);
+      for (int64_t i = 0; i < n; i++) counts[cl_of[i]]++;
+      // (count asc, id asc) stable order; keep the LAST check_num
+      static thread_local std::vector<int32_t> cids;
+      cids.resize(n_cl);
+      for (int64_t c = 0; c < n_cl; c++) cids[c] = (int32_t)c;
+      std::stable_sort(cids.begin(), cids.end(),
+                       [&](int32_t a, int32_t b) {
+                         return counts[a] < counts[b];
+                       });
+      static thread_local std::vector<uint8_t> keep_cl;
+      keep_cl.assign(n_cl, 0);
+      for (int64_t c = n_cl - check_num; c < n_cl; c++) keep_cl[cids[c]] = 1;
+      // cap output order: ref-sorted (like the numpy path, which
+      // returns ref_sorted[keep_mask])
+      for (int64_t i = 0; i < n; i++) {
+        const int32_t oi = order[i];
+        if (keep_cl[cl_of[oi]]) kept.push_back(hits[oi]);
+      }
+    } else {
+      kept = hits;  // original (readpos) order preserved
+    }
+  } else {
+    kept = hits;
+  }
+  // ---- colinear merge (merge_colinear_anchors) ------------------------
+  // diag = strand==1 ? y - r : -(y + r + k); sort by (strand, diag, r)
+  const int64_t nk2 = (int64_t)kept.size();
+  struct MRec { int64_t r, y, s, d; };
+  static thread_local std::vector<MRec> recs;
+  recs.resize(nk2);
+  for (int64_t i = 0; i < nk2; i++) {
+    const auto& h = kept[i];
+    recs[i] = {h.r, h.y, h.s,
+               h.s == 1 ? h.y - h.r : -(h.y + h.r + k)};
+  }
+  std::stable_sort(recs.begin(), recs.end(), [](const MRec& a, const MRec& b) {
+    if (a.s != b.s) return a.s < b.s;
+    if (a.d != b.d) return a.d < b.d;
+    return a.r < b.r;
+  });
+  // run breaks mirror the numpy path EXACTLY: a new run starts when the
+  // diagonal changes or the read start passes the PREVIOUS anchor's end
+  // (strand participates in the sort but not the break; the merged
+  // strand/refpos come from the run's first/last anchors)
+  static thread_local std::vector<MRec> merged;  // {r0, y, s, LEN in .d}
+  merged.clear();
+  int64_t run_r0 = 0, prev_end = 0, run_yfirst = 0, run_ylast = 0;
+  int64_t run_s = 0, run_d = 0, run_last_r = 0;
+  bool open = false;
+  auto close_run = [&]() {
+    if (!open) return;
+    const int64_t ln = (run_last_r + k) - run_r0;
+    const int64_t y = (run_s == 1) ? run_yfirst : run_ylast;
+    merged.push_back({run_r0, y, run_s, ln});
+    open = false;
+  };
+  for (int64_t i = 0; i < nk2; i++) {
+    const auto& a = recs[i];
+    if (!open || a.d != run_d || a.r > prev_end) {
+      close_run();
+      run_r0 = a.r;
+      run_yfirst = a.y;
+      run_s = a.s;
+      run_d = a.d;
+      open = true;
+    }
+    run_ylast = a.y;
+    run_last_r = a.r;
+    prev_end = a.r + k;
+  }
+  close_run();
+  // split runs longer than merge_max_len (order: short runs first, then
+  // per-long-run chunks, exactly like the numpy path's concat)
+  static thread_local std::vector<MRec> fin;
+  fin.clear();
+  static thread_local std::vector<MRec> longs;
+  longs.clear();
+  for (const auto& r : merged) {
+    if (r.d <= merge_max_len) fin.push_back(r);
+    else longs.push_back(r);
+  }
+  for (const auto& g : longs) {
+    const int64_t ln = g.d;
+    const int64_t n_chunks = (ln + merge_max_len - 1) / merge_max_len;
+    for (int64_t c = 0; c < n_chunks; c++) {
+      const int64_t off = c * merge_max_len;
+      const int64_t cl = std::min(merge_max_len, ln - off);
+      if (g.s == 1)
+        fin.push_back({g.r + off, g.y + off, g.s, cl});
+      else
+        fin.push_back({g.r + off, g.y + ln - off - cl, g.s, cl});
+    }
+  }
+  // ---- final (readpos, refpos) sort -----------------------------------
+  std::stable_sort(fin.begin(), fin.end(), [](const MRec& a, const MRec& b) {
+    if (a.r != b.r) return a.r < b.r;
+    return a.y < b.y;
+  });
+  const int64_t outn = (int64_t)fin.size();
+  if (outn > out_cap) return -outn;
+  for (int64_t i = 0; i < outn; i++) {
+    out[i * 4 + 0] = fin[i].r;
+    out[i * 4 + 1] = fin[i].y;
+    out[i * 4 + 2] = fin[i].s;
+    out[i * 4 + 3] = fin[i].d;  // len
+  }
+  return outn;
+}
