@@ -169,13 +169,23 @@ def prepare_read_anchors(anchors: np.ndarray, read_len: int):
 def _main_alignment_span(path_asc, starts) -> tuple:
     """Longest colinear run (readgap>=0, refgap>=0, |readgap-refgap|<=30,
     same contig) of an ascending path, as its (first, last) anchors —
-    return_main_alignment_size (mammap_clrnano.py live def)."""
-    pre = path_asc[0]
+    return_main_alignment_size (mammap_clrnano.py live def).
+
+    Contig ids are precomputed vectorized and the scan runs on plain
+    int lists: the per-pair ``np.searchsorted`` lambda this replaces was
+    ~70 ms per invocation on long paths."""
+    arr = np.asarray(path_asc, dtype=np.int64).reshape(len(path_asc), 4)
+    cids = np.maximum(
+        np.searchsorted(starts, arr[:, 1], side="right") - 1, 0
+    ).tolist()
+    rows = arr.tolist()
+    pre = rows[0]
+    pre_ci = cids[0]
     pack = (pre, pre)
     size = 0
     st_item = pre
-    cid = lambda pos: max(int(np.searchsorted(starts, pos, side="right")) - 1, 0)
-    for now in path_asc[1:]:
+    for k in range(1, len(rows)):
+        now = rows[k]
         if pre[2] == now[2]:
             readgap = now[0] - pre[0] - pre[3]
             if readgap < 0:
@@ -184,13 +194,16 @@ def _main_alignment_span(path_asc, starts) -> tuple:
                 refgap = now[1] - pre[1] - pre[3]
             else:
                 refgap = pre[1] - now[1] - now[3]
-            if abs(readgap - refgap) <= 30 and refgap >= 0 and cid(pre[1]) == cid(now[1]):
+            if (abs(readgap - refgap) <= 30 and refgap >= 0
+                    and pre_ci == cids[k]):
                 pre = now
+                pre_ci = cids[k]
                 continue
         if pre[0] - st_item[0] > size:
             size = pre[0] - st_item[0]
             pack = (st_item, pre)
         pre = now
+        pre_ci = cids[k]
         st_item = pre
     if pre[0] - st_item[0] > size:
         pack = (st_item, pre)
