@@ -249,11 +249,23 @@ def main():
         mapper.map_read(name, seq)
     import re as _re
 
-    shares = {}
+    # trace.summary's share column normalizes by the SUM of all spans,
+    # which double-counts nested rf.* children inside `refine`; report
+    # shares of the TOP-LEVEL wall instead so they add up to ~100.
+    totals = {}
     for line in trace.summary().splitlines()[1:]:
         parts = line.split()
         if len(parts) >= 5:
-            shares[parts[0]] = float(parts[4].rstrip("%"))
+            totals[parts[0]] = float(parts[1])
+    # (the traced sample maps synchronously, so rf.* are nested inside
+    # `refine` — top-level spans only)
+    top = ("prep", "seed", "global_chain", "local_rechain", "refine",
+           "sam_emit")
+    wall = sum(totals.get(k, 0.0) for k in top) or 1.0
+    shares = {
+        k: round(v / wall * 100, 1)
+        for k, v in sorted(totals.items(), key=lambda kv: -kv[1])
+    }
     trace.enable(False)
 
     # chain-kernel-only throughput (lax.scan and Pallas, on-device)
