@@ -404,21 +404,19 @@ def decode_tb_ops(packed: np.ndarray, pairs, eqx: bool = False):
     packed = np.ascontiguousarray(packed, np.uint8)
     S4, B = packed.shape
     n = len(pairs)
-    t_off = np.zeros(n, np.int64)
-    t_len = np.zeros(n, np.int64)
-    q_off = np.zeros(n, np.int64)
-    q_len = np.zeros(n, np.int64)
-    total = 0
-    for i, (t, q) in enumerate(pairs):
-        t_off[i] = total; t_len[i] = len(t); total += len(t)
-        q_off[i] = total; q_len[i] = len(q); total += len(q)
-    seqs = np.empty(max(total, 1), np.uint8)
-    for i, (t, q) in enumerate(pairs):
-        seqs[t_off[i] : t_off[i] + t_len[i]] = t
-        seqs[q_off[i] : q_off[i] + q_len[i]] = q
+    flat = [a for tq in pairs for a in tq]
+    lens = np.fromiter((len(a) for a in flat), np.int64, count=2 * n)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    t_off = np.ascontiguousarray(offs[0::2])
+    t_len = np.ascontiguousarray(lens[0::2])
+    q_off = np.ascontiguousarray(offs[1::2])
+    q_len = np.ascontiguousarray(lens[1::2])
+    total = int(lens.sum())
+    seqs = (np.concatenate(flat).astype(np.uint8, copy=False)
+            if total else np.empty(1, np.uint8))
     ops_cap = 2 * total + 32 * n
-    out_ops = np.zeros((ops_cap, 2), np.int32)
-    meta = np.zeros((n, 2), np.int64)
+    out_ops = np.empty((ops_cap, 2), np.int32)
+    meta = np.empty((n, 2), np.int64)
     rc = lib.decode_tb_ops_batch(
         packed.ctypes.data, S4, B, n,
         seqs.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
@@ -452,21 +450,19 @@ def decode_rowruns(lo: np.ndarray, ex: np.ndarray, pairs, eqx: bool = False):
     n, N = lo.shape
     if n != len(pairs):
         return None
-    t_off = np.zeros(n, np.int64)
-    t_len = np.zeros(n, np.int64)
-    q_off = np.zeros(n, np.int64)
-    q_len = np.zeros(n, np.int64)
-    total = 0
-    for i, (t, q) in enumerate(pairs):
-        t_off[i] = total; t_len[i] = len(t); total += len(t)
-        q_off[i] = total; q_len[i] = len(q); total += len(q)
-    seqs = np.empty(max(total, 1), np.uint8)
-    for i, (t, q) in enumerate(pairs):
-        seqs[t_off[i] : t_off[i] + t_len[i]] = t
-        seqs[q_off[i] : q_off[i] + q_len[i]] = q
+    flat = [a for tq in pairs for a in tq]
+    lens = np.fromiter((len(a) for a in flat), np.int64, count=2 * n)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    t_off = np.ascontiguousarray(offs[0::2])
+    t_len = np.ascontiguousarray(lens[0::2])
+    q_off = np.ascontiguousarray(offs[1::2])
+    q_len = np.ascontiguousarray(lens[1::2])
+    total = int(lens.sum())
+    seqs = (np.concatenate(flat).astype(np.uint8, copy=False)
+            if total else np.empty(1, np.uint8))
     ops_cap = 2 * total + 32 * n
-    out_ops = np.zeros((ops_cap, 2), np.int32)
-    meta = np.zeros((n, 2), np.int64)
+    out_ops = np.empty((ops_cap, 2), np.int32)
+    meta = np.empty((n, 2), np.int64)
     rc = lib.decode_rowruns_batch(
         lo.ctypes.data, ex.ctypes.data, N, n,
         seqs.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
@@ -727,7 +723,7 @@ def harvest_join_native(ref_codes, windows, read_codes, readstart, readend,
     grp = np.ascontiguousarray(g_rp, np.int64)
     gref = np.ascontiguousarray(g_ref, np.int64)
     cap = 4 * max(readend - readstart, 64) + 1024
-    out = np.zeros((cap, 4), np.int64)
+    out = np.empty((cap, 4), np.int64)
     m = lib.harvest_join(
         rc.ctypes.data, wlo.ctypes.data, whi.ctypes.data, len(wlo),
         qc.ctypes.data, len(qc), readstart, readend,
@@ -823,21 +819,22 @@ def align2p_batch_native(pairs, match=2, mismatch=-4, o1=4, e1=2, o2=24,
         ]
         lib._batch_bound = True
     n = len(pairs)
-    t_off = np.zeros(n, np.int64)
-    t_len = np.zeros(n, np.int64)
-    q_off = np.zeros(n, np.int64)
-    q_len = np.zeros(n, np.int64)
-    total = 0
-    for i, (t, q) in enumerate(pairs):
-        t_off[i] = total; t_len[i] = len(t); total += len(t)
-        q_off[i] = total; q_len[i] = len(q); total += len(q)
-    seqs = np.empty(total, np.uint8)
-    for i, (t, q) in enumerate(pairs):
-        seqs[t_off[i] : t_off[i] + t_len[i]] = t
-        seqs[q_off[i] : q_off[i] + q_len[i]] = q
+    # one vectorized layout pass (cross-read window flushes reach ~1k
+    # jobs: per-pair python slice stores and multi-MB np.zeros were the
+    # wrapper's cost)
+    flat = [a for tq in pairs for a in tq]
+    lens = np.fromiter((len(a) for a in flat), np.int64, count=2 * n)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    t_off = np.ascontiguousarray(offs[0::2])
+    t_len = np.ascontiguousarray(lens[0::2])
+    q_off = np.ascontiguousarray(offs[1::2])
+    q_len = np.ascontiguousarray(lens[1::2])
+    total = int(lens.sum())
+    seqs = (np.concatenate(flat).astype(np.uint8, copy=False)
+            if total else np.empty(0, np.uint8))
     ops_cap = 2 * total + 32 * n
-    out_ops = np.zeros((ops_cap, 2), np.int32)
-    meta = np.zeros((n, 2), np.int64)
+    out_ops = np.empty((ops_cap, 2), np.int32)
+    meta = np.empty((n, 2), np.int64)
     rc = lib.align2p_batch_native(
         seqs.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
         q_off.ctypes.data, q_len.ctypes.data, n,
