@@ -892,23 +892,8 @@ extern "C" int64_t minimizer_sketch_range(
   uint64_t fwd = 0, rev = 0;
   int64_t valid_run = 0;
   int32_t rp = 0;  // rolling ring slot == p % w (no division)
-  for (int64_t i = 0; i < n; i++) {
-    const uint8_t c = seq[i];
-    if (c < 4) {
-      fwd = ((fwd << 2) | c) & mask;
-      rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
-      valid_run++;
-    } else { fwd = 0; rev = 0; valid_run = 0; }
-    const int64_t p = i - k + 1;
-    if (p < 0) continue;
-    uint64_t key = BIG;
-    int8_t st = 0;
-    if (valid_run >= k) {
-      const uint64_t hf = mm_hash64(fwd, mask);
-      const uint64_t hr = mm_hash64(rev, mask);
-      if (hf < hr) { key = hf; st = 1; }
-      else if (hr < hf) { key = hr; st = -1; }
-    }
+  // per-position tail (finalize ring + tie-keeping deque + window marks)
+  auto consume = [&](int64_t p, uint64_t key, int8_t st) {
     if (p >= w && rq[rp]) {  // finalize position p-w (flag is final)
       const int64_t fp = p - w;
       if (fp >= emit_lo && fp <= emit_hi) {
@@ -926,13 +911,92 @@ extern "C" int64_t minimizer_sketch_range(
     qt++;
     if (++rp == w) rp = 0;
     const int64_t t = p - w + 1;  // window [t, p] complete
-    if (t < 0) continue;
+    if (t < 0) return;
     while (qh < qt && dqp[qh & dmask] < t) qh++;
     const uint64_t mn = dqk[qh & dmask];
     if (mn != BIG)
       for (int64_t j = qh; j < qt && dqk[j & dmask] == mn; j++)
         rq[dqs[j & dmask]] = 1;
+  };
+#if defined(__AVX2__)
+  // block the base scan: rolling codes stay serial (cheap), the two
+  // mm_hash64 per position run 4-wide on the 64-bit AVX2 lanes — the
+  // hash is ~2/3 of the scalar per-base cost
+  {
+    const __m256i vm = _mm256_set1_epi64x((long long)mask);
+    auto hash4 = [&](const uint64_t* in, uint64_t* out) {
+      __m256i x = _mm256_loadu_si256((const __m256i*)in);
+      // x = (~x + (x << 21)) & m
+      x = _mm256_and_si256(
+          _mm256_add_epi64(_mm256_xor_si256(x, _mm256_set1_epi64x(-1)),
+                           _mm256_slli_epi64(x, 21)), vm);
+      x = _mm256_xor_si256(x, _mm256_srli_epi64(x, 24));
+      x = _mm256_and_si256(
+          _mm256_add_epi64(_mm256_add_epi64(x, _mm256_slli_epi64(x, 3)),
+                           _mm256_slli_epi64(x, 8)), vm);
+      x = _mm256_xor_si256(x, _mm256_srli_epi64(x, 14));
+      x = _mm256_and_si256(
+          _mm256_add_epi64(_mm256_add_epi64(x, _mm256_slli_epi64(x, 2)),
+                           _mm256_slli_epi64(x, 4)), vm);
+      x = _mm256_xor_si256(x, _mm256_srli_epi64(x, 28));
+      x = _mm256_and_si256(
+          _mm256_add_epi64(x, _mm256_slli_epi64(x, 31)), vm);
+      _mm256_storeu_si256((__m256i*)out, x);
+    };
+    int64_t i = 0;
+    uint64_t kf8[8], kr8[8], hf8[8], hr8[8];
+    uint8_t vl8[8];
+    while (i < n) {
+      const int64_t blk = std::min<int64_t>(8, n - i);
+      for (int64_t b = 0; b < blk; b++) {
+        const uint8_t c = seq[i + b];
+        if (c < 4) {
+          fwd = ((fwd << 2) | c) & mask;
+          rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
+          valid_run++;
+        } else { fwd = 0; rev = 0; valid_run = 0; }
+        kf8[b] = fwd;
+        kr8[b] = rev;
+        vl8[b] = valid_run >= k;
+      }
+      hash4(kf8, hf8);
+      hash4(kr8, hr8);
+      if (blk > 4) { hash4(kf8 + 4, hf8 + 4); hash4(kr8 + 4, hr8 + 4); }
+      for (int64_t b = 0; b < blk; b++) {
+        const int64_t p = i + b - k + 1;
+        if (p < 0) continue;
+        uint64_t key = BIG;
+        int8_t st = 0;
+        if (vl8[b]) {
+          if (hf8[b] < hr8[b]) { key = hf8[b]; st = 1; }
+          else if (hr8[b] < hf8[b]) { key = hr8[b]; st = -1; }
+        }
+        consume(p, key, st);
+      }
+      i += blk;
+    }
   }
+#else
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t c = seq[i];
+    if (c < 4) {
+      fwd = ((fwd << 2) | c) & mask;
+      rev = (rev >> 2) | (((uint64_t)(3 - c)) << shift_rev);
+      valid_run++;
+    } else { fwd = 0; rev = 0; valid_run = 0; }
+    const int64_t p = i - k + 1;
+    if (p < 0) continue;
+    uint64_t key = BIG;
+    int8_t st = 0;
+    if (valid_run >= k) {
+      const uint64_t hf = mm_hash64(fwd, mask);
+      const uint64_t hr = mm_hash64(rev, mask);
+      if (hf < hr) { key = hf; st = 1; }
+      else if (hr < hf) { key = hr; st = -1; }
+    }
+    consume(p, key, st);
+  }
+#endif
   for (int64_t fp = nk - w; fp < nk; fp++) {  // trailing w positions
     const int64_t rs = fp % w;
     if (rq[rs] && fp >= emit_lo && fp <= emit_hi) {
