@@ -375,3 +375,40 @@ def test_striped_band_adversarial_vs_scalar(rng):
                            gap_extend_1=2, gap_open_2=24, gap_extend_2=1,
                            bw=-1, zdrop=-1, eqx=eqx).cigar
             assert c == want, (len(t), len(q))
+
+
+def test_myers_tight_band_asymmetric_fuzz(rng):
+    """Both-endpoint band: value-exact for d <= cap across asymmetric
+    lengths with |len diff| close to the cap (the band degenerates to
+    width ~0 there) and assorted error rates."""
+    from vacmap_tpu import native
+    from vacmap_tpu.ops.edit import edit_distance
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    for _ in range(60):
+        n = int(rng.integers(200, 4000))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        q = t.copy()
+        err = float(rng.uniform(0.0, 0.5))
+        k = int(err * n)
+        if k:
+            idx = rng.choice(n, k, replace=False)
+            q[idx] = (q[idx] + rng.integers(1, 4, k)) % 4
+        # random asymmetry: delete a block from one side
+        if rng.random() < 0.7:
+            cut = int(rng.integers(0, n // 2))
+            st = int(rng.integers(0, n - cut)) if cut else 0
+            if rng.random() < 0.5:
+                t = np.concatenate([t[:st], t[st + cut:]])
+            else:
+                q = np.concatenate([q[:st], q[st + cut:]])
+        base = abs(len(t) - len(q))
+        for cap in (base + 2, base + 64, base + 300,
+                    int(0.4 * min(len(t), len(q)))):
+            if cap <= 0:
+                continue
+            d_native = native.edit_distance_native(t, q, cap=cap)
+            d_ref = edit_distance(t, q, cap=cap)
+            # both are (cap+1)-saturated exact values
+            assert d_native == d_ref, (len(t), len(q), cap)

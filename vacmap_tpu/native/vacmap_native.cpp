@@ -58,14 +58,26 @@ int64_t myers_edit_distance(const uint8_t* a, int64_t na,
   for (int64_t w = 0; w < W; w++)
     bscore[w] = std::min<int64_t>(64 * (w + 1), nb);
   const bool banded = (cap >= 0) && (cap + 130 < nb);
+  // both-endpoint band: a cell (i, j) on an end-to-end <=cap path obeys
+  // |i-j| deviation cost on BOTH sides, so rows stay within
+  // [j + min(0,D) - half, j + max(0,D) + half] where D = nb-na and
+  // half = (cap - |D|)/2 — HALF the width of the origin-only bound.
+  // Exactness: <=cap end-to-end paths never leave this band, so the
+  // final value is exact whenever it is <=cap, and the early abort
+  // below remains sound (each column of such a path has an in-band
+  // tracked prefix value <=cap).
+  const int64_t Dend = nb - na;
+  const int64_t half = banded ? (cap - std::llabs(Dend)) / 2 : 0;
+  const int64_t row_off_lo = std::min<int64_t>(0, Dend) - half - 2;
+  const int64_t row_off_hi = std::max<int64_t>(0, Dend) + half + 2;
   int64_t b_hi_old = banded ? -1 : W - 1;
   for (int64_t j = 0; j < na; j++) {
     uint8_t c = a[j] < 4 ? a[j] : 4;
     const uint64_t* eqrow = &Peq[(size_t)c * W];
     int64_t b_lo = 0, b_hi = W - 1;
     if (banded) {
-      b_lo = std::max<int64_t>(0, (j - cap - 65) / 64);
-      b_hi = std::min<int64_t>(W - 1, (j + cap + 65) / 64);
+      b_lo = std::max<int64_t>(0, (j + row_off_lo - 1) / 64 - 1);
+      b_hi = std::min<int64_t>(W - 1, (j + row_off_hi + 1) / 64 + 1);
       for (int64_t b = std::max<int64_t>(b_hi_old + 1, 1); b <= b_hi; b++)
         bscore[b] =
             bscore[b - 1] + (std::min<int64_t>(64 * (b + 1), nb) - 64 * b);
