@@ -317,24 +317,24 @@ def main():
         import jax
 
         from vacmap_tpu.ops.chain_pallas import (
-            chain_scores_pallas, pad_for_pallas,
+            chain_scores_pallas_lm, pad_for_pallas_lm,
         )
 
         small = [a_ for a_ in alist if len(a_) <= 2048]
         pbases = int(np.mean([len(s_) for _, s_ in reads[:64]])) * len(small)
         pbatch = prepare_batch(small, "global", 40.0, 50)
         Ss, Ps = chain_scores_batch(*pbatch)
-        a, nv, sk, md, Bn = pad_for_pallas(*pbatch)
+        a, nv, sk, md, Bn = pad_for_pallas_lm(*pbatch)
         kw = dict(kmersize=15, maxdiff=50, maxgap=1000, skipcost=40.0,
                   variant="global")
 
         def pallas_section():
-            Sp, Pp = chain_scores_pallas(a, nv, sk, md, **kw)
+            Sp, Pp = chain_scores_pallas_lm(a, nv, sk, md, **kw)
             jax.block_until_ready((Sp, Pp))
             agree = float(np.mean(np.asarray(Pp)[:Bn] == np.asarray(Ps)))
             t0 = time.time()
             for _ in range(reps):
-                Sp2, Pp2 = chain_scores_pallas(a, nv, sk, md, **kw)
+                Sp2, Pp2 = chain_scores_pallas_lm(a, nv, sk, md, **kw)
                 jax.block_until_ready((Sp2, Pp2))
             return pbases / ((time.time() - t0) / reps) / 1e6, agree
 

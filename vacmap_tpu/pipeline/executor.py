@@ -122,13 +122,15 @@ class BatchExecutor:
                     maxdiff, maxgap, skipcost, variant):
         if self.use_pallas and variant != "refund":
             try:
-                from ..ops.chain_pallas import chain_scores_pallas, pad_for_pallas
+                from ..ops.chain_pallas import (
+                    chain_scores_pallas_lm, pad_for_pallas_lm,
+                )
 
-                a, nv, sk, md, B = pad_for_pallas(
+                at, nv, st, mt, B = pad_for_pallas_lm(
                     anchors, n_valid, skip_i, maxdiff_i
                 )
-                S, P = chain_scores_pallas(
-                    a, nv, sk, md, kmersize=kmersize, maxdiff=maxdiff,
+                S, P = chain_scores_pallas_lm(
+                    at, nv, st, mt, kmersize=kmersize, maxdiff=maxdiff,
                     maxgap=maxgap, skipcost=skipcost, variant=variant,
                 )
                 return S[:B], P[:B]
