@@ -424,17 +424,27 @@ def main():
         sv_acc = {"n_truth": len(truth)}
         for mode in ("H", "L"):
             m_sv = Mapper(sv_idx, AlignerConfig(mode=mode))
-            calls = []
-            for i in range(n_r):
-                st = int(rng_sv.integers(0, max(1, len(alt) - rl)))
-                frag = encode(alt[st : st + rl])
-                read = codes_to_str(mutate_codes(rng_sv, frag, 0.07))
-                if rng_sv.random() < 0.5:
-                    read = revcomp(read)
-                recs, _ = m_sv.map_read_records(f"sv{i}", read)
-                calls.extend(call_signatures(recs))
-            rec_, prec_, _, n_ev = score_events(
-                truth, cluster_calls(calls)
+            # recall swings with WHICH reads straddle the dense SV
+            # cluster; average two read-sampling seeds so the per-round
+            # number is comparable round over round
+            rs, ps, n_ev = [], [], 0
+            for seed in (99, 123):
+                rng_r = np.random.default_rng(seed)
+                calls = []
+                for i in range(n_r):
+                    st = int(rng_r.integers(0, max(1, len(alt) - rl)))
+                    frag = encode(alt[st : st + rl])
+                    read = codes_to_str(mutate_codes(rng_r, frag, 0.07))
+                    if rng_r.random() < 0.5:
+                        read = revcomp(read)
+                    recs, _ = m_sv.map_read_records(f"sv{i}", read)
+                    calls.extend(call_signatures(recs))
+                r_, p_, _, n_ = score_events(truth, cluster_calls(calls))
+                rs.append(r_)
+                ps.append(p_)
+                n_ev += n_
+            rec_, prec_, n_ev = (
+                sum(rs) / len(rs), sum(ps) / len(ps), n_ev // 2
             )
             sv_acc[mode] = {
                 "sv_recall": round(rec_, 4),
