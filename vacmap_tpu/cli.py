@@ -8,6 +8,7 @@ our own ``.vmi`` format (no external minimap2 needed).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import glob as globmod
 from hashlib import blake2b as _blake2b
 import logging
@@ -183,6 +184,25 @@ def _read_records(path: str, cfg):
         yield from read_bam(path)
     else:
         yield from fastx_read(path, read_comment=cfg.copycomments)
+
+
+def _probe_accelerator(timeout: float = 120.0) -> bool:
+    """True when an accelerator answers a trivial computation in time.
+    Runs in a subprocess: a dead compile relay hangs jax backend init
+    uninterruptibly, and the CLI must degrade to the host deployment
+    instead of freezing (same rationale as bench.probe_device)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((64, 64)); (x @ x).block_until_ready(); "
+            "import sys; "
+            "sys.exit(0 if jax.default_backend() != 'cpu' else 3)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
 
 
 def _dedup_records(paths, cfg, shard=(0, 1)):
@@ -405,6 +425,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     want_fills = args.device_fills != "off" and cfg.mode != "asm"
     st = time.time()
     count = 0
+    if cfg.backend == "jax" and cfg.mode != "asm":
+        # a dead compile relay blocks jax backend init forever (in C
+        # land, uninterruptible) — probe in a SUBPROCESS and fall back
+        # to the host fork deployment instead of hanging the run
+        if not _probe_accelerator():
+            log.warning(
+                "--backend jax requested but no accelerator answered the "
+                "probe; falling back to the host backend"
+            )
+            cfg = dataclasses.replace(cfg, backend="auto")
+            mapper0 = Mapper(index, cfg)
+            map_fn0 = (mapper0.map_contig if cfg.mode == "asm"
+                       else mapper0.map_read)
     if cfg.backend == "jax" and cfg.mode != "asm":
         # batched device executor: the whole batch's chaining DP runs as
         # one Pallas call; host refinement overlaps on threads
