@@ -194,12 +194,13 @@ def _probe_accelerator(timeout: float = 120.0) -> bool:
     import subprocess
 
     code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.ones((64, 64)); (x @ x).block_until_ready(); "
-            "import sys; "
-            "sys.exit(0 if jax.default_backend() != 'cpu' else 3)")
+            "x = jnp.ones((64, 64)); (x @ x).block_until_ready()")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
                            capture_output=True)
+        # ANY responsive backend passes (a CPU-only host running
+        # --backend jax is an explicit user choice; the probe only
+        # guards against the relay hang)
         return r.returncode == 0
     except Exception:
         return False
