@@ -159,7 +159,15 @@ def load_or_build_index(refpath: str, k: int, w: int, write_index: bool,
     # Heuristic: on-disk FASTA size (gz assumed ~4x compressed).
     fsize = os.path.getsize(refpath)
     approx = fsize * 4 if refpath.endswith(".gz") else fsize
-    if write_index and (lowmem or approx >= (1 << 30)):
+    # in-RAM native build peak is ~8 B/bp (strings + codes + int64 table
+    # temporaries); take the external bounded-memory builder only when
+    # that wouldn't comfortably fit, or on explicit --lowmem
+    try:
+        avail = (os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+    except (ValueError, OSError):
+        avail = 0
+    fits_ram = approx * 8 < avail // 2
+    if write_index and (lowmem or (approx >= (1 << 30) and not fits_ram)):
         idx = ReferenceIndex.build_external(
             ((r[0], r[1]) for r in fastx_read(refpath)), index_name, k=k, w=w
         )
