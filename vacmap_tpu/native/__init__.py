@@ -891,3 +891,29 @@ def seeds_core_native(mm_hash, mm_pos, mm_strand, pstarts, shift,
             return out[:n]
         cap = -n + 16
     return None
+
+
+def segment_walk_keep_native(walk_arr: np.ndarray, minus: bool,
+                             force_gap: int, min_gap: int):
+    """Kept-anchor indices for segment_cigar_jobs' decision walk, or
+    None (lib unavailable).  Returns an int64 index array (>= 2 entries)
+    or an empty array when the walk yields no pairs."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_segwalk_bound"):
+        lib.segment_walk_keep.restype = ctypes.c_int64
+        lib.segment_walk_keep.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._segwalk_bound = True
+    A = np.ascontiguousarray(walk_arr, np.int64)
+    out = np.empty(len(A), np.int64)
+    n = lib.segment_walk_keep(
+        A.ctypes.data, len(A), 1 if minus else 0, force_gap, min_gap,
+        out.ctypes.data,
+    )
+    if n < 0:
+        return np.empty(0, np.int64)
+    return out[:n]

@@ -2968,3 +2968,46 @@ extern "C" int64_t seeds_core_u32(
   }
   return outn;
 }
+
+// ---------------------------------------------------------------------------
+// segment_cigar_jobs decision walk (pipeline/extend.py): which anchors of
+// a normalized segment walk are KEPT as CIGAR-window boundaries.  The
+// python loop's skip-chaining is sequential and data-dependent; only the
+// coordinate decisions live here — gap sequence extraction stays in
+// python.  walk rows: (readpos, refpos, strand, len) int64, already in
+// walk order (reversed for minus segments by the caller).
+// Returns the number of kept indices written to out_keep (including
+// index 0), or -1 when no pair is emitted (caller raises like the
+// python path).
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t segment_walk_keep(
+    const int64_t* walk, int64_t n, int minus, int64_t force_gap,
+    int64_t min_gap, int64_t* out_keep) {
+  if (n <= 0) return -1;
+  int64_t nk = 0;
+  out_keep[nk++] = 0;
+  int64_t pre = 0;
+  for (int64_t i = 1; i < n; i++) {
+    const int64_t pr = walk[pre * 4 + 0], pf = walk[pre * 4 + 1],
+                  pl = walk[pre * 4 + 3];
+    const int64_t cr = walk[i * 4 + 0], cf = walk[i * 4 + 1],
+                  cl = walk[i * 4 + 3];
+    int64_t readgap, refgap;
+    if (minus) {
+      readgap = pr - cr - cl;
+      refgap = cf - pf - pl;
+    } else {
+      readgap = cr - pr - pl;
+      refgap = cf - pf - pl;
+    }
+    const int64_t mx = readgap > refgap ? readgap : refgap;
+    const int64_t mn = readgap < refgap ? readgap : refgap;
+    if (!(force_gap > 0 && mx >= force_gap)) {
+      if ((cl < 19 || mn < min_gap) && i + 1 != n) continue;
+    }
+    out_keep[nk++] = i;
+    pre = i;
+  }
+  return nk >= 2 ? nk : -1;
+}

@@ -568,11 +568,39 @@ def segment_cigar_jobs(
             seg[-1] = (seg[-1][0] + seg[-1][3], seg[-1][1], -1, 0)
         walk = seg[::-1]
 
+    minus = seg[0][2] != 1
+    from .. import native
+
+    keep_idx = None
+    if native.available() and len(walk) > 1:
+        keep_idx = native.segment_walk_keep_native(
+            np.asarray(walk, np.int64), minus, force_gap,
+            MIN_GAP_FOR_CIGAR,
+        )
+    if keep_idx is not None:
+        if len(keep_idx) == 0:
+            raise RuntimeError("Failed to compute CIGAR: no aligned pieces")
+        kept = [walk[int(j)] for j in keep_idx]
+        pairs = []
+        for a, bnow in zip(kept, kept[1:]):
+            if minus:
+                t, q = query_target_between(
+                    bnow, a, read_codes, rc_read_codes, read_len, ref
+                )
+            else:
+                t, q = query_target_between(
+                    a, bnow, read_codes, rc_read_codes, read_len, ref
+                )
+            if len(t) == 0 or len(q) == 0:
+                raise RuntimeError(
+                    "Failed to compute CIGAR: empty gap sequences"
+                )
+            pairs.append((t, q))
+        return kept, pairs
     kept = [walk[0]]
-    pairs: List[Tuple[np.ndarray, np.ndarray]] = []
+    pairs = []
     pre = walk[0]
     i = 1
-    minus = seg[0][2] != 1
     while i < len(walk):
         now = walk[i]
         if minus:
