@@ -693,39 +693,34 @@ def chain_local(
         )
     if res.g_max_index < 0:
         return 0.0, []
-    A_list = anchors.astype(np.int64).tolist()  # bulk int conversion
+    # Follow the predecessor chain, then apply the overlap trim as one
+    # vectorized pass: each path element is trimmed at most once and the
+    # trim depends only on the RAW (pre, now) anchor pair, never on an
+    # already-trimmed value, so the serial loop is data-parallel.
     P_list = res.P.tolist()
-    path = []
     take = res.g_max_index
-    path.append(tuple(A_list[take]))
-    pre = A_list[take]
+    idx = [take]
+    while P_list[take] != NO_PRED:
+        take = P_list[take]
+        idx.append(take)
+    A = anchors[np.asarray(idx, np.int64)].astype(np.int64, copy=True)
     if variant == "asm_fine":
         # asm trim convention: an overlapped PREDECESSOR loses its right
         # edge (len = pre_readpos - now_readpos; minus strand shifts ref)
         # — mammap_asm.py live ..._fine_list backtrack.  clrnano instead
         # trims the successor's left edge (below).
-        while P_list[take] != NO_PRED:
-            take = P_list[take]
-            now = A_list[take]
-            if pre[0] >= now[0] + now[3]:
-                path.append(tuple(now))
-            elif now[2] == 1:
-                path.append((now[0], now[1], now[2], pre[0] - now[0]))
-            else:
-                path.append((now[0], now[1] + now[3] - pre[0] + now[0],
-                             now[2], pre[0] - now[0]))
-            pre = now
-        return float(res.S[res.g_max_index]), path
-    while P_list[take] != NO_PRED:
-        take = P_list[take]
-        now = A_list[take]
-        if pre[0] < now[0] + now[3]:
-            ov = now[0] + now[3] - pre[0]
-            p = path[-1]
-            if pre[2] == 1:
-                path[-1] = (p[0] + ov, p[1] + ov, p[2], p[3] - ov)
-            else:
-                path[-1] = (p[0] + ov, p[1], p[2], p[3] - ov)
-        path.append(tuple(now))
-        pre = now
-    return float(res.S[res.g_max_index]), path
+        if len(A) > 1:
+            m = A[:-1, 0] < A[1:, 0] + A[1:, 3]
+            newlen = A[:-1, 0] - A[1:, 0]
+            A[1:, 1] = np.where(
+                m & (A[1:, 2] != 1), A[1:, 1] + A[1:, 3] - newlen, A[1:, 1]
+            )
+            A[1:, 3] = np.where(m, newlen, A[1:, 3])
+        return float(res.S[res.g_max_index]), list(map(tuple, A.tolist()))
+    if len(A) > 1:
+        ov = A[1:, 0] + A[1:, 3] - A[:-1, 0]
+        ovm = np.where(ov > 0, ov, 0)
+        A[:-1, 1] += np.where(A[:-1, 2] == 1, ovm, 0)
+        A[:-1, 0] += ovm
+        A[:-1, 3] -= ovm
+    return float(res.S[res.g_max_index]), list(map(tuple, A.tolist()))
