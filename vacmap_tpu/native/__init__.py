@@ -173,10 +173,43 @@ def ops_to_cigars_many(ops_list) -> Optional[list]:
     return out
 
 
+def ops_to_cigars_plane(plane: np.ndarray, meta: np.ndarray) -> Optional[list]:
+    """ASCII cigars for all items of one align2p_batch ops plane in a
+    single C++ call (meta rows = (row_offset, n_ops)); returns a list of
+    str or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cig_bound"):
+        _bind_cigar(lib)
+    n = len(meta)
+    cap = int(24 * meta[:, 1].sum()) + 16
+    buf = ctypes.create_string_buffer(cap)
+    ends = np.empty(n, np.int64)
+    total = lib.ops_to_cigar_ascii_batch(
+        plane.ctypes.data, np.ascontiguousarray(meta, np.int64).ctypes.data,
+        n, buf, cap, ends.ctypes.data,
+    )
+    if total < 0:
+        return None
+    s = buf.raw[:total].decode("ascii")
+    out = []
+    st = 0
+    for en in ends.tolist():
+        out.append(s[st:en])
+        st = en
+    return out
+
+
 def _bind_cigar(lib):
     lib.ops_to_cigar_ascii.restype = ctypes.c_int64
     lib.ops_to_cigar_ascii.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.ops_to_cigar_ascii_batch.restype = ctypes.c_int64
+    lib.ops_to_cigar_ascii_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
     ]
     lib.cigar_finish.restype = ctypes.c_int
     lib.cigar_finish.argtypes = [
@@ -223,6 +256,27 @@ def cigar_finish_native(cigar: str, collapse_eqx: bool):
     if collapse_eqx:
         return m, int(nrc.value), nm_v, collapsed.raw[: cl.value].decode("ascii")
     return m, int(nrm.value), nm_v, m
+
+
+def backtrack_follow_native(P: np.ndarray, start: int):
+    """Predecessor-chain follow: int64 index array [start, P[start], ...]
+    up to the -1 root, or None (lib unavailable / bad chain)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_follow_bound"):
+        lib.backtrack_follow.restype = ctypes.c_int64
+        lib.backtrack_follow.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._follow_bound = True
+    P = np.ascontiguousarray(P, np.int64)
+    out = np.empty(len(P), np.int64)
+    m = lib.backtrack_follow(P.ctypes.data, len(P), int(start),
+                             out.ctypes.data)
+    if m < 0:
+        return None
+    return out[:m]
 
 
 def backtrack_all_native(S: np.ndarray, P: np.ndarray, g_max: int,
@@ -498,6 +552,19 @@ def _bind_chain(lib):
 _VARIANT_CODE = {"global": 0, "refund": 1, "fine": 2, "mismatch": 3,
                  "global_nocov": 4, "scar": 5, "asm_fine": 6}
 
+_EXTRA_F32 = None
+
+
+def _extra_f32() -> np.ndarray:
+    """The chain surcharge table as a cached contiguous float32 array
+    (rebuilding it per DP call shows up at 6k calls/read-corpus)."""
+    global _EXTRA_F32
+    if _EXTRA_F32 is None:
+        from ..ops.chain_ref import EXTRA
+
+        _EXTRA_F32 = np.ascontiguousarray(EXTRA, np.float32)
+    return _EXTRA_F32
+
 
 def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,
                     maxdiff: int, maxgap: int, variant: str,
@@ -510,13 +577,13 @@ def chain_dp_native(anchors: np.ndarray, kmersize: int, skipcost: float,
     if not hasattr(lib, "_chain_bound"):
         _bind_chain(lib)
         lib._chain_bound = True
-    from ..ops.chain_ref import EXTRA
-
     A = np.ascontiguousarray(anchors, np.int64)
     n = len(A)
-    S = np.zeros(n, np.float64)
-    P = np.zeros(n, np.int64)
-    extra = np.ascontiguousarray(EXTRA, np.float32)
+    # S/P fully written by the kernel on success (aborted results are
+    # discarded by the caller) -> no zero-fill needed
+    S = np.empty(n, np.float64)
+    P = np.empty(n, np.int64)
+    extra = _extra_f32()
     rc = lib.chain_dp_native(
         A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
         _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1,
@@ -544,15 +611,13 @@ def chain_dp_native_warm(anchors, kmersize, skipcost, maxdiff, maxgap,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib._chain_warm_bound = True
-    from ..ops.chain_ref import EXTRA
-
     A = np.ascontiguousarray(anchors, np.int64)
     n = len(A)
-    S = np.zeros(n, np.float64)
-    P = np.zeros(n, np.int64)
+    S = np.empty(n, np.float64)
+    P = np.empty(n, np.int64)
     wS = np.ascontiguousarray(warm_S, np.float64)
     wP = np.ascontiguousarray(warm_P, np.int64)
-    extra = np.ascontiguousarray(EXTRA, np.float32)
+    extra = _extra_f32()
     rc = lib.chain_dp_native_warm(
         A.ctypes.data, n, kmersize, float(skipcost), maxdiff, maxgap,
         _VARIANT_CODE[variant], extra.ctypes.data, len(extra) - 1,
@@ -802,9 +867,10 @@ def chain_dp_fast_native_warm(anchors, kmersize, skipcost, maxdiff, maxgap,
 
 
 def align2p_batch_native(pairs, match=2, mismatch=-4, o1=4, e1=2, o2=24,
-                         e2=1, eqx=False):
+                         e2=1, eqx=False, return_plane=False):
     """All pairs in one C++ call (global mode).  Returns a list of
-    (ops_view, q_end, t_end) or None."""
+    per-pair ops views, or with ``return_plane`` the raw (ops_plane,
+    meta) pair for batched downstream formatting; None if unavailable."""
     lib = get_lib()
     if lib is None or not pairs:
         return None
@@ -843,6 +909,8 @@ def align2p_batch_native(pairs, match=2, mismatch=-4, o1=4, e1=2, o2=24,
     )
     if rc != 0:
         return None
+    if return_plane:
+        return out_ops, meta
     return [out_ops[meta[i, 0] : meta[i, 0] + meta[i, 1]] for i in range(n)]
 
 

@@ -1600,6 +1600,27 @@ extern "C" int64_t rebuild_chain_break_native(
 }
 
 // ---------------------------------------------------------------------------
+// Predecessor-chain follow for the DP backtracks (chain_local's path
+// gather): out gets start, P[start], P[P[start]], ... until -1.  Returns
+// the path length, or -1 on a bad index / cycle (caller falls back to the
+// Python follow).  Avoids materializing P.tolist() per read.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t backtrack_follow(const int64_t* P, int64_t n,
+                                    int64_t start, int64_t* out) {
+  if (start < 0 || start >= n) return -1;
+  int64_t m = 0, take = start;
+  out[m++] = take;
+  while (P[take] >= 0) {
+    if (m >= n) return -1;  // cycle guard (predecessors strictly decrease)
+    take = P[take];
+    if (take >= n) return -1;
+    out[m++] = take;
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
 // kseq-style FASTA/FASTQ reader (plain or gzip via zlib gzFile) — the
 // native data loader matching the reference's C `mp.fastx_read`
 // (vacmap:445).  Records are packed into a caller buffer per chunk:
@@ -1879,6 +1900,26 @@ extern "C" int64_t ops_to_cigar_ascii(const int32_t* ops, int64_t n,
   for (int64_t i = 0; i < n; i++) {
     if (w - out + 24 > cap) return -1;
     w = put_run(w, ops[i * 2 + 1], OPCHARS[ops[i * 2]]);
+  }
+  return w - out;
+}
+
+// Batched variant over one ops plane: meta rows are (row_offset, n_ops)
+// into `ops` (the align2p_batch_native output layout).  All cigars are
+// emitted back-to-back into `out`; ends[i] is the exclusive end offset of
+// item i.  Returns total bytes or -1 on overflow.  One ctypes call
+// replaces ~1k per-item calls per fill batch.
+extern "C" int64_t ops_to_cigar_ascii_batch(
+    const int32_t* ops, const int64_t* meta, int64_t n_items,
+    char* out, int64_t cap, int64_t* ends) {
+  char* w = out;
+  for (int64_t i = 0; i < n_items; i++) {
+    const int32_t* o = ops + meta[i * 2] * 2;
+    const int64_t m = meta[i * 2 + 1];
+    if ((w - out) + 24 * m > cap) return -1;
+    for (int64_t j = 0; j < m; j++)
+      w = put_run(w, o[j * 2 + 1], OPCHARS[o[j * 2]]);
+    ends[i] = w - out;
   }
   return w - out;
 }

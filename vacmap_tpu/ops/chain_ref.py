@@ -697,13 +697,18 @@ def chain_local(
     # vectorized pass: each path element is trimmed at most once and the
     # trim depends only on the RAW (pre, now) anchor pair, never on an
     # already-trimmed value, so the serial loop is data-parallel.
-    P_list = res.P.tolist()
-    take = res.g_max_index
-    idx = [take]
-    while P_list[take] != NO_PRED:
-        take = P_list[take]
-        idx.append(take)
-    A = anchors[np.asarray(idx, np.int64)].astype(np.int64, copy=True)
+    from .. import native
+
+    idx = native.backtrack_follow_native(res.P, res.g_max_index)
+    if idx is None:
+        P_list = res.P.tolist()
+        take = res.g_max_index
+        idx_l = [take]
+        while P_list[take] != NO_PRED:
+            take = P_list[take]
+            idx_l.append(take)
+        idx = np.asarray(idx_l, np.int64)
+    A = anchors[idx].astype(np.int64, copy=True)
     if variant == "asm_fine":
         # asm trim convention: an overlapped PREDECESSOR loses its right
         # edge (len = pre_readpos - now_readpos; minus strand shifts ref)

@@ -237,13 +237,22 @@ def _mapq0_tie_break(members, member_scores, paths, read_len, need_reverse,
             continue
         # candidates can only win with d/mn <= min_diff, so a banded pass
         # capped there is decision-exact (d > cap -> cannot improve);
-        # native Myers bit-vector when present, capped numpy band otherwise
-        cap = min(int(min_diff * mn) + 1, len(t) + len(q))
+        # native Myers bit-vector when present, capped numpy band otherwise.
+        # The admissible cap can be huge (min_diff starts at 10.0), so climb
+        # a x4 cap ladder: a banded pass is exact whenever d <= cap, and
+        # real main-block divergences are a few percent, so the first rung
+        # almost always decides at a fraction of the full-band cost.
+        cap_full = min(int(min_diff * mn) + 1, len(t) + len(q))
         qa, ta = np.asarray(q), np.asarray(t)
-        d = native.edit_distance_native(qa, ta, cap=cap)
-        if d is None:
-            d = edit_distance(qa, ta, cap=cap)
-        if d > cap:
+        cap = min(cap_full, max(128, mn >> 4))
+        while True:
+            d = native.edit_distance_native(qa, ta, cap=cap)
+            if d is None:
+                d = edit_distance(qa, ta, cap=cap)
+            if d <= cap or cap >= cap_full:
+                break
+            cap = min(cap * 4, cap_full)
+        if d > cap_full:
             continue
         d = d / mn
         if d <= min_diff:

@@ -74,12 +74,16 @@ def rebuild_chain_break(
         )
         if res is not None:
             seg_id, n_segs = res
-            rows = A.tolist()
-            out: List[List[tuple]] = [[] for _ in range(n_segs)]
-            for sid, row in zip(seg_id.tolist(), rows):
-                if sid >= 0:
-                    out[sid].append(tuple(row))
-            return out
+            # kept anchors form contiguous non-decreasing seg_id runs: cut
+            # at the run boundaries instead of a per-row append loop
+            keep = np.flatnonzero(seg_id >= 0)
+            if len(keep) == 0:
+                return []
+            cuts = np.flatnonzero(np.diff(seg_id[keep])) + 1
+            return [
+                list(map(tuple, A[c].tolist()))
+                for c in np.split(keep, cuts)
+            ]
     # one vectorized contig lookup for the whole path (pos2contig per
     # junction is a hot spot otherwise)
     refs = np.fromiter((p[1] for p in path), np.int64, len(path))
@@ -639,9 +643,10 @@ def _host_global_batch(pairs, eqx):
     if native.available() and pairs:
         # empty-side pairs keep the scalar path (special cigar handling)
         if all(len(t) and len(q) for t, q in pairs):
-            res = native.align2p_batch_native(pairs, eqx=eqx)
+            res = native.align2p_batch_native(pairs, eqx=eqx,
+                                              return_plane=True)
             if res is not None:
-                cigs = native.ops_to_cigars_many(res)
+                cigs = native.ops_to_cigars_plane(res[0], res[1])
                 if cigs is not None:
                     # n_del/n_ins left 0: refine_chain only consumes .cigar
                     return [
