@@ -143,14 +143,16 @@ def load_or_build_index(refpath: str, k: int, w: int, write_index: bool,
                         lowmem: bool = False) -> ReferenceIndex:
     if refpath.endswith(".vmi.npz") or refpath.endswith(".vmi"):
         try:
-            return ReferenceIndex.load(refpath)
+            return ReferenceIndex.load(refpath,
+                                       in_ram=False if lowmem else None)
         except (FileNotFoundError, ValueError) as e:
             raise SystemExit(f"ERROR: not a valid .vmi index: {refpath} ({e})")
     index_name = f"{refpath}.w{w}_k{k}.vmi"
     if os.path.isdir(index_name) or os.path.isfile(index_name + ".npz"):
         log.info("Loading index %s", index_name)
         return ReferenceIndex.load(
-            index_name if os.path.isdir(index_name) else index_name + ".npz"
+            index_name if os.path.isdir(index_name) else index_name + ".npz",
+            in_ram=False if lowmem else None,
         )
     log.info("Building index for %s (k=%d w=%d)", refpath, k, w)
     # genome-scale references: stream contigs through the external-sort

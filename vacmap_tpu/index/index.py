@@ -488,8 +488,22 @@ class ReferenceIndex:
         for name in self._ARRAYS:
             np.save(os.path.join(path, name + ".npy"), arrays[name])
 
+    @staticmethod
+    def _available_ram() -> int:
+        import os
+
+        try:
+            return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):
+            return 0
+
     @classmethod
-    def load(cls, path: str) -> "ReferenceIndex":
+    def load(cls, path: str, in_ram: bool = None) -> "ReferenceIndex":
+        """Load a .vmi index.  ``in_ram`` materializes the arrays in RAM
+        (auto: when they fit in half the free memory and VACMAP_TPU_LOWMEM
+        is unset) — the per-slice python memmap overhead is a measured hot
+        spot at ~40 ref windows/read, and a fork-based worker pool shares
+        the pages copy-on-write."""
         import json
         import os
 
@@ -505,6 +519,14 @@ class ReferenceIndex:
                 name: np.load(os.path.join(path, name + ".npy"), mmap_mode="r")
                 for name in cls._ARRAYS
             }
+            if in_ram is None:
+                if os.environ.get("VACMAP_TPU_LOWMEM", ""):
+                    in_ram = False
+                else:
+                    total = sum(a.nbytes for a in arr.values())
+                    in_ram = total * 2 < cls._available_ram()
+            if in_ram:
+                arr = {k: np.ascontiguousarray(a) for k, a in arr.items()}
             return cls(
                 k=int(meta["k"]),
                 w=int(meta["w"]),
