@@ -660,6 +660,7 @@ def chain_local(
     mismatch: bool = False,
     chain_backend=None,
     variant: str = None,
+    as_array: bool = False,
 ) -> Tuple[float, list]:
     """Local k=9 re-chain: returns (score, path) where path is the best
     chain in DESCENDING read-position order with overlapping anchors
@@ -667,6 +668,8 @@ def chain_local(
     (mammap_clrnano.py:27510-27540).
 
     Expects anchors sorted by readpos+len (mammap_clrnano.py:28585).
+    ``as_array`` returns the path as an (n,4) int64 array instead of
+    tuples (the pipeline threads it straight into rebuild_chain_break).
     """
     if variant is None:
         variant = "mismatch" if mismatch else "fine"
@@ -692,7 +695,7 @@ def chain_local(
             variant=variant,
         )
     if res.g_max_index < 0:
-        return 0.0, []
+        return 0.0, (np.empty((0, 4), np.int64) if as_array else [])
     # Follow the predecessor chain, then apply the overlap trim as one
     # vectorized pass: each path element is trimmed at most once and the
     # trim depends only on the RAW (pre, now) anchor pair, never on an
@@ -721,11 +724,13 @@ def chain_local(
                 m & (A[1:, 2] != 1), A[1:, 1] + A[1:, 3] - newlen, A[1:, 1]
             )
             A[1:, 3] = np.where(m, newlen, A[1:, 3])
-        return float(res.S[res.g_max_index]), list(map(tuple, A.tolist()))
+        return float(res.S[res.g_max_index]), (
+            A if as_array else list(map(tuple, A.tolist())))
     if len(A) > 1:
         ov = A[1:, 0] + A[1:, 3] - A[:-1, 0]
         ovm = np.where(ov > 0, ov, 0)
         A[:-1, 1] += np.where(A[:-1, 2] == 1, ovm, 0)
         A[:-1, 0] += ovm
         A[:-1, 3] -= ovm
-    return float(res.S[res.g_max_index]), list(map(tuple, A.tolist()))
+    return float(res.S[res.g_max_index]), (
+        A if as_array else list(map(tuple, A.tolist())))

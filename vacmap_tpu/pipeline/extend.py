@@ -63,7 +63,7 @@ def rebuild_chain_break(
     ``allow_dup_overlap=False`` is the asm module's rule (mammap_asm.py
     live rebuild_chain_break): a plain ``refgap >= 0`` accept with no
     duplication-overlap tolerance."""
-    if not path:
+    if len(path) == 0:
         return []
     from .. import native
 
@@ -86,6 +86,8 @@ def rebuild_chain_break(
             ]
     # one vectorized contig lookup for the whole path (pos2contig per
     # junction is a hot spot otherwise)
+    if isinstance(path, np.ndarray):
+        path = list(map(tuple, path.tolist()))
     refs = np.fromiter((p[1] for p in path), np.int64, len(path))
     cids = np.searchsorted(ref.starts, refs, side="right") - 1
     pre = path[0]

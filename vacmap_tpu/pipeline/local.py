@@ -115,6 +115,7 @@ def local_rechain(
     chain_backend=None,
     scar: bool = False,
     asm_single: bool = False,
+    as_array: bool = False,
 ) -> Tuple[float, list]:
     """Merge/filter guides, harvest, and run the fine-scale DP.
 
@@ -140,11 +141,12 @@ def local_rechain(
             ref_margin=2000, read_margin=500,
         )
         if len(A) == 0:
-            return 0.0, []
+            return 0.0, (np.empty((0, 4), np.int64) if as_array else [])
         A = A[np.argsort(A[:, 0])]
         return chain_local(
             A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
             maxgap=maxgap, chain_backend=None, variant="asm_fine",
+            as_array=as_array,
         )
     if scar:
         parts = [
@@ -157,11 +159,12 @@ def local_rechain(
         ]
         A = np.concatenate(parts, axis=0) if parts else np.zeros((0, 4), np.int64)
         if len(A) == 0:
-            return 0.0, []
+            return 0.0, (np.empty((0, 4), np.int64) if as_array else [])
         A = A[np.argsort(A[:, 0])]  # reference sorts by readpos only
         return chain_local(
             A, kmersize=kmersize, skipcost=skipcost, maxdiff=maxdiff,
             maxgap=maxgap, chain_backend=None, variant="scar",
+            as_array=as_array,
         )
     paths = merge_guide_chains(paths)
     paths = drop_some_chains(paths)
@@ -185,7 +188,7 @@ def local_rechain(
         )
     A = np.concatenate(parts, axis=0) if parts else np.zeros((0, 4), np.int64)
     if len(A) == 0:
-        return 0.0, []
+        return 0.0, (np.empty((0, 4), np.int64) if as_array else [])
     A = A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
     return chain_local(
         A,
@@ -195,4 +198,5 @@ def local_rechain(
         maxgap=maxgap,
         mismatch=multi,
         chain_backend=chain_backend,
+        as_array=as_array,
     )

@@ -171,6 +171,7 @@ class Mapper:
                 chain_backend=self.chain_backend,
                 scar=p.local_scar,
                 asm_single=p.local_single_guide,
+                as_array=True,
             )
         if len(path_desc) <= 1:
             return [], False
