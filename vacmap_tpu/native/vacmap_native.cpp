@@ -2268,7 +2268,17 @@ static int run_stripe16(
       dmin = std::min<int64_t>(dmin, d);
       dmax = std::max<int64_t>(dmax, d);
     }
-    R = 64;
+    // radius 16 measured SAM-identical to full-width on clean (5% SNP)
+    // and noisy (10% mixed indel) corpora with zero escalations and a
+    // 2.2x cell reduction vs the old 64 (escalate-on-edge redoes any
+    // clipped lane full-width, so tightening only ever costs re-runs;
+    // fuzz suite passes down to R=4).  VACMAP_TPU_STRIPE_R overrides.
+    static const int64_t R_env = []() {
+      const char* e = getenv("VACMAP_TPU_STRIPE_R");
+      const int64_t v = e ? atoll(e) : 0;
+      return v > 0 ? v : 16;
+    }();
+    R = R_env;
     dlo = dmin - R;
     dhi = dmax + R;
     if (dhi - dlo + 32 >= Qmax) R = -1;  // band wouldn't shrink the sweep
