@@ -81,12 +81,15 @@ def divergence_exceeds(a: np.ndarray, b: np.ndarray, max_ratio: float) -> bool:
 
     # adaptive cap ladder: a banded pass with cap' < cap whose result is
     # <= cap' is value-exact, so the decision is already settled.  A
-    # cheap 256 probe settles low-divergence (HiFi-like) pairs ~3x
+    # cheap probe settles low-divergence (HiFi-like) pairs ~3x
     # faster; ONT-like pairs escalate to the half-cap band and only
     # junk pairs pay the full-cap pass (measured in ops/edit micro-A/B:
-    # HiFi 3.1->1.1 ms, ONT 5.9->6.4 ms, junk +0.5 ms at 18 kb)
+    # HiFi 3.1->1.1 ms, ONT 5.9->6.4 ms, junk +0.5 ms at 18 kb).
+    # The first rung scales with the span (6.25% of mn): a fixed 256
+    # probe just misses typical ~5%-divergent long spans (d~300 at 6 kb),
+    # paying probe + half-cap; mn/16 settles them in one pass.
     prev = 0
-    for c in (256, cap // 2):
+    for c in (max(256, mn // 16), cap // 2):
         if prev < c < cap:
             d = dist(c)
             if d <= c:
