@@ -2227,6 +2227,7 @@ static int stripe_traceback(
 // n_jobs <= 16 (missing lanes run a 1x1 dummy).
 static double g_t_prep = 0, g_t_sweep = 0, g_t_tb = 0;
 static int64_t g_cells = 0;
+static int64_t g_groups = 0, g_spread = 0, g_tsum = 0, g_lane_cells = 0;
 
 static inline double now_s() {
   return std::chrono::duration<double>(
@@ -2473,6 +2474,17 @@ static int run_stripe16(
   if (prof) {
     g_t_sweep += now_s() - t0;
     g_cells += Tmax * Wb * 16;
+    g_groups++; g_spread += (R >= 0) ? (dhi - dlo + 1) : Qmax;
+    g_tsum += Tmax;
+    for (int l = 0; l < n_jobs; l++)
+      g_lane_cells += t_len[jobs[l]] * Wb;
+    if (getenv("VACMAP_TPU_STRIPE_DUMP")) {
+      int64_t tmin = INT64_MAX;
+      for (int l = 0; l < n_jobs; l++)
+        tmin = std::min(tmin, t_len[jobs[l]]);
+      fprintf(stderr, "[grp] n=%d Tmax=%ld Tmin=%ld W=%ld\n",
+              n_jobs, (long)Tmax, (long)tmin, (long)Wb);
+    }
     t0 = now_s();
   }
   (void)score16;  // per-pair score available if a caller ever needs it
@@ -2501,10 +2513,15 @@ static int run_stripe16(
 
 extern "C" void stripe_prof_dump() {
   fprintf(stderr, "[stripeprof] prep=%.3fs sweep=%.3fs tb=%.3fs "
-          "cells=%ldM (%.0f Mcells/s sweep)\n",
+          "cells=%ldM (%.0f Mcells/s sweep) groups=%ld avgW=%.0f "
+          "avgT=%.0f lane_fill=%.2f\n",
           g_t_prep, g_t_sweep, g_t_tb, (long)(g_cells / 1000000),
-          g_cells / std::max(g_t_sweep, 1e-9) / 1e6);
+          g_cells / std::max(g_t_sweep, 1e-9) / 1e6,
+          (long)g_groups, (double)g_spread / std::max<int64_t>(g_groups, 1),
+          (double)g_tsum / std::max<int64_t>(g_groups, 1),
+          (double)g_lane_cells * 16.0 / std::max<int64_t>(g_cells, 1) / 16.0);
   g_t_prep = g_t_sweep = g_t_tb = 0; g_cells = 0;
+  g_groups = g_spread = g_tsum = g_lane_cells = 0;
 }
 #endif  // __AVX2__
 
@@ -2550,6 +2567,15 @@ extern "C" int align2p_batch_native(
     auto& lst = *cls;
     for (size_t s = 0; s < lst.size(); s += 16) {
       const int n_jobs = (int)std::min<size_t>(16, lst.size() - s);
+      // a nearly-empty tail chunk sweeps Tmax*W cells on all 16 lanes
+      // for a handful of real jobs (measured: single SV-deletion windows
+      // at T~3k were 81% of ALL swept cells as 1-real-lane groups); the
+      // scalar adaptive-band path is strictly cheaper below ~1/4
+      // occupancy
+      if (n_jobs < 4) {
+        for (int l = 0; l < n_jobs; l++) scalar_jobs.push_back(lst[s + l]);
+        continue;
+      }
       const int rc = run_stripe16(
           seqs, t_off, t_len, q_off, q_len, &lst[s], n_jobs,
           match, mismatch, o1, e1, o2, e2, eqx,
