@@ -594,11 +594,16 @@ class ReferenceIndex:
         if not native.available() or len(self.mm_hash) == 0:
             return None
         if not hasattr(self, "_prefix_starts"):
-            # hashes are < 4^k: bucket by the top 16 significant bits
+            # hashes are < 4^k: bucket by the top significant bits, sized
+            # so buckets hold ~16 entries (probe chains shrink to ~4
+            # levels on genome-scale tables; the table itself is what
+            # misses, so a few-MB pstarts is a good trade)
             bits = 2 * self.k
-            self._prefix_shift = max(bits - 16, 0)
+            want = max(16, int(len(self.mm_hash) / 16).bit_length())
+            pbits = min(bits, min(want, 22))
+            self._prefix_shift = max(bits - pbits, 0)
             edges = (
-                np.arange(1 << min(bits, 16), dtype=np.uint64)
+                np.arange(1 << min(bits, pbits), dtype=np.uint64)
                 << self._prefix_shift
             ).astype(self.mm_hash.dtype)
             starts = np.searchsorted(self.mm_hash, edges, side="left")

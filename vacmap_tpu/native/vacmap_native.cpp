@@ -1842,17 +1842,31 @@ static inline void lookup_ranges(const T* table, const int64_t* pstarts,
     }
   }
   for (int64_t i = 0; i < m; i++) lo_out[i] = A[i];
-  // upper bound, starting from the lower bound
+  // upper bound: forward equality scan from the (cache-hot) lower bound —
+  // occurrence runs are nearly always short; long runs fall back to a
+  // binary search over the remainder of the bucket
+  static thread_local std::vector<int64_t> longi;
+  longi.clear();
   for (int64_t i = 0; i < m; i++) {
     const uint64_t p = (uint64_t)q[i] >> shift;
-    Bv[i] = pstarts[p + 1];
+    const int64_t bend = pstarts[p + 1];
+    int64_t j = A[i];
+    const int64_t scan_end = std::min(bend, j + 16);
+    while (j < scan_end && table[j] == q[i]) j++;
+    if (j == scan_end && j < bend && table[j] == q[i]) {
+      longi.push_back(i);
+      Bv[i] = bend;
+    }
+    A[i] = j;
   }
-  any = true;
+  any = !longi.empty();
   while (any) {
     any = false;
-    for (int64_t i = 0; i < m; i++) {
-      if (i + D < m && A[i + D] < Bv[i + D])
-        __builtin_prefetch(&table[(A[i + D] + Bv[i + D]) >> 1]);
+    for (int64_t t = 0; t < (int64_t)longi.size(); t++) {
+      const int64_t i = longi[t];
+      if (t + D < (int64_t)longi.size() &&
+          A[longi[t + D]] < Bv[longi[t + D]])
+        __builtin_prefetch(&table[(A[longi[t + D]] + Bv[longi[t + D]]) >> 1]);
       if (A[i] >= Bv[i]) continue;
       const int64_t mid = (A[i] + Bv[i]) >> 1;
       if (table[mid] <= q[i]) A[i] = mid + 1; else Bv[i] = mid;
@@ -2880,6 +2894,17 @@ extern "C" int64_t index_build_sorted(
 // the python path (differential-tested).
 // ---------------------------------------------------------------------------
 
+static double g_sd_lookup = 0, g_sd_expand = 0, g_sd_cap = 0,
+              g_sd_merge = 0, g_sd_sort = 0;
+
+extern "C" void seeds_prof_dump() {
+  fprintf(stderr,
+          "[seedsprof] lookup=%.3fs expand=%.3fs cap=%.3fs merge=%.3fs "
+          "finsort=%.3fs\n",
+          g_sd_lookup, g_sd_expand, g_sd_cap, g_sd_merge, g_sd_sort);
+  g_sd_lookup = g_sd_expand = g_sd_cap = g_sd_merge = g_sd_sort = 0;
+}
+
 extern "C" int64_t seeds_core_u32(
     const uint32_t* table, const uint32_t* mm_pos, const int8_t* mm_strand,
     const int64_t* pstarts, int shift,
@@ -2887,6 +2912,8 @@ extern "C" int64_t seeds_core_u32(
     int64_t cutoff, int64_t check_num, int64_t k, int64_t merge_max_len,
     int64_t* out, int64_t out_cap) {
   if (m == 0) return 0;
+  const bool prof = getenv("VACMAP_TPU_SEEDS_STATS") != nullptr;
+  double t0 = prof ? now_s() : 0;
   // ---- batched range lookup ------------------------------------------
   static thread_local std::vector<uint32_t> q32;
   static thread_local std::vector<int64_t> lo_v, hi_v;
@@ -2896,6 +2923,7 @@ extern "C" int64_t seeds_core_u32(
   for (int64_t i = 0; i < m; i++) q32[i] = (uint32_t)qh[i];
   lookup_ranges(table, pstarts, shift, q32.data(), m, lo_v.data(),
                 hi_v.data());
+  if (prof) { g_sd_lookup += now_s() - t0; t0 = now_s(); }
   // ---- expansion ------------------------------------------------------
   struct Hit { int64_t r, y, s; };
   static thread_local std::vector<Hit> hits;
@@ -2908,6 +2936,7 @@ extern "C" int64_t seeds_core_u32(
                       (int64_t)qs[i] * (int64_t)mm_strand[t]});
   }
   const int64_t n = (int64_t)hits.size();
+  if (prof) { g_sd_expand += now_s() - t0; t0 = now_s(); }
   if (n == 0) return 0;
   // ---- cluster cap (top check_num ref clusters by anchor count; ties
   // resolved exactly like np.argsort(counts)[::-1][:check_num]:
@@ -2961,6 +2990,7 @@ extern "C" int64_t seeds_core_u32(
   } else {
     kept = hits;
   }
+  if (prof) { g_sd_cap += now_s() - t0; t0 = now_s(); }
   // ---- colinear merge (merge_colinear_anchors) ------------------------
   // diag = strand==1 ? y - r : -(y + r + k); sort by (strand, diag, r)
   const int64_t nk2 = (int64_t)kept.size();
@@ -3030,6 +3060,7 @@ extern "C" int64_t seeds_core_u32(
         fin.push_back({g.r + off, g.y + ln - off - cl, g.s, cl});
     }
   }
+  if (prof) { g_sd_merge += now_s() - t0; t0 = now_s(); }
   // ---- final (readpos, refpos) sort -----------------------------------
   std::stable_sort(fin.begin(), fin.end(), [](const MRec& a, const MRec& b) {
     if (a.r != b.r) return a.r < b.r;
@@ -3043,6 +3074,7 @@ extern "C" int64_t seeds_core_u32(
     out[i * 4 + 2] = fin[i].s;
     out[i * 4 + 3] = fin[i].d;  // len
   }
+  if (prof) g_sd_sort += now_s() - t0;
   return outn;
 }
 
