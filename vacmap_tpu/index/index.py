@@ -586,13 +586,17 @@ class ReferenceIndex:
         return out
 
     # ---- seeding ---------------------------------------------------------
-    def _lookup_ranges(self, h: np.ndarray):
-        """Native prefix-bucketed range lookup over the sorted hash table
-        (the plain searchsorted is cache-miss bound at genome scale)."""
-        from .. import native
+    def __post_init__(self):
+        # build the prefix-bucket lookup table eagerly: the CLI and bench
+        # fork workers AFTER constructing the index, so an eager table is
+        # built once and shared copy-on-write — lazily each worker would
+        # redo the genome-scale searchsorted and hold a private copy
+        try:
+            self._ensure_prefix()
+        except Exception:
+            pass  # degenerate arrays in tests; the lazy path will retry
 
-        if not native.available() or len(self.mm_hash) == 0:
-            return None
+    def _ensure_prefix(self):
         if not hasattr(self, "_prefix_starts"):
             # hashes are < 4^k: bucket by the top significant bits, sized
             # so buckets hold ~16 entries (probe chains shrink to ~4
@@ -610,6 +614,15 @@ class ReferenceIndex:
             self._prefix_starts = np.concatenate(
                 [starts, [len(self.mm_hash)]]
             ).astype(np.int64)
+
+    def _lookup_ranges(self, h: np.ndarray):
+        """Native prefix-bucketed range lookup over the sorted hash table
+        (the plain searchsorted is cache-miss bound at genome scale)."""
+        from .. import native
+
+        if not native.available() or len(self.mm_hash) == 0:
+            return None
+        self._ensure_prefix()
         return native.hash_lookup_ranges(
             self.mm_hash, self._prefix_starts, self._prefix_shift, h
         )
