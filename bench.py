@@ -187,7 +187,8 @@ def main():
     # the same choice at deploy time.
     import multiprocessing as mp_
 
-    n_workers = min(4, mp_.cpu_count())
+    n_workers = int(os.environ.get("VACMAP_TPU_BENCH_WORKERS", 0)) or min(
+        4, mp_.cpu_count())
     chunks = [reads[i::n_workers] for i in range(n_workers)]
     _G.update(idx=idx, cfg=cfg, chunks=chunks)
 

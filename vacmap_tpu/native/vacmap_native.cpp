@@ -1175,6 +1175,7 @@ extern "C" int64_t harvest_join(
   for (int64_t strand = 1; strand >= -1; strand -= 2) {
     h_r.clear(); h_y.clear(); h_d.clear();
     const uint64_t* km_arr = (strand == 1) ? kf_arr.data() : kr_arr.data();
+    int64_t gptr = 0;  // two-pointer lower bound into g_rp (p ascending)
     for (int64_t s = 0; s < span; s++) {
       if (s + PD < span && val_arr[s + PD])
         __builtin_prefetch(&head[km_arr[s + PD]]);
@@ -1182,16 +1183,11 @@ extern "C" int64_t harvest_join(
       const int64_t p = readstart + s;
       int32_t id = head[km_arr[s]];
       if (id < 0) continue;
-      // guide proximity (findClosest_1 semantics)
-      int64_t i1;
-      {
-        int64_t lo2 = 0, hi2 = ng;
-        while (lo2 < hi2) {
-          const int64_t mid = (lo2 + hi2) / 2;
-          if (g_rp[mid] < p) lo2 = mid + 1; else hi2 = mid;
-        }
-        i1 = lo2;
-      }
+      // guide proximity (findClosest_1 semantics); p is ascending within
+      // a strand pass, so the lower bound advances monotonically — a
+      // two-pointer replaces the per-hit binary search
+      while (gptr < ng && g_rp[gptr] < p) gptr++;
+      int64_t i1 = gptr;
       int64_t i0 = i1 > 0 ? i1 - 1 : 0;
       if (i1 >= ng) i1 = ng - 1;
       if (p <= g_rp[0]) { i0 = i1 = 0; }
