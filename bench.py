@@ -110,6 +110,9 @@ def _map_chunk(chunk_id):
                 max_del = max(max_del, int(mm.group(1)))
         out[j] = (1 if lines else 0, len(lines), max_del)
 
+    from vacmap_tpu import trace
+
+    trace.enable()
     window = deque()  # (j, PendingLines) — deferred fills in flight
     for j, (name, seq) in enumerate(_G["chunks"][chunk_id]):
         r = m.map_read_deferred(name, seq)
@@ -123,7 +126,14 @@ def _map_chunk(chunk_id):
     while window:
         jj, p = window.popleft()
         digest(jj, p.finish())
-    return [out[j] for j in range(len(out))]
+    totals = {}
+    for line in trace.summary().splitlines()[1:]:
+        parts = line.split()
+        if len(parts) >= 5:
+            totals[parts[0]] = float(parts[1])
+    trace.enable(False)
+    trace.reset()
+    return [out[j] for j in range(len(out))], totals
 
 
 def probe_device(timeout: float = 150.0) -> bool:
@@ -237,8 +247,20 @@ def main():
         e2e_device_mbp_s = total_b / dt_dev / 1e6
         if dt_dev < dt_host:  # device deployment wins: headline + stats
             dt, results = dt_dev, results_dev
+    # workers return (per-read digests, per-stage trace totals)
+    mt_totals = {}
+    for _, tot in results:
+        for k2, v2 in tot.items():
+            mt_totals[k2] = mt_totals.get(k2, 0.0) + v2
+    top_stages = ("prep", "seed", "global_chain", "local_rechain",
+                  "refine", "sam_emit")
+    mt_wall = sum(mt_totals.get(k2, 0.0) for k2 in top_stages) or 1.0
+    mt_shares = {
+        k2: round(v2 / mt_wall * 100, 1)
+        for k2, v2 in sorted(mt_totals.items(), key=lambda kv: -kv[1])
+    }
     flat = {}
-    for w, res in enumerate(results):
+    for w, (res, _) in enumerate(results):
         for j, r in enumerate(res):
             flat[w + j * n_workers] = r
     n_aligned = sum(v[0] for v in flat.values())
@@ -490,6 +512,7 @@ def main():
             round(e2e_device_mbp_s, 3) if e2e_device_mbp_s else None
         ),
         "stage_shares_pct": shares,
+        "mt_stage_shares_pct": mt_shares,
         "chain_kernel_mbp_per_s": (
             round(chain_mbp_s, 1) if chain_mbp_s is not None else None
         ),
