@@ -173,3 +173,37 @@ def test_divergence_filter(rng):
     assert not divergence_exceeds(encode(s), encode(s), 0.2)
     other = random_dna(rng, 400)
     assert divergence_exceeds(encode(s), encode(other), 0.2)
+
+
+@pytest.mark.parametrize("mut_every", [97, 23, 11, 7, 5])
+def test_divergence_window_bound_decision_parity(rng, mut_every):
+    """The window-fill upper bound path (window_cache set) must make the
+    SAME keep/drop decisions as the pure Myers ladder, across divergence
+    levels including borderline ones where the bound cannot settle and
+    falls through to Myers."""
+    from vacmap_tpu.pipeline.extend import RefView, divergence_filter
+    from vacmap_tpu.seq import revcomp_codes
+
+    ref_codes = rng.integers(0, 4, 4000).astype(np.uint8)
+    read = ref_codes[500:1500].copy()
+    # scatter mismatches everywhere EXCEPT inside anchor spans
+    anchors = [(0, 500, 1, 60), (200, 700, 1, 80), (500, 1000, 1, 70),
+               (940, 1440, 1, 60)]
+    protected = np.zeros(len(read), bool)
+    for rp, _, _, ln in anchors:
+        protected[rp : rp + ln] = True
+    for p in range(0, len(read), mut_every):
+        if not protected[p]:
+            read[p] = (read[p] + 1) % 4
+    for rp, gp, _, ln in anchors:  # anchors must stay exact matches
+        assert np.array_equal(read[rp : rp + ln], ref_codes[gp : gp + ln])
+    ref = RefView(ref_codes, np.array([0]), np.array([4000]), ["c"])
+    seg = [tuple(map(int, a)) for a in anchors]
+    rc = revcomp_codes(read)
+    for ratio in (0.05, 0.1, 0.2):
+        plain = divergence_filter([list(seg)], read, rc, len(read), ref,
+                                  ratio, window_cache=None)
+        cache = {}
+        bounded = divergence_filter([list(seg)], read, rc, len(read), ref,
+                                    ratio, window_cache=cache)
+        assert (len(plain) == 1) == (len(bounded) == 1), (mut_every, ratio)

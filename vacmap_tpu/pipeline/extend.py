@@ -155,6 +155,81 @@ def query_target_between(pre, now, read_codes, rc_read_codes, read_len, ref: Ref
 # ---------------------------------------------------------------------------
 
 
+def _nm_from_eqx(cigar: str) -> int:
+    import re
+
+    return sum(int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+               if op in "XID")
+
+
+def _window_fill_bounds(segs, keys, read_codes, rc_read_codes, read_len,
+                        ref, eqx: bool, force_gap: int, cache: dict):
+    """Upper bounds on the given segments' span UNIT edit distances via
+    their interior window alignments: anchors are exact matches by
+    construction, and each window alignment path's X+I+D count bounds
+    that window's true edit distance, so the per-segment sum bounds
+    d(span).  All windows of all segments align as ONE striped batch
+    (per-segment batches stripe poorly); cigars go into ``cache`` for
+    reuse by the final fill stage — interior windows are untouched by
+    edge extension, so the fill work is moved, not duplicated.
+
+    Returns {key: bound}; a segment is absent when the bound is
+    unusable for it (degenerate walk, non-eqx cigars, or a window past
+    the striped-kernel class — the Myers ladder handles those)."""
+    out = {}
+    if not eqx:
+        return out
+    seg_pairs = []
+    all_pairs = []
+    all_keys = []
+    for key, seg in zip(keys, segs):
+        try:
+            kept, pairs = segment_cigar_jobs(
+                seg, read_codes, rc_read_codes, read_len, ref,
+                force_gap=force_gap)
+        except RuntimeError:
+            continue
+        if any(max(len(t), len(q)) > 768 for t, q in pairs):
+            continue  # banded/scalar class: the Myers ladder is cheaper
+        seg_pairs.append((key, len(pairs)))
+        all_pairs.extend(pairs)
+        all_keys.extend(zip(kept, kept[1:]))
+    if not seg_pairs:
+        return out
+    from .. import native
+
+    nm_arr = None
+    cigs = None
+    if native.available() and all(len(t) and len(q) for t, q in all_pairs):
+        res = native.align2p_batch_native(all_pairs, eqx=True,
+                                          return_plane=True)
+        if res is not None:
+            plane, meta = res
+            cigs = native.ops_to_cigars_plane(plane, meta)
+            if cigs is not None:
+                # NM per item straight off the ops plane (op 1=I 2=D 4=X),
+                # one reduceat instead of per-item cigar parses
+                used = int(meta[:, 0].max() + meta[meta[:, 0].argmax(), 1]
+                           ) if len(meta) else 0
+                ops = plane[:used]
+                contrib = np.where(
+                    (ops[:, 0] == 1) | (ops[:, 0] == 2) | (ops[:, 0] == 4),
+                    ops[:, 1], 0).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(contrib)))
+                nm_arr = (csum[(meta[:, 0] + meta[:, 1])] - csum[meta[:, 0]])
+    if cigs is None:
+        results = _host_global_batch(all_pairs, eqx)
+        cigs = [r.cigar for r in results]
+        nm_arr = np.array([_nm_from_eqx(c) for c in cigs], np.int64)
+    for key2, cig in zip(all_keys, cigs):
+        cache[key2] = cig
+    off = 0
+    for key, n in seg_pairs:
+        out[key] = int(nm_arr[off : off + n].sum())
+        off += n
+    return out
+
+
 def divergence_filter(
     segs: List[List[tuple]],
     read_codes,
@@ -163,13 +238,24 @@ def divergence_filter(
     ref: RefView,
     max_ratio: float,
     edit_client=None,
+    eqx: bool = True,
+    force_gap: int = 0,
+    window_cache: dict = None,
 ) -> List[List[tuple]]:
     """Drop segments whose span divergence exceeds max_ratio.
 
     With ``edit_client`` (a fill-service client exposing ``edit_batch``)
     the whole batch of span pairs is resolved as EXACT device edit
     distances (ops/myers_pallas.py) — decisions identical to the host
-    ladder; unrouted pairs fall back per pair."""
+    ladder; unrouted pairs fall back per pair.
+
+    With ``window_cache`` (host path), each span first tries the
+    window-fill upper bound: d(span) <= sum of interior window NM, so
+    ``bound <= cap`` proves "keep" without running Myers at all, and
+    the computed window cigars are reused by the final fill stage.
+    Spans the bound cannot settle (borderline/junk) fall through to the
+    exact Myers ladder — the keep/drop DECISION is identical either
+    way."""
     spans, metas, out = [], [], []
     for seg in segs:
         t, q = query_target_between(
@@ -182,6 +268,13 @@ def divergence_filter(
             dists = edit_client.edit_batch(spans)
         except Exception:
             dists = None
+    bounds = {}
+    if window_cache is not None and dists is None:
+        cand = [k for k, seg in enumerate(segs)
+                if len(spans[k][0]) and len(spans[k][1])]
+        bounds = _window_fill_bounds(
+            [segs[k] for k in cand], cand, read_codes, rc_read_codes,
+            read_len, ref, eqx, force_gap, window_cache)
     for k, seg in enumerate(segs):
         t, q = spans[k]
         if len(t) == 0 or len(q) == 0:
@@ -191,7 +284,12 @@ def divergence_filter(
         if d is not None:
             if d <= int(max_ratio * min(len(t), len(q))):
                 out.append(seg)
-        elif not divergence_exceeds(t, q, max_ratio):
+            continue
+        b = bounds.get(k)
+        if b is not None and b <= int(max_ratio * min(len(t), len(q))):
+            out.append(seg)
+            continue
+        if not divergence_exceeds(t, q, max_ratio):
             out.append(seg)
     return out
 
@@ -784,11 +882,13 @@ def refine_chain(
                                    allow_dup_overlap=rebuild_dup_overlap)
     if not segs:
         return [], [], False
+    win_cache: dict = {}
     with trace.span("rf.diverg"):
         segs = divergence_filter(
             segs, read_codes, rc_read_codes, read_len, ref, max_divergence,
             edit_client=(global_aligner
                          if hasattr(global_aligner, "edit_batch") else None),
+            eqx=eqx, force_gap=split_force_gap, window_cache=win_cache,
         )
     if not segs:
         return [], [], False
@@ -818,6 +918,7 @@ def refine_chain(
     gl_batch = global_aligner or _host_global_batch
     seg_anchor_lists, seg_npairs = [], []
     all_pairs = []
+    all_keys = []
     with trace.span("rf.jobs"):
         for seg in segs:
             kept, pairs = segment_cigar_jobs(
@@ -827,7 +928,35 @@ def refine_chain(
             seg_anchor_lists.append(kept)
             seg_npairs.append(len(pairs))
             all_pairs.extend(pairs)
-    def _assemble(all_results):
+            all_keys.extend(zip(kept, kept[1:]))
+    # windows already aligned by the divergence bound pass are served
+    # from the cache; only the residue (edge/merged/changed windows)
+    # goes to the aligner
+    if win_cache:
+        fill_pairs, fill_idx, cached = [], [], {}
+        for i, (tq, key) in enumerate(zip(all_pairs, all_keys)):
+            c = win_cache.get(key)
+            if c is None:
+                fill_idx.append(i)
+                fill_pairs.append(tq)
+            else:
+                cached[i] = AlignResult(c, False, len(tq[1]), len(tq[0]),
+                                        0, 0, 0)
+    else:
+        fill_pairs, fill_idx, cached = all_pairs, None, {}
+
+    def _merge(results):
+        if fill_idx is None:
+            return results
+        out = [None] * len(all_pairs)
+        for i, r in cached.items():
+            out[i] = r
+        for i, r in zip(fill_idx, results):
+            out[i] = r
+        return out
+
+    def _assemble(fill_results):
+        all_results = _merge(fill_results)
         cigar_lists = []
         off = 0
         for n in seg_npairs:
@@ -841,13 +970,13 @@ def refine_chain(
         return seg_anchor_lists, records, filtered
 
     if defer_fill and hasattr(gl_batch, "submit"):
-        trace.add("rf.fill_jobs", 0.0, len(all_pairs))
-        handle = gl_batch.submit(all_pairs, eqx)
+        trace.add("rf.fill_jobs", 0.0, len(fill_pairs))
+        handle = gl_batch.submit(fill_pairs, eqx)
         return PendingRefine(gl_batch, handle, _assemble)
 
     with trace.span("rf.fill"):
-        trace.add("rf.fill_jobs", 0.0, len(all_pairs))
-        all_results = gl_batch(all_pairs, eqx)
+        trace.add("rf.fill_jobs", 0.0, len(fill_pairs))
+        all_results = gl_batch(fill_pairs, eqx)
     return _assemble(all_results)
 
 
