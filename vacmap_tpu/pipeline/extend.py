@@ -648,6 +648,7 @@ def segment_cigar_jobs(
     read_len: int,
     ref: RefView,
     force_gap: int = 0,
+    skip_pairs_in: dict = None,
 ) -> Tuple[List[tuple], List[Tuple[np.ndarray, np.ndarray]]]:
     """Walk a segment's anchor pairs, batching small gaps (anchor len < 19
     or gap < 200 skipped unless last), and emit the (target, query) pairs
@@ -659,7 +660,12 @@ def segment_cigar_jobs(
     contigs regardless of anchor length.
 
     Returns (kept_anchors, pairs); pairs[i] spans kept[i] -> kept[i+1];
-    kept[0] and kept[-1] are the zero-length edge anchors."""
+    kept[0] and kept[-1] are the zero-length edge anchors.
+
+    ``skip_pairs_in``: windows whose (kept[i], kept[i+1]) key is present
+    get ``None`` instead of a built (target, query) pair — the caller
+    already holds their cigars (divergence-bound cache) and the sequence
+    extraction is the walk's dominant cost."""
     seg = list(seg)
     if seg[0][2] == 1:
         if seg[-1][3] != 0:
@@ -687,6 +693,9 @@ def segment_cigar_jobs(
         kept = [walk[int(j)] for j in keep_idx]
         pairs = []
         for a, bnow in zip(kept, kept[1:]):
+            if skip_pairs_in is not None and (a, bnow) in skip_pairs_in:
+                pairs.append(None)  # caller holds this window's cigar
+                continue
             if minus:
                 t, q = query_target_between(
                     bnow, a, read_codes, rc_read_codes, read_len, ref
@@ -924,6 +933,7 @@ def refine_chain(
             kept, pairs = segment_cigar_jobs(
                 seg, read_codes, rc_read_codes, read_len, ref,
                 force_gap=split_force_gap,
+                skip_pairs_in=win_cache if win_cache else None,
             )
             seg_anchor_lists.append(kept)
             seg_npairs.append(len(pairs))
@@ -939,9 +949,8 @@ def refine_chain(
             if c is None:
                 fill_idx.append(i)
                 fill_pairs.append(tq)
-            else:
-                cached[i] = AlignResult(c, False, len(tq[1]), len(tq[0]),
-                                        0, 0, 0)
+            else:  # tq may be None (pair extraction skipped)
+                cached[i] = AlignResult(c, False, 0, 0, 0, 0, 0)
     else:
         fill_pairs, fill_idx, cached = all_pairs, None, {}
 
