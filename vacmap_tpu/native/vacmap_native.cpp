@@ -1172,20 +1172,27 @@ extern "C" int64_t harvest_join(
 
   int64_t m = 0;
   const int64_t PD = 16;  // head-probe prefetch distance
-  for (int64_t strand = 1; strand >= -1; strand -= 2) {
-    h_r.clear(); h_y.clear(); h_d.clear();
-    const uint64_t* km_arr = (strand == 1) ? kf_arr.data() : kr_arr.data();
+  // one pass over the position stream probing BOTH strands: the stream
+  // reads, loop bookkeeping, and the per-hit guide-proximity block are
+  // shared (the two-pass version recomputed them per strand)
+  static thread_local std::vector<int64_t> h_r2, h_y2, h_d2;
+  h_r.clear(); h_y.clear(); h_d.clear();
+  h_r2.clear(); h_y2.clear(); h_d2.clear();
+  {
     int64_t gptr = 0;  // two-pointer lower bound into g_rp (p ascending)
     for (int64_t s = 0; s < span; s++) {
-      if (s + PD < span && val_arr[s + PD])
-        __builtin_prefetch(&head[km_arr[s + PD]]);
+      if (s + PD < span && val_arr[s + PD]) {
+        __builtin_prefetch(&head[kf_arr[s + PD]]);
+        __builtin_prefetch(&head[kr_arr[s + PD]]);
+      }
       if (!val_arr[s]) continue;
+      const int32_t idf = head[kf_arr[s]];
+      const int32_t idr = head[kr_arr[s]];
+      if (idf < 0 && idr < 0) continue;
       const int64_t p = readstart + s;
-      int32_t id = head[km_arr[s]];
-      if (id < 0) continue;
-      // guide proximity (findClosest_1 semantics); p is ascending within
-      // a strand pass, so the lower bound advances monotonically — a
-      // two-pointer replaces the per-hit binary search
+      // guide proximity (findClosest_1 semantics); p is ascending, so
+      // the lower bound advances monotonically — a two-pointer replaces
+      // the per-hit binary search
       while (gptr < ng && g_rp[gptr] < p) gptr++;
       int64_t i1 = gptr;
       int64_t i0 = i1 > 0 ? i1 - 1 : 0;
@@ -1198,7 +1205,7 @@ extern "C" int64_t harvest_join(
       const int64_t interval = std::min<int64_t>(bias0 + bias1 + 500, 2000);
       const int64_t ref0 = g_ref[i0], ref1 = g_ref[i1];
       const int64_t readgap = std::llabs(p - g_rp[i0]);
-      for (; id >= 0; id = nxt[id]) {
+      for (int32_t id = idf; id >= 0; id = nxt[id]) {
         const int64_t refloc = pos_of[id];
         const int64_t refgap = std::llabs(refloc - ref0);
         const bool near =
@@ -1208,11 +1215,25 @@ extern "C" int64_t harvest_join(
         if (!near) continue;
         h_r.push_back(p);
         h_y.push_back(refloc);
-        h_d.push_back(strand == 1 ? refloc - p : -(refloc + p));
+        h_d.push_back(refloc - p);
+      }
+      for (int32_t id = idr; id >= 0; id = nxt[id]) {
+        const int64_t refloc = pos_of[id];
+        const int64_t refgap = std::llabs(refloc - ref0);
+        const bool near =
+            (std::llabs(readgap - refgap) < 500) ||
+            (ref0 + interval >= refloc && ref0 - interval <= refloc) ||
+            (ref1 + interval >= refloc && ref1 - interval <= refloc);
+        if (!near) continue;
+        h_r2.push_back(p);
+        h_y2.push_back(refloc);
+        h_d2.push_back(-(refloc + p));
       }
     }
-    if (!flush_strand(strand, m)) return -1;
   }
+  if (!flush_strand(1, m)) return -1;
+  std::swap(h_r, h_r2); std::swap(h_y, h_y2); std::swap(h_d, h_d2);
+  if (!flush_strand(-1, m)) return -1;
   return m;
 }
 
