@@ -14,6 +14,7 @@
 // Built as a plain shared library; Python binds via ctypes (no pybind11).
 
 #include <chrono>
+#include <cstring>
 #include <cmath>
 #include <cstdint>
 #include <immintrin.h>
@@ -883,52 +884,97 @@ extern "C" int64_t minimizer_sketch_range(
       }
     return m;
   }
-  // rings over the trailing w kmer positions (slot = p % w)
-  static thread_local std::vector<uint64_t> rkey;
-  static thread_local std::vector<int8_t> rstr;
-  static thread_local std::vector<uint8_t> rq;
-  rkey.assign(w, BIG);
-  rstr.assign(w, 0);
-  rq.assign(w, 0);
-  // circular monotone deque (keys weakly increasing head->tail)
-  int64_t dcap = 2;
-  while (dcap < w + 1) dcap <<= 1;
-  const int64_t dmask = dcap - 1;
-  static thread_local std::vector<int64_t> dqp;
-  static thread_local std::vector<uint64_t> dqk;
-  static thread_local std::vector<int32_t> dqs;  // ring slot of each entry
-  dqp.resize(dcap);
-  dqk.resize(dcap);
-  dqs.resize(dcap);
-  int64_t qh = 0, qt = 0;  // counters; index with & dmask
+  // Branch-free strip selection (replaces the ring + monotone deque):
+  // position p is a minimizer iff max over covering full windows of the
+  // window minima equals keys[p] (ties kept, minimap2-style) — the
+  // numpy oracle's window_min_positions rule, computed per strip with
+  // two van Herk sliding passes (min then max) at ~3 ops/position.
+  // Invalid/palindromic kmers carry INT64_MAX and are never selected.
+  const int64_t KBIG = INT64_MAX;
+  const int64_t BUFCAP = std::max<int64_t>(1 << 16, 4 * (int64_t)w + 64);
+  static thread_local std::vector<int64_t> key_buf, vh_R1, vh_R2, vh_Z,
+      vh_S;
+  static thread_local std::vector<int8_t> str_buf;
+  key_buf.resize(BUFCAP);
+  str_buf.resize(BUFCAP);
+  int64_t buf_base = 0;   // global kmer index of key_buf[0]
+  int64_t fill = 0;       // entries in the buffer
+  int64_t sel_next = 0;   // next global position to select
   uint64_t fwd = 0, rev = 0;
   int64_t valid_run = 0;
-  int32_t rp = 0;  // rolling ring slot == p % w (no division)
-  // per-position tail (finalize ring + tie-keeping deque + window marks)
-  auto consume = [&](int64_t p, uint64_t key, int8_t st) {
-    if (p >= w && rq[rp]) {  // finalize position p-w (flag is final)
-      const int64_t fp = p - w;
-      if (fp >= emit_lo && fp <= emit_hi) {
-        out_hash[m] = (int64_t)rkey[rp];
-        out_pos[m] = fp;
-        out_strand[m] = rstr[rp];
-        m++;
-      }
+  auto vh_slide = [&](const int64_t* X, int64_t L, int64_t* R,
+                      bool is_min) {
+    // R[i] = min/max X[i..i+w-1] for i in [0, L-w]
+    vh_S.resize(L);
+    for (int64_t bs = 0; bs < L; bs += w) {
+      const int64_t be = std::min<int64_t>(bs + w, L);
+      vh_S[be - 1] = X[be - 1];
+      if (is_min)
+        for (int64_t j = be - 2; j >= bs; j--)
+          vh_S[j] = std::min(X[j], vh_S[j + 1]);
+      else
+        for (int64_t j = be - 2; j >= bs; j--)
+          vh_S[j] = std::max(X[j], vh_S[j + 1]);
     }
-    rkey[rp] = key; rstr[rp] = st; rq[rp] = 0;
-    while (qt > qh && dqk[(qt - 1) & dmask] > key) qt--;  // ties stay
-    dqp[qt & dmask] = p;
-    dqk[qt & dmask] = key;
-    dqs[qt & dmask] = rp;
-    qt++;
-    if (++rp == w) rp = 0;
-    const int64_t t = p - w + 1;  // window [t, p] complete
-    if (t < 0) return;
-    while (qh < qt && dqp[qh & dmask] < t) qh++;
-    const uint64_t mn = dqk[qh & dmask];
-    if (mn != BIG)
-      for (int64_t j = qh; j < qt && dqk[j & dmask] == mn; j++)
-        rq[dqs[j & dmask]] = 1;
+    int64_t pm = is_min ? INT64_MAX : INT64_MIN;
+    for (int64_t i = 0; i + w <= L; i++) {
+      const int64_t e = i + w - 1;
+      pm = (e % w == 0) ? X[e]
+                        : (is_min ? std::min(pm, X[e]) : std::max(pm, X[e]));
+      R[i] = is_min ? std::min(vh_S[i], pm) : std::max(vh_S[i], pm);
+    }
+  };
+  auto flush = [&](bool final_flush) {
+    const int64_t last_key = buf_base + fill - 1;
+    const int64_t P1 = final_flush ? nk - 1 : last_key - (w - 1);
+    if (P1 >= sel_next) {
+      const int64_t P0 = sel_next;
+      const int64_t t0 = std::max<int64_t>(0, P0 - w + 1);
+      const int64_t t1 = std::min<int64_t>(nk - w, P1);
+      if (t1 >= t0) {
+        const int64_t YL = t1 - t0 + 1;
+        // winmin[t] over keys[t .. t+w-1], t in [t0, t1]
+        vh_R1.resize(YL);
+        vh_slide(&key_buf[t0 - buf_base], YL + w - 1, vh_R1.data(), true);
+        // cover[p] = max winmin over t in [p-w+1, p] (clipped): pad both
+        // ends with MIN so out-of-range windows are ignored by the max
+        vh_Z.resize(YL + 2 * (w - 1));
+        std::fill(vh_Z.begin(), vh_Z.begin() + (w - 1), INT64_MIN);
+        std::copy(vh_R1.begin(), vh_R1.end(), vh_Z.begin() + (w - 1));
+        std::fill(vh_Z.begin() + (w - 1) + YL, vh_Z.end(), INT64_MIN);
+        vh_R2.resize(YL + w - 1);
+        vh_slide(vh_Z.data(), YL + 2 * (w - 1), vh_R2.data(), false);
+        const int64_t pe_lo = std::max(P0, emit_lo);
+        const int64_t pe_hi = std::min(P1, emit_hi);
+        for (int64_t p = pe_lo; p <= pe_hi; p++) {
+          const int64_t key = key_buf[p - buf_base];
+          if (key == KBIG || vh_R2[p - t0] != key) continue;
+          out_hash[m] = key;
+          out_pos[m] = p;
+          out_strand[m] = str_buf[p - buf_base];
+          m++;
+        }
+      }
+      sel_next = P1 + 1;
+    }
+    if (!final_flush) {
+      const int64_t keep_from =
+          std::max<int64_t>(buf_base, sel_next - (w - 1));
+      const int64_t keep = last_key - keep_from + 1;
+      std::memmove(&key_buf[0], &key_buf[keep_from - buf_base],
+                   (size_t)keep * sizeof(int64_t));
+      std::memmove(&str_buf[0], &str_buf[keep_from - buf_base],
+                   (size_t)keep);
+      buf_base = keep_from;
+      fill = keep;
+    }
+  };
+  auto consume = [&](int64_t p, uint64_t key, int8_t st) {
+    key_buf[fill] = (key == BIG) ? KBIG : (int64_t)key;
+    str_buf[fill] = st;
+    fill++;
+    if (fill == BUFCAP) flush(false);
+    (void)p;
   };
 #if defined(__AVX2__)
   // block the base scan: rolling codes stay serial (cheap), the two
@@ -1009,15 +1055,7 @@ extern "C" int64_t minimizer_sketch_range(
     consume(p, key, st);
   }
 #endif
-  for (int64_t fp = nk - w; fp < nk; fp++) {  // trailing w positions
-    const int64_t rs = fp % w;
-    if (rq[rs] && fp >= emit_lo && fp <= emit_hi) {
-      out_hash[m] = (int64_t)rkey[rs];
-      out_pos[m] = fp;
-      out_strand[m] = rstr[rs];
-      m++;
-    }
-  }
+  flush(true);
   return m;
 }
 
