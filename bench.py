@@ -327,11 +327,11 @@ def main():
             S.block_until_ready()
         chain_mbp_s = kbases / ((time.time() - t0) / reps) / 1e6
 
-    # Pallas chain at its production operating point: the executor
-    # dispatches bucketed batches (N <= 2048); oversized reads take the
-    # scan kernel / host fast path.  Device sections run in daemon
-    # threads with hard timeouts: a congested compile relay must never
-    # hang the bench (the JSON line always prints).
+    # Device sections run in daemon threads with hard timeouts: a
+    # congested compile relay must never hang the bench (the JSON line
+    # always prints).  (The hand-written Pallas CHAIN kernel is gone:
+    # measured 52x slower than the scan at N=512 on v5e and VMEM-OOM at
+    # N=2048 — the fused scan above IS the TPU chain kernel.)
     import threading
 
     def _guarded(fn, seconds):
@@ -347,42 +347,6 @@ def main():
         t.start()
         t.join(seconds)
         return box.get("v")
-
-    pallas_mbp_s = None
-    try:
-        if not device_ok:
-            raise RuntimeError("device unreachable")
-        import jax
-
-        from vacmap_tpu.ops.chain_pallas import (
-            chain_scores_pallas_lm, pad_for_pallas_lm,
-        )
-
-        small = [a_ for a_ in alist if len(a_) <= 2048]
-        pbases = int(np.mean([len(s_) for _, s_ in reads[:64]])) * len(small)
-        pbatch = prepare_batch(small, "global", 40.0, 50)
-        Ss, Ps = chain_scores_batch(*pbatch)
-        a, nv, sk, md, Bn = pad_for_pallas_lm(*pbatch)
-        kw = dict(kmersize=15, maxdiff=50, maxgap=1000, skipcost=40.0,
-                  variant="global")
-
-        def pallas_section():
-            Sp, Pp = chain_scores_pallas_lm(a, nv, sk, md, **kw)
-            jax.block_until_ready((Sp, Pp))
-            agree = float(np.mean(np.asarray(Pp)[:Bn] == np.asarray(Ps)))
-            t0 = time.time()
-            for _ in range(reps):
-                Sp2, Pp2 = chain_scores_pallas_lm(a, nv, sk, md, **kw)
-                jax.block_until_ready((Sp2, Pp2))
-            return pbases / ((time.time() - t0) / reps) / 1e6, agree
-
-        res = _guarded(pallas_section, 150)
-        if res is not None:
-            pallas_mbp_s, p_agree = res
-        else:
-            p_agree = None
-    except Exception:
-        p_agree = None
 
     # device base-level alignment (Pallas fill kernel + aggregation):
     # capture real fill jobs from a few reads and run them on-hardware
@@ -520,9 +484,6 @@ def main():
         "padded_anchors": int(batch[0].shape[1]),
         "device_ok": device_ok,
     }
-    if pallas_mbp_s is not None:
-        out["pallas_chain_mbp_per_s"] = round(pallas_mbp_s, 1)
-        out["pallas_P_agree"] = round(p_agree, 4)
     if dev_fill is not None:
         out["device_fill"] = dev_fill
     if sv_acc is not None:

@@ -29,8 +29,7 @@ def test_executor_matches_per_read_mapper(world):
     genome, idx, reads = world
     cfg = AlignerConfig(mode="H")
     mapper = Mapper(idx, cfg)
-    # interpret-mode pallas is slow; use the scan kernel on CPU here
-    ex = BatchExecutor(mapper, use_pallas=False)
+    ex = BatchExecutor(mapper)
     batched = ex.map_batch(reads, n_threads=2)
     for (name, seq), lines in zip(reads, batched):
         single = mapper.map_read(name, seq)
@@ -46,7 +45,7 @@ def test_map_stream_matches_map_batch(world):
     same results as per-batch mapping, across batch boundaries."""
     genome, idx, reads = world
     cfg = AlignerConfig(mode="H")
-    ex = BatchExecutor(Mapper(idx, cfg), use_pallas=False)
+    ex = BatchExecutor(Mapper(idx, cfg))
     got = list(ex.map_stream(iter(reads), batch_reads=3, n_threads=2))
     expect = ex.map_batch(reads, n_threads=2)
     assert got == expect

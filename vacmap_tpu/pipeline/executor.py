@@ -1,7 +1,8 @@
 """Batched mapping executor: the TPU-first deployment shape.
 
 Reads are processed in batches; the global chaining DP for the whole
-batch runs as ONE device call (Pallas kernel, bucketed shapes), the rest
+batch runs as ONE device call (XLA fused-scan kernel, bucketed shapes),
+the rest
 of the per-read pipeline (backtrack, local re-chain, refinement, SAM)
 runs on host worker threads overlapping the next batch's device work.
 
@@ -28,21 +29,23 @@ N_BUCKETS = (512, 2048, 8192)
 
 
 class BatchExecutor:
-    # use_pallas default False: measured on v5e (DESIGN.md cost model),
-    # the fused-scan chain kernel beats the Pallas chain kernel ~50x at
-    # production anchor counts (the scan body fuses; the Pallas program
-    # tile serializes).  The Pallas CHAIN kernel stays as a validated
-    # alternative (P agreement 1.0 on hardware, bench.py); the Pallas
-    # FILL kernel (affine_pallas) is the one that wins on device.
+    # The TPU chain kernel IS the XLA fused scan (ops/chain_jax).  A
+    # hand-written Pallas chain kernel was tried twice and deleted after
+    # on-hardware timing (VERDICT round-2 item 5): batch-major lost ~50x
+    # (full-width masked reductions per anchor), and the lane-major
+    # redesign measured 52x slower than the scan at N=512 on v5e (57.4 vs
+    # 1.1 ms, exact P agreement) and VMEM-OOMed at the N=2048 production
+    # point (9 (N,128) planes + fori_loop carries exceed the 16 MB scoped
+    # window).  The scan's whole DP body fuses into one loop on device —
+    # there is nothing left for a custom kernel to win back.
     # device_fills default False (measured, DESIGN.md): on the relay-
     # attached chip the aggregated fill calls are latency-dominated and
     # the deployment loses ~8x vs host fills (0.13 vs 1.09 Mbp/s single-
     # process, identical outputs).  Opt in with --device-fills on TPU
     # hosts with direct PCIe/ICI attachment.
-    def __init__(self, mapper: Mapper, use_pallas: bool = False,
+    def __init__(self, mapper: Mapper,
                  max_device_batch: int = 128, device_fills: bool = False):
         self.mapper = mapper
-        self.use_pallas = use_pallas
         self.max_device_batch = max_device_batch
         # TPU present: base-level CIGAR fills run on device too — the
         # Pallas fill kernel behind a cross-read aggregator (the finish
@@ -120,24 +123,6 @@ class BatchExecutor:
 
     def _run_kernel(self, anchors, n_valid, skip_i, maxdiff_i, kmersize,
                     maxdiff, maxgap, skipcost, variant):
-        if self.use_pallas and variant != "refund":
-            try:
-                from ..ops.chain_pallas import (
-                    chain_scores_pallas_lm, pad_for_pallas_lm,
-                )
-
-                at, nv, st, mt, B = pad_for_pallas_lm(
-                    anchors, n_valid, skip_i, maxdiff_i
-                )
-                S, P = chain_scores_pallas_lm(
-                    at, nv, st, mt, kmersize=kmersize, maxdiff=maxdiff,
-                    maxgap=maxgap, skipcost=skipcost, variant=variant,
-                )
-                return S[:B], P[:B]
-            except Exception:
-                # Pallas needs a TPU backend; fall back to the scan kernel
-                # (e.g. CPU test meshes) and remember
-                self.use_pallas = False
         if self._mesh is not None:
             key = (variant, kmersize, maxdiff, maxgap, skipcost)
             step = self._sharded_steps.get(key)
