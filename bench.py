@@ -409,13 +409,36 @@ def main():
         )
         from vacmap_tpu.sim.vacsim import simulate
 
+        # SV-accuracy genome: mostly unique with a REALISTIC repeat
+        # density (a handful of tandem arrays), unlike the throughput
+        # genome above whose exact 3-copy 50 kb segdup covers ~37% of
+        # 400 kb — events placed inside exact multi-copy repeats are
+        # unplaceable by ANY aligner and measure genome ambiguity, not
+        # alignment quality.
         rng_sv = np.random.default_rng(99)
-        sv_genome = {"chrS": codes_to_str(make_genome_codes(rng_sv, 400_000))}
+        svg = rng_sv.integers(0, 4, 400_000, dtype=np.uint8)
+        for _ in range(8):
+            unit = rng_sv.integers(
+                0, 4, int(rng_sv.integers(300, 800)), dtype=np.uint8)
+            arr = np.tile(unit, int(rng_sv.integers(8, 20)))
+            st_ = int(rng_sv.integers(0, len(svg) - len(arr)))
+            svg[st_ : st_ + len(arr)] = arr
+        sv_genome = {"chrS": codes_to_str(svg)}
+        # workload hardness: besides mid-size simple events, small
+        # (60-150 bp, near the 7%-error noise floor) events and complex
+        # nested recipes (adjacent DEL/INV/INS compositions — the
+        # reference's non-linear-chaining specialty) keep the metric
+        # off the saturation ceiling
         params = (
-            "Specified{DEL:300:900;number=3}\n"
-            "Specified{INS:300:900;number=3}\n"
-            "Specified{INV:800:2000;number=3}\n"
+            "Specified{DEL:300:900;number=2}\n"
+            "Specified{INS:300:900;number=2}\n"
+            "Specified{INV:800:2000;number=2}\n"
             "Specified{DUP:400:900:0:1;number=2}\n"
+            "Specified{DEL:60:150;number=3}\n"
+            "Specified{INS:60:150;number=3}\n"
+            "Random{eventset=['DEL:200:600,NML:100:300,INV:300:900',"
+            "'INS:200:600,NML:100:300,DEL:200:600'];"
+            "eventcount=[2,4];number=3}\n"
         )
         altered, truth = simulate(params, sv_genome,
                                   heterozygous_ratio=0.0, seed=7)

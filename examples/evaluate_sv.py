@@ -10,7 +10,6 @@ benchmarking, SURVEY.md section 4) in one self-contained script.
 """
 
 import argparse
-import re
 import sys
 import time
 
@@ -22,6 +21,7 @@ from vacmap_tpu.config import AlignerConfig
 from vacmap_tpu.index import ReferenceIndex
 from vacmap_tpu.pipeline.mapper import Mapper
 from vacmap_tpu.seq import revcomp
+from vacmap_tpu.sim.svcalls import call_signatures
 from vacmap_tpu.sim.vacsim import simulate
 
 
@@ -43,39 +43,6 @@ def mutate(rng, s, err):
         else:
             out.append(ch)
     return "".join(out)
-
-
-def call_signatures(records, min_size=60):
-    """Naive per-read SV signatures from alignments: big CIGAR indels and
-    split-read breakpoints."""
-    calls = []
-    for r in records:
-        pos = r[5]
-        for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", r[8]):
-            ln = int(ln)
-            if op in "IDX=MS":
-                if op == "D" and ln >= min_size:
-                    calls.append(("DEL", r[1], pos, ln))
-                if op == "I" and ln >= min_size:
-                    calls.append(("INS", r[1], pos, ln))
-                if op in "M=XD":
-                    pos += ln
-    # split signatures
-    recs = sorted(records, key=lambda r: r[3])
-    for a, b in zip(recs, recs[1:]):
-        if a[1] != b[1]:
-            calls.append(("TRA", a[1], a[6], 0))
-            continue
-        if a[2] != b[2]:
-            calls.append(("INV", a[1], min(a[6], b[5]), abs(b[6] - b[5])))
-            continue
-        qgap = b[3] - a[4]
-        rgap = b[5] - a[6]
-        if rgap - qgap >= min_size:
-            calls.append(("DEL", a[1], a[6], rgap - qgap))
-        elif qgap - rgap >= min_size:
-            calls.append(("INS", a[1], a[6], qgap - rgap))
-    return calls
 
 
 def main():

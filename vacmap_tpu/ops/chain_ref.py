@@ -219,8 +219,9 @@ def chain_dp_numpy(
     for global/refund — mammap_clrnano.py:23572; readpos+len for
     fine/mismatch — :28585).
 
-    Aborts (`aborted=True`) when estimated candidate evaluations exceed
-    `max_ops_per_anchor` per anchor, mirroring the reference's
+    Aborts (`aborted=True`) mid-DP the moment candidate evaluations per
+    anchor exceed `max_ops_per_anchor`, with the reference's exact
+    scan-order count (early-break prefix emulated per anchor) — the
     ``max_factor`` bailout to the fast bucketed DP
     (mammap_clrnano.py:24914, :27380).
     """

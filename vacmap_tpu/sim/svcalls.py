@@ -17,11 +17,25 @@ import re
 from typing import Dict, List, Sequence, Tuple
 
 
+def _read_len_of(rec) -> int:
+    """Full read length from one record's CIGAR (clips + query ops)."""
+    return sum(
+        int(ln)
+        for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", rec[8])
+        if op in "SHMI=X"
+    )
+
+
 def call_signatures(records, min_size: int = 60) -> List[Tuple]:
     """Alignment records for ONE read -> [(kind, contig, pos, size)].
 
     records: (readid, contig, strand, q_st, q_en, r_st, r_en, mapq, cigar)
-    rows as produced by Mapper.map_read_records.
+    rows as produced by Mapper.map_read_records.  q coords follow SAM
+    convention (measured on the stored SEQ, i.e. the reverse complement
+    of the read for '-' records), so split-read gap geometry is computed
+    in ORIGINAL-read order with strand-correct reference junctions: on a
+    '-' segment the reference DEcreases as the read advances, so its
+    junction-side boundary toward a later segment is r_st, not r_en.
     """
     calls = []
     for r in records:
@@ -34,24 +48,42 @@ def call_signatures(records, min_size: int = 60) -> List[Tuple]:
                 calls.append(("INS", r[1], pos, ln))
             if op in "M=XD":
                 pos += ln
-    # split-read signatures: adjacent segments in query order
-    recs = sorted(records, key=lambda r: r[3])
+    if len(records) < 2:
+        return calls
+    L = _read_len_of(records[0])
+    # original-read interval of each record: '+' is [q_st, q_en); '-' is
+    # [L - q_en, L - q_st)
+    recs = sorted(
+        records, key=lambda r: r[3] if r[2] == "+" else L - r[4]
+    )
     for a, b in zip(recs, recs[1:]):
+        # junction-side reference boundary of each segment
+        a_bound = a[6] if a[2] == "+" else a[5]
+        b_bound = b[5] if b[2] == "+" else b[6]
         if a[1] != b[1]:
-            calls.append(("TRA", a[1], a[6], 0))
+            calls.append(("TRA", a[1], a_bound, 0))
             continue
         if a[2] != b[2]:
-            calls.append(("INV", a[1], min(a[6], b[5]), abs(b[6] - b[5])))
+            # inversion: clusters form at both breakpoints
+            calls.append(("INV", a[1], a_bound, abs(b_bound - a_bound)))
+            calls.append(("INV", a[1], b_bound, abs(b_bound - a_bound)))
             continue
-        qgap = b[3] - a[4]
-        rgap = b[5] - a[6]
+        if a[2] == "+":
+            qgap = b[3] - a[4]
+            rgap = b[5] - a[6]
+        else:  # both '-': read advances down the reference
+            qgap = a[3] - b[4]
+            rgap = a[5] - b[6]
+        junction = min(a_bound, b_bound)
         if rgap - qgap >= min_size:
-            calls.append(("DEL", a[1], a[6], rgap - qgap))
-        elif qgap - rgap >= min_size:
-            calls.append(("INS", a[1], a[6], qgap - rgap))
-        elif b[5] < a[6] - min_size and qgap > -min_size:
+            calls.append(("DEL", a[1], junction, rgap - qgap))
+        elif rgap < -min_size and qgap > -min_size:
             # re-visited reference interval = duplication signature
-            calls.append(("DUP", a[1], b[5], a[6] - b[5]))
+            # (checked before INS: a tandem revisit also shows excess
+            # query, but the ref overlap identifies it as DUP)
+            calls.append(("DUP", a[1], junction, -rgap))
+        elif qgap - rgap >= min_size:
+            calls.append(("INS", a[1], junction, qgap - rgap))
     return calls
 
 
