@@ -27,7 +27,7 @@ def _read_len_of(rec) -> int:
 
 
 def call_signatures(records, min_size: int = 60) -> List[Tuple]:
-    """Alignment records for ONE read -> [(kind, contig, pos, size)].
+    """Alignment records for ONE read -> [(kind, contig, pos, size, readid)].
 
     records: (readid, contig, strand, q_st, q_en, r_st, r_en, mapq, cigar)
     rows as produced by Mapper.map_read_records.  q coords follow SAM
@@ -36,6 +36,11 @@ def call_signatures(records, min_size: int = 60) -> List[Tuple]:
     in ORIGINAL-read order with strand-correct reference junctions: on a
     '-' segment the reference DEcreases as the read advances, so its
     junction-side boundary toward a later segment is r_st, not r_en.
+
+    The trailing readid lets cluster_calls count DISTINCT supporting
+    reads: a read spanning a whole inversion sees both junctions and
+    would otherwise satisfy min_support=2 alone.  Duplicate
+    (kind, contig, pos, size) rows within one read are emitted once.
     """
     calls = []
     for r in records:
@@ -48,8 +53,19 @@ def call_signatures(records, min_size: int = 60) -> List[Tuple]:
                 calls.append(("INS", r[1], pos, ln))
             if op in "M=XD":
                 pos += ln
+
+    def _finish(raw):
+        readid = records[0][0] if records else None
+        seen = set()
+        out = []
+        for c in raw:
+            if c not in seen:
+                seen.add(c)
+                out.append(c + (readid,))
+        return out
+
     if len(records) < 2:
-        return calls
+        return _finish(calls)
     L = _read_len_of(records[0])
     # original-read interval of each record: '+' is [q_st, q_en); '-' is
     # [L - q_en, L - q_st)
@@ -84,29 +100,35 @@ def call_signatures(records, min_size: int = 60) -> List[Tuple]:
             calls.append(("DUP", a[1], junction, -rgap))
         elif qgap - rgap >= min_size:
             calls.append(("INS", a[1], junction, qgap - rgap))
-    return calls
+    return _finish(calls)
 
 
 def cluster_calls(calls: Sequence[Tuple], window: int = 300,
                   min_support: int = 2) -> List[Tuple]:
     """Group per-read calls into candidate events: same kind/contig,
-    positions within ``window``; keep clusters with >= min_support reads.
+    positions within ``window``; keep clusters supported by >=
+    min_support DISTINCT reads (calls carry readid as their 5th field;
+    legacy 4-tuples each count as their own read).
     Returns [(kind, contig, median_pos, support)]."""
     import numpy as np
 
-    by_key: Dict[Tuple, List[int]] = {}
-    for kind, contig, pos, _size in calls:
-        by_key.setdefault((kind, contig), []).append(int(pos))
+    by_key: Dict[Tuple, List[Tuple[int, object]]] = {}
+    for j, c in enumerate(calls):
+        kind, contig, pos = c[0], c[1], c[2]
+        readid = c[4] if len(c) > 4 else ("__call%d" % j)
+        by_key.setdefault((kind, contig), []).append((int(pos), readid))
     events = []
-    for (kind, contig), ps in by_key.items():
-        ps.sort()
+    for (kind, contig), prs in by_key.items():
+        prs.sort(key=lambda t: t[0])
         start = 0
-        for i in range(1, len(ps) + 1):
-            if i == len(ps) or ps[i] - ps[i - 1] > window:
-                grp = ps[start:i]
-                if len(grp) >= min_support:
+        for i in range(1, len(prs) + 1):
+            if i == len(prs) or prs[i][0] - prs[i - 1][0] > window:
+                grp = prs[start:i]
+                support = len({rid for _, rid in grp})
+                if support >= min_support:
                     events.append(
-                        (kind, contig, int(np.median(grp)), len(grp))
+                        (kind, contig,
+                         int(np.median([p for p, _ in grp])), support)
                     )
                 start = i
     return events
@@ -125,13 +147,17 @@ _TRUTH_ALIASES = {
 def _near_truth(event, ev, tol):
     """event (kind, contig, pos, support) matches truth row (kind, contig,
     st, en, ...) if the kinds alias and the position is within ``tol`` of
-    EITHER breakpoint (INV/DUP clusters form at both ends)."""
+    EITHER breakpoint (INV/DUP clusters form at both ends).
+
+    vacsim INS truth rows are (INS, contig, st, LENGTH) — ev[3] is a
+    size, not a second breakpoint, so it is never used as a coordinate
+    (an INS has a single breakpoint anyway)."""
     if event[0] not in _TRUTH_ALIASES.get(ev[0], (ev[0],)):
         return False
     if event[1] != ev[1]:
         return False
     pts = [int(ev[2])]
-    if len(ev) > 3:
+    if len(ev) > 3 and ev[0] != "INS":
         try:
             pts.append(int(ev[3]))
         except (TypeError, ValueError):
