@@ -240,3 +240,55 @@ def test_ambiguous_code4_jobs_route_to_host(monkeypatch, rng):
     for r, w in zip(res, want):
         assert r.cigar == w.cigar  # service scores are placeholders
     al.stop()
+
+
+def test_async_window_bound_stage_matches_sync(small_genome, rng):
+    """Round-4 deployment: the divergence window-bound batch defers to
+    the (service) aligner — the pipeline's largest fill block.  SAM
+    lines, including divergence keep/drop DECISIONS on junk segments,
+    must equal the synchronous host path; the window cigar cache must
+    still serve the final fill stage (residual fill smaller than the
+    full job list)."""
+    from vacmap_tpu import trace
+    from vacmap_tpu.config import AlignerConfig
+    from vacmap_tpu.index import ReferenceIndex
+    from vacmap_tpu.pipeline.mapper import Mapper, PendingLines
+
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    cfg = AlignerConfig(mode="H")
+    genome = small_genome["c1"]
+    bases = "ACGT"
+    reads = []
+    for i in range(8):
+        st = int(rng.integers(0, len(genome) - 9000))
+        frag = genome[st : st + 4000]
+        mid = genome[st + 4000 : st + 6000]
+        if i % 2:
+            # divergence-droppable middle: the real window is replaced
+            # by random junk anchored with two short true flanks, so the
+            # filter's keep/drop decision is load-bearing for this read
+            junk = "".join(bases[int(rng.integers(4))]
+                           for _ in range(1800))
+            mid = mid[:100] + junk + mid[-100:]
+        frag = frag + mid + genome[st + 6000 : st + 9000]
+        reads.append((f"w{i}", frag))
+
+    sync_mapper = Mapper(idx, cfg)
+    want = [tuple(sync_mapper.map_read(n, s)) for n, s in reads]
+
+    svc = AsyncFillAligner(aligner=HostEmulFillAligner(), max_wait_ms=1.0)
+    try:
+        m = Mapper(idx, cfg, global_aligner=svc)
+        trace.enable()
+        trace.reset()
+        pendings = [m.map_read_deferred(n, s) for n, s in reads]
+        got = [tuple(r.finish() if isinstance(r, PendingLines) else r)
+               for r in pendings]
+        # the window stage actually engaged: the window-bound wait is
+        # traced under rf.diverg by PendingRefine(span="rf.diverg")
+        assert "rf.diverg" in trace.summary()
+        trace.enable(False)
+        trace.reset()
+    finally:
+        svc.stop()
+    assert got == want

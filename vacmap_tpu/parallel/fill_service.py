@@ -527,17 +527,18 @@ def decode_response(msg, pairs, eqx: bool):
     decode_rowruns_batch — no packed-stream re-expansion."""
     from .. import native
     from ..ops.affine_pallas import _decode_packed_python, rowruns_to_packed
-    from ..ops.affine_ref import AlignResult, align2p
+    from ..ops.affine_ref import AlignResult
 
     results: List[Optional[AlignResult]] = [None] * len(pairs)
     for slot in msg.values():
         if slot[0] == "host":
-            for ji in slot[1]:
-                t, q = pairs[ji]
-                results[ji] = align2p(
-                    t, q, match=2, mismatch=-4, gap_open_1=4, gap_extend_1=2,
-                    gap_open_2=24, gap_extend_2=1, bw=-1, zdrop=-1, eqx=eqx,
-                )
+            # device-bounced jobs (overflow/ambiguous-base): the host
+            # striped batch kernel, not the per-pair python oracle
+            from ..pipeline.extend import _host_global_batch
+
+            sub = [pairs[ji] for ji in slot[1]]
+            for ji, r in zip(slot[1], _host_global_batch(sub, eqx)):
+                results[ji] = r
             continue
         if slot[0] == "rr":
             _, lo, ex, jidxs = slot
@@ -582,6 +583,10 @@ class AsyncFillAligner:
     ``align_batch(pairs, eqx)`` interface as device_service.
     AggregatingAligner, but dispatch N+1 overlaps download N, so
     concurrently-refining threads only ever wait ~one batch period."""
+
+    # refine_chain ships the divergence window-bound batch here too
+    # (round-4 deployment; host aligners keep the native bound pass)
+    wants_window_jobs = True
 
     def __init__(self, aligner=None, buckets=DEFAULT_BUCKETS,
                  max_wait_ms=MAX_WAIT_MS, depth=DEPTH, max_jobs=MAX_JOBS,
@@ -921,6 +926,8 @@ class FillClient:
     """Worker-side handle: thread-safe blocking ``align_batch``.  A
     response-router thread per worker process routes by req_id so many
     mapping threads can have fills in flight concurrently."""
+
+    wants_window_jobs = True  # see AsyncFillAligner
 
     def __init__(self, worker_id: int, req_q, resp_q,
                  ready_evt=None, ok_val=None):
