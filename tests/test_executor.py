@@ -66,3 +66,68 @@ def test_executor_uses_device_mesh(world):
     ex.map_batch(reads[:3], n_threads=2)
     # at least one sharded step was built and used
     assert ex._sharded_steps
+
+
+def test_executor_device_local_dp_matches_host(world):
+    """device_local_dp=True: the finish threads' local fine/mismatch DPs
+    merge into batched device chain calls (AggregatingChainBackend) —
+    output must match the host per-read mapper record for record."""
+    genome, idx, reads = world
+    cfg = AlignerConfig(mode="H")
+    mapper = Mapper(idx, cfg)
+    host_lines = [mapper.map_read(n, s) for n, s in reads]
+
+    m2 = Mapper(idx, cfg)
+    ex = BatchExecutor(m2, device_local_dp=True)
+    assert m2.chain_backend is not None
+    batched = ex.map_batch(reads, n_threads=3)
+    for (name, _), lines, single in zip(reads, batched, host_lines):
+        assert len(lines) == len(single), name
+        for a, b in zip(sorted(lines), sorted(single)):
+            assert a.split("\t")[1:6] == b.split("\t")[1:6], name
+
+
+def test_aggregating_chain_backend_exact(world, rng):
+    """The aggregated device chain backend returns the same S/P as the
+    host DP for fine and mismatch variants, including under concurrent
+    multi-thread submission (grouping/padding/slicing correctness)."""
+    import concurrent.futures
+
+    from vacmap_tpu.ops.chain_ref import chain_dp
+    from vacmap_tpu.parallel.device_service import AggregatingChainBackend
+
+    be = AggregatingChainBackend(max_wait_ms=8.0)
+    jobs = []
+    for k in range(12):
+        n = int(rng.integers(5, 200))
+        A = np.zeros((n, 4), np.int64)
+        A[:, 0] = np.sort(rng.integers(0, 3000, n))
+        A[:, 1] = rng.integers(0, 100_000, n)
+        A[:, 2] = rng.choice([-1, 1], n)
+        A[:, 3] = rng.integers(9, 20, n)
+        A = A[np.argsort(A[:, 0] + A[:, 3], kind="stable")]
+        variant = "fine" if k % 2 else "mismatch"
+        jobs.append((A, variant))
+
+    def run(job):
+        A, variant = job
+        return be(A, variant, 9, 40.0, 30, 99)
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        got = list(pool.map(run, jobs))
+    for (A, variant), res in zip(jobs, got):
+        want = chain_dp(A, kmersize=9, skipcost=40.0, maxdiff=30,
+                        maxgap=99, variant=variant)
+        assert res is not None
+        assert np.array_equal(res.P, want.P), variant
+        assert np.allclose(res.S, want.S, atol=1e-3), variant
+        assert res.g_max_index == want.g_max_index
+
+    # unsupported variants and oversized jobs bounce to host (None)
+    A = jobs[0][0]
+    assert be(A, "scar", 9, 40.0, 30, 99) is None
+    big = np.zeros((AggregatingChainBackend.MAX_ANCHORS + 1, 4), np.int64)
+    assert be(big, "fine", 9, 40.0, 30, 99) is None
+    A64 = A.copy()
+    A64[0, 1] = 2**31
+    assert be(A64, "fine", 9, 40.0, 30, 99) is None
