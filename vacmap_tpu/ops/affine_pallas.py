@@ -38,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .affine_ref import AlignResult, align2p
 
 TB = 8  # default jobs per program (sublane tile)
+# bucket-id flag: (BANDED | 256) = "banded kernel, T = 256".  The fill
+# service routes band-eligible jobs to these pseudo-buckets per job.
+BANDED = 1 << 20
 
 
 def tb_for(bucket: int) -> int:
@@ -47,6 +50,7 @@ def tb_for(bucket: int) -> int:
     (1024, 256) call 2.8x faster than tb=8.  Bounded by VMEM: the bits
     scratch is N*tb*N bytes and Mosaic rejects ~16 MB (tb=256@N=256,
     tb=64@N=512 both fail to compile)."""
+    bucket &= ~BANDED  # banded pseudo-buckets share the base tile
     return 64 if bucket <= 256 else 32
 
 
@@ -360,6 +364,351 @@ def _fill_and_traceback(
     return packed.astype(jnp.uint8)  # (S//4, B)
 
 
+# ---------------------------------------------------------------------------
+# banded fill kernel (round 4)
+# ---------------------------------------------------------------------------
+#
+# The full kernel sweeps bucket^2 cells/job while the host striped kernel
+# sweeps an offset-space band (round-3b: |dq| + 2R wide, R=16, zero
+# escalations observed on the bench corpus) — the band-vs-full gap is the
+# device kernel's documented speed-of-light headroom (bench
+# `useful_over_swept`).  This kernel sweeps the SAME offset-space band:
+#
+#   lane u of row i holds column j = i + base + u,  base = min(0, dq) - R
+#
+# so the diagonal move is lane-aligned (no shift), the deletion move is a
+# one-lane shift of the previous row, and the insertion move stays the
+# in-row prefix-max.  The query plane is uploaded PRE-SHIFTED by base
+# (qshift[v] = q[base + v]), so each row's band window is the carried
+# window rolled by one with a single uniform-lane injection — Mosaic
+# needs no per-job dynamic lane slices.
+#
+# Exactness contract: in-band values are exact maxima over in-band paths
+# (including gap jumps from column 0 while the band covers it).  Jobs
+# whose traceback touches a band edge set an ESCALATE flag (last 128
+# output lanes) and the caller re-runs them on the full kernel / host —
+# the same escalate-on-edge rule the host banded kernel uses.
+
+BAND_W = 128  # band lanes (one VPU register row)
+BAND_R = 16  # radius beyond the |dq| offset span (host STRIPE_R default)
+
+
+def band_eligible(t_len, q_len, W: int = BAND_W, R: int = BAND_R):
+    """Vector predicate: jobs the banded kernel accepts."""
+    t_len = np.asarray(t_len, np.int64)
+    q_len = np.asarray(q_len, np.int64)
+    dq = np.abs(q_len - t_len)
+    return (t_len > 0) & (q_len > 0) & (dq <= W - 2 * R - 1)
+
+
+def make_qshift(tQ: np.ndarray, t_len, q_len, T: int,
+                W: int = BAND_W, R: int = BAND_R) -> np.ndarray:
+    """(B, T) query plane -> (B, T+W) band-aligned plane:
+    qshift[b, v] = q[base_b + v] (4 outside [0, q_len))."""
+    B = tQ.shape[0]
+    t_len = np.asarray(t_len, np.int64)
+    q_len = np.asarray(q_len, np.int64)
+    dq = q_len - t_len
+    # symmetric slack: centre the W lanes on the offset span [min(0,dq),
+    # max(0,dq)] — at least R each side for eligible jobs
+    base = np.minimum(0, dq) - (W - np.abs(dq)) // 2
+    cols = base[:, None] + np.arange(T + W, dtype=np.int64)[None, :]
+    valid = (cols >= 0) & (cols < q_len[:, None])
+    out = np.full((B, T + W), 4, np.uint8)
+    rows = np.broadcast_to(np.arange(B)[:, None], cols.shape)
+    out[valid] = tQ[rows[valid], cols[valid]]
+    return out
+
+
+def _fill_tb_kernel_banded(tT_ref, qs_ref, lens_ref, planes_ref, bits_scr,
+                           *, T, W, R, tb, match, mismatch, o1, e1, o2, e2):
+    f_mat = float(match)
+    f_mis = float(mismatch)
+    f_e1 = float(e1)
+    f_e2 = float(e2)
+    f_o1e1 = float(o1 + e1)
+    f_o2e2 = float(o2 + e2)
+    f_o1 = float(o1)
+    f_o2 = float(o2)
+
+    tT = tT_ref[:, :]  # (tb, T) target chars
+    qs = qs_ref[:, :]  # (tb, T+W) band-aligned query chars
+    iota_T = jax.lax.broadcasted_iota(jnp.int32, (tb, T), 1)
+    iota_W = jax.lax.broadcasted_iota(jnp.int32, (tb, W), 1)
+    iota_Q = jax.lax.broadcasted_iota(jnp.int32, (tb, T + W), 1)
+    # input-tied zeros: iota-derived values carry replicated layouts this
+    # Mosaic build cannot relayout at loop back-edges (see _fill_body)
+    zeroW = jnp.where(qs[:, :W] < -9, 1, 0)  # static lane slice of input
+    zeroT = jnp.where(tT < -9, 1, 0)
+
+    def unreplW(v):
+        return jnp.where(zeroW > 0, 0, v) if v.dtype == jnp.int32 else (
+            jnp.where(zeroW > 0, 0.0, v))
+
+    iota_Wu = unreplW(iota_W)
+    iota_Tu = jnp.where(zeroT > 0, 0, iota_T)
+    iota_Tf = iota_Tu.astype(jnp.float32)
+
+    lens = lens_ref[:, :]  # (tb, T): lane 0 t_len, lane 1 q_len
+    tl = jnp.sum(jnp.where(iota_Tu == 0, lens, 0), axis=1, keepdims=True)
+    ql = jnp.sum(jnp.where(iota_Tu == 1, lens, 0), axis=1, keepdims=True)
+    dq = ql - tl
+    adq = jnp.abs(dq)
+    base = jnp.minimum(0, dq) - (W - adq) // 2  # (tb, 1), see make_qshift
+    qlW = ql + zeroW  # lane-broadcast copies with standard layout
+    baseW = base + zeroW
+
+    # gap tables over T lanes: gapf(l) and gapf(l+1) (gapf(0) = 0)
+    gapT = jnp.where(
+        iota_Tu == 0, 0.0,
+        jnp.minimum(f_o1 + f_e1 * iota_Tf, f_o2 + f_e2 * iota_Tf))
+    gapT1 = jnp.minimum(f_o1 + f_e1 * (iota_Tf + 1.0),
+                        f_o2 + f_e2 * (iota_Tf + 1.0))
+
+    def pickT(tab, i):
+        return jnp.sum(jnp.where(iota_Tu == i, tab, 0.0), axis=1)[:, None]
+
+    def shift1(x, fill):  # lane u -> u+1 (right), lane 0 = fill
+        r = pltpu.roll(x, shift=1, axis=1)
+        return jnp.where(iota_W == 0, fill, r)
+
+    def shiftm1(x, fill):  # lane u -> u-1 (left), lane W-1 = fill
+        r = pltpu.roll(x, shift=W - 1, axis=1)
+        return jnp.where(iota_W == W - 1, fill, r)
+
+    def prefmax(x):
+        s = 1
+        while s < W:
+            shifted = jnp.where(
+                iota_W < s, NEG, pltpu.roll(x, shift=s, axis=1))
+            x = jnp.maximum(x, shifted)
+            s *= 2
+        return x
+
+    # ---- fill ----------------------------------------------------------
+    def row(i, carry):
+        H, E1, E2, qwin, fflag = carry  # band coords of row i-1
+        j_mat = i + baseW + iota_Wu  # (tb, W) column of lane u at row i
+        jvalid = (j_mat >= 1) & (j_mat <= qlW)
+        h0_prev = -pickT(gapT, i - 1)  # H(i-1, 0)
+        h0_cur = -pickT(gapT1, i - 1)  # H(i, 0) = -gapf(i)
+        tchar = jnp.sum(jnp.where(iota_Tu == i - 1, tT, 0), axis=1)[:, None]
+        sub = jnp.where((qwin == tchar) & (tchar < 4), f_mat, f_mis)
+        diag_in = jnp.where(
+            j_mat == 1, h0_prev, jnp.where(j_mat > 1, H, NEG))
+        diag = diag_in + sub
+        Hs = shiftm1(H, NEG)  # H(i-1, j) at lane u
+        E1s = shiftm1(E1, NEG)
+        E2s = shiftm1(E2, NEG)
+        E1n = jnp.maximum(E1s - f_e1, Hs - f_o1e1)
+        E2n = jnp.maximum(E2s - f_e2, Hs - f_o2e2)
+        H0 = jnp.maximum(diag, jnp.maximum(E1n, E2n))
+        H0 = jnp.where(jvalid, H0, NEG)
+        j_f = j_mat.astype(jnp.float32)
+        # column-0 gap jumps are admissible only while column 0 is inside
+        # the band at this row (i + base <= 0): every F run the traceback
+        # walks must be in-band
+        h0_ok = (i + base) <= 0  # (tb, 1)
+        h0_term1 = jnp.where(h0_ok, h0_cur, NEG)
+        G1 = jnp.where(jvalid, H0 + j_f * f_e1, NEG)
+        P1 = jnp.maximum(shift1(prefmax(G1), NEG), h0_term1)
+        F1 = P1 - j_f * f_e1 - f_o1
+        G2 = jnp.where(jvalid, H0 + j_f * f_e2, NEG)
+        P2 = jnp.maximum(shift1(prefmax(G2), NEG), h0_term1)
+        F2 = P2 - j_f * f_e2 - f_o2
+        Hn = jnp.maximum(H0, jnp.maximum(F1, F2))
+        Hn = jnp.where(jvalid, Hn, NEG)
+
+        op = jnp.full((tb, W), 4, jnp.int32)
+        op = jnp.where(Hn == F1, 3, op)
+        op = jnp.where(Hn == E2n, 2, op)
+        op = jnp.where(Hn == E1n, 1, op)
+        op = jnp.where(Hn == diag, 0, op)
+        bits = op
+        bits = bits | jnp.where(E1n == E1s - f_e1, 8, 0)
+        bits = bits | jnp.where(E2n == E2s - f_e2, 16, 0)
+        bits = bits | jnp.where(F1 == shift1(F1, NEG) - f_e1, 32, 0)
+        bits = bits | jnp.where(F2 == shift1(F2, NEG) - f_e2, 64, 0)
+        bits_ref_row = bits.astype(jnp.uint8)[None]
+        bits_scr[pl.ds(i - 1, 1)] = bits_ref_row
+        # edge-competitive flag: if a band-edge cell whose neighbour
+        # BEYOND the band is a real matrix cell (band-clipped, not
+        # matrix-boundary-clipped) attains the row maximum, the optimum
+        # plausibly lies outside the band — the traceback edge-touch
+        # rule alone misses "staircase" optima that never walk the edge
+        # (verified by construction)
+        rowmax = jnp.max(Hn, axis=1, keepdims=True)
+        lc = (i + base) >= 2  # column left of lane 0 is interior
+        rc = (i + base + W) <= ql  # column right of lane W-1 interior
+        edge_hit = (lc & (Hn[:, :1] >= rowmax)) | (
+            rc & (Hn[:, W - 1 :] >= rowmax))
+        # int32 carry: i1 vectors cannot cross scf loop back-edges here
+        fflag = jnp.where(
+            (i <= tl) & (rowmax > NEG / 2) & edge_hit, 1, fflag)
+        # slide the query window to row i+1: lanes [i, i+W) of qshift
+        qnew = jnp.sum(
+            jnp.where(iota_Q == i + W - 1, qs, 0), axis=1)[:, None]
+        qwin2 = shiftm1(qwin, 0) + jnp.where(iota_W == W - 1, qnew, 0)
+        return (Hn, E1n, E2n, qwin2, fflag)
+
+    j0 = baseW + iota_Wu  # row-0 columns
+    H_init = jnp.where(
+        (j0 >= 0) & (j0 <= qlW),
+        jnp.where(
+            j0 == 0, 0.0,
+            -jnp.minimum(f_o1 + f_e1 * j0.astype(jnp.float32),
+                         f_o2 + f_e2 * j0.astype(jnp.float32))),
+        NEG)
+    qwin0 = qs[:, :W].astype(jnp.int32)  # row-1 window: static lane slice
+    _, _, _, _, fill_flag = jax.lax.fori_loop(
+        1, T + 1, row,
+        (H_init, jnp.full((tb, W), NEG), jnp.full((tb, W), NEG), qwin0,
+         tl * 0))  # (tb, 1) int32 zero with input-tied layout
+
+    # ---- in-kernel row-run traceback (band coords) ----------------------
+    tlW = tl + zeroT  # (tb, T) broadcast for the output lanes
+    tlB = tl + zeroW
+    qlB = qlW
+
+    def pickb(brow, u):
+        m = iota_Wu == u
+        return jnp.sum(jnp.where(m, brow, 0), axis=1, keepdims=True) + zeroW
+
+    def trow(it, carry):
+        j, s, flag, lo_acc, ex_acc = carry
+        r = T - it
+        brow = bits_scr[pl.ds(r - 1, 1)][0].astype(jnp.int32)
+        entering = tlB == r
+        j = jnp.where(entering, qlB, j)
+        s = jnp.where(entering, 0, s)
+        active = tlB >= r
+
+        def cond(c):
+            return jnp.sum(c[0]) > 0
+
+        def body(c):
+            running, j, n_ins, rs, flag = c
+            u = j - r - baseW
+            flag = jnp.where(
+                running.astype(jnp.bool_)
+                & ((u <= 0) | (u >= W - 1)) & (j > 0), 1, flag)
+            b = pickb(brow, u)
+            op = b & 7
+            eff = jnp.where(rs > 0, rs, op)
+            do = running.astype(jnp.bool_) & (eff >= 3) & (j > 0)
+            ext = jnp.where(eff == 3, 32, 64)
+            rs = jnp.where(do & ((b & ext) > 0), eff, 0)
+            j = j - do.astype(jnp.int32)
+            n_ins = n_ins + do.astype(jnp.int32)
+            return do.astype(jnp.int32), j, n_ins, rs, flag
+
+        running0 = (active & (s == 0) & (j > 0)).astype(jnp.int32)
+        _, j, n_ins, _, flag = jax.lax.while_loop(
+            cond, body, (running0, j, zeroW, zeroW, flag))
+
+        u = j - r - baseW
+        flag = jnp.where(
+            active & (j > 0) & ((u <= 0) | (u >= W - 1)), 1, flag)
+        b = pickb(brow, u)
+        eff = jnp.where(s > 0, s, b & 7)
+        forced = j <= 0
+        is_m = (~forced) & (eff == 0)
+        extbit = jnp.left_shift(8, jnp.maximum(eff - 1, 0))
+        s = jnp.where(
+            (~forced) & (eff >= 1) & (eff <= 2) & ((b & extbit) > 0), eff, 0
+        )
+        j = jnp.where(is_m & active, j - 1, j)
+
+        lane = (iota_Tu == (r - 1)) & (tlW >= r)
+        # per-job "scalars" live replicated across the W lanes: lane 0
+        # carries the value for the (tb, T) output planes
+        n_insT = jnp.sum(jnp.where(iota_Wu == 0, n_ins, 0), axis=1,
+                         keepdims=True) + zeroT
+        is_mT = jnp.sum(jnp.where(iota_Wu == 0, is_m.astype(jnp.int32), 0),
+                        axis=1, keepdims=True) + zeroT
+        lo_acc = jnp.where(lane, n_insT & 255, lo_acc)
+        ex_acc = jnp.where(lane, is_mT | ((n_insT >> 8) << 1), ex_acc)
+        return j, s, flag, lo_acc, ex_acc
+
+    initT = (zeroW, zeroW, zeroW, zeroT, zeroT)
+    j, s, flag, lo_acc, ex_acc = jax.lax.fori_loop(0, T, trow, initT)
+    planes_ref[:, 0:T] = lo_acc.astype(jnp.uint8)
+    # the ESCALATE flag rides ex bit 7 (free in banded: n_ins <= W-1 <
+    # 256 so the n_ins-high bits above bit 1 are always zero) — the
+    # banded download stays exactly 2T bytes/job like the full kernel's
+    flagv = (jnp.sum(flag, axis=1, keepdims=True) + fill_flag) > 0
+    ex_out = ex_acc | jnp.where(flagv, 128, 0)
+    planes_ref[:, T : 2 * T] = ex_out.astype(jnp.uint8)
+
+
+def pack_plane(arr: np.ndarray) -> np.ndarray:
+    """(B, M) 2-bit codes (M % 4 == 0) -> (B, M//4) uint8, 4 codes/byte.
+    Codes are masked to two bits: ambiguous code 4 is unrepresentable and
+    such jobs must be routed to the host (the service does)."""
+    B, M = arr.shape
+    a4 = (arr & 3).reshape(B, M // 4, 4).astype(np.uint16)
+    return (a4[:, :, 0] | (a4[:, :, 1] << 2) | (a4[:, :, 2] << 4)
+            | (a4[:, :, 3] << 6)).astype(np.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "W", "R", "tb", "match", "mismatch", "o1", "e1",
+                     "o2", "e2", "interpret"),
+)
+def _fill_and_rowruns_banded(
+    packed: jnp.ndarray,  # (B, (2T+W)//4) uint8: pack_plane([tT | qshift])
+    lens: jnp.ndarray,  # (B, 2) int32: t_len, q_len
+    T: int,
+    W: int = BAND_W,
+    R: int = BAND_R,
+    tb: int = TB,
+    match: int = 2,
+    mismatch: int = -4,
+    o1: int = 4,
+    e1: int = 2,
+    o2: int = 24,
+    e2: int = 1,
+    interpret: bool = False,
+):
+    """Banded fill + in-kernel row-run traceback.  Output (B, 2T):
+    lanes [0,T) lo, [T,2T) ex — the full kernel's row-run layout, with
+    the per-job ESCALATE flag (traceback touched a band edge / an
+    interior band-edge cell was row-max) in ex bit 7 (the caller
+    re-runs flagged jobs full-width/host and masks the bit off)."""
+    B = packed.shape[0]
+    p = packed.astype(jnp.int32)
+    chars = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
+    ).reshape(B, p.shape[1] * 4)
+    tT = chars[:, :T]
+    qs = chars[:, T : 2 * T + W]
+    if lens.shape[1] != T:
+        lens_full = jnp.pad(lens, ((0, 0), (0, T - lens.shape[1])))
+    else:
+        lens_full = lens
+    return pl.pallas_call(
+        functools.partial(
+            _fill_tb_kernel_banded, T=T, W=W, R=R, tb=tb, match=match,
+            mismatch=mismatch, o1=o1, e1=e1, o2=o2, e2=e2,
+        ),
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, T), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, T + W), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, T), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, 2 * T), lambda b: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * T), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((T, tb, W), jnp.uint8)],
+        interpret=interpret,
+    )(tT.astype(jnp.int32), qs.astype(jnp.int32),
+      lens_full.astype(jnp.int32))
+
+
 def pack_chars(tT: np.ndarray, tQ: np.ndarray) -> np.ndarray:
     """(B, N) x2 char planes -> ONE (B, N//2) uint8 2-bit-packed plane
     (t in the first N//4 bytes, q in the rest).  Codes are masked to two
@@ -486,12 +835,21 @@ class PallasFillAligner:
 
     def __init__(self, buckets: Sequence[int] = (256, 512),
                  match=2, mismatch=-4, o1=4, e1=2, o2=24, e2=1,
-                 max_batch: int = 4096, interpret: bool = False):
+                 max_batch: int = 4096, interpret: bool = False,
+                 banded: bool = None):
         self.buckets = sorted(buckets)
         self.kw = dict(match=match, mismatch=mismatch, o1=o1, e1=e1,
                        o2=o2, e2=e2)
         self.max_batch = max_batch
         self.interpret = interpret
+        # banded kernel (BANDED|bucket pseudo-buckets): band-eligible
+        # jobs sweep T x 128 cells instead of T x T — the service routes
+        # per job; escalated (band-edge) jobs re-run full-width
+        if banded is None:
+            import os
+
+            banded = not os.environ.get("VACMAP_TPU_NO_BANDED_FILL")
+        self.banded = banded
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -513,6 +871,35 @@ class PallasFillAligner:
         gather-scan traceback (same results, ~65 ms/call slower)."""
         import os
 
+        if bucket & BANDED:
+            T = bucket & ~BANDED
+            B = tT.shape[0]
+            qshift = make_qshift(tQ, t_len, q_len, T)
+            packed = pack_plane(np.concatenate([tT[:, :T], qshift], axis=1))
+            lens2 = np.zeros((B, 2), np.int32)
+            lens2[:, 0] = t_len
+            lens2[:, 1] = q_len
+            tb = tb_for(T)
+            if B % tb:
+                tb = TB
+            planes = _fill_and_rowruns_banded(
+                jnp.asarray(packed), jnp.asarray(lens2), T=T, tb=tb,
+                interpret=self.interpret, **self.kw,
+            )
+            n_dl = planes.shape[0]
+            if n_used is not None and n_used < n_dl:
+                n_dl = 32
+                while n_dl < n_used:
+                    n_dl *= 2
+                n_dl = min(n_dl, planes.shape[0])
+            if n_dl < planes.shape[0]:
+                planes = planes[:n_dl]
+            try:
+                planes.copy_to_host_async()
+            except Exception:
+                pass
+            return ("rrb", planes, np.asarray(t_len[:n_dl], np.int64),
+                    np.asarray(q_len[:n_dl], np.int64), T)
         if os.environ.get("VACMAP_TPU_FILL_SCAN"):
             h = _fill_and_traceback(
                 jnp.asarray(tT, jnp.int32), jnp.asarray(tQ, jnp.int32),
@@ -569,6 +956,12 @@ class PallasFillAligner:
         host-side view."""
         if handle[0] == "scan":
             return ("packed", np.asarray(handle[1]))
+        if handle[0] == "rrb":
+            _, planes, t_len, q_len, T = handle
+            arr = np.asarray(planes)
+            ex = arr[:, T : 2 * T]
+            flags = (ex[:, 0] & 0x80) != 0
+            return ("rrb", arr[:, :T], ex & 0x7F, flags)
         _, planes, t_len, q_len, bucket = handle
         arr = np.asarray(planes)
         return ("rr", arr[:, :bucket], arr[:, bucket:])
@@ -576,11 +969,19 @@ class PallasFillAligner:
     def fetch_packed(self, handle) -> np.ndarray:
         """Blocking download of a dispatch_padded handle; returns the
         packed 2-bit op stream (S//4, B) for the C++ stream decoder
-        (compat/fallback path — fetch() is the production route)."""
+        (compat/fallback path — fetch() is the production route).
+        Banded handles: escalated jobs' streams are garbage — callers
+        needing the flags use fetch()."""
         if handle[0] == "scan":
             return np.asarray(handle[1])
         _, planes, t_len, q_len, bucket = handle
         arr = np.asarray(planes)
+        if handle[0] == "rrb":
+            return rowruns_to_packed(
+                arr[:, :bucket],
+                arr[:, bucket : 2 * bucket] & 0x7F, t_len, q_len,
+                bucket,
+            )
         return rowruns_to_packed(
             arr[:, :bucket], arr[:, bucket:], t_len, q_len, bucket
         )
@@ -591,9 +992,10 @@ class PallasFillAligner:
         fresh compiles are minutes; the persistent cache makes this a
         one-time cost per machine)."""
         for bucket in (buckets if buckets is not None else self.buckets):
+            T = bucket & ~BANDED
             for B in batch_sizes:
-                tT = np.full((B, bucket), 4, np.uint8)
-                tQ = np.full((B, bucket), 4, np.uint8)
+                tT = np.full((B, T), 4, np.uint8)
+                tQ = np.full((B, T), 4, np.uint8)
                 tT[:, 0] = 1
                 tQ[:, 0] = 1
                 lens = np.ones(B, np.int32)
@@ -610,6 +1012,10 @@ class PallasFillAligner:
         groups = {}
         for i, (t, q) in enumerate(pairs):
             b = self._bucket(max(len(t), len(q)))
+            if (b > 0 and self.banded
+                    and len(t) and len(q)
+                    and abs(len(q) - len(t)) <= BAND_W - 2 * BAND_R - 1):
+                b |= BANDED
             if b < 0 or len(t) == 0 or len(q) == 0:
                 results[i] = align2p(
                     t, q,
@@ -630,14 +1036,15 @@ class PallasFillAligner:
 
     def _run_group(self, pairs, idxs, bucket, eqx, results, native):
         n = len(idxs)
+        T = bucket & ~BANDED
         # batch dim padded to power-of-two buckets: _fill_and_traceback
         # compiles per (B, N) shape and Mosaic compiles are minutes-fresh
         # on this platform — bound the shape universe
         B = 64
         while B < n:
             B *= 2
-        tT = np.full((B, bucket), 4, np.uint8)
-        tQ = np.full((B, bucket), 4, np.uint8)
+        tT = np.full((B, T), 4, np.uint8)
+        tQ = np.full((B, T), 4, np.uint8)
         t_len = np.ones(B, np.int32)
         q_len = np.ones(B, np.int32)
         for b, i in enumerate(idxs):
@@ -650,6 +1057,29 @@ class PallasFillAligner:
         sub = [pairs[i] for i in idxs]
         decoded = None
         fetched = self.fetch(handle)
+        if fetched[0] == "rrb":
+            _, lo, ex, flags = fetched
+            ok = ~flags[: len(idxs)]
+            ok_rows = np.flatnonzero(ok)
+            sub_ok = [pairs[idxs[r]] for r in ok_rows]
+            dec_ok = native.decode_rowruns(lo[ok_rows], ex[ok_rows],
+                                           sub_ok, eqx=eqx)
+            if dec_ok is None:
+                packed = rowruns_to_packed(
+                    lo[ok_rows], ex[ok_rows],
+                    t_len[ok_rows].astype(np.int64),
+                    q_len[ok_rows].astype(np.int64), T)
+                dec_ok = _decode_packed_python(packed, sub_ok, eqx=eqx)
+            esc = [idxs[r] for r in np.flatnonzero(~ok)]
+            for r, ops in zip(ok_rows, dec_ok):
+                i = idxs[r]
+                t, q = pairs[i]
+                results[i] = AlignResult(
+                    native.ops_to_cigar(ops), False, len(q), len(t),
+                    0, 0, 0)
+            if esc:  # band-edge escalations: full-width re-run
+                self._run_group(pairs, esc, T, eqx, results, native)
+            return
         if fetched[0] == "rr":
             decoded = native.decode_rowruns(
                 fetched[1][: len(idxs)], fetched[2][: len(idxs)], sub,

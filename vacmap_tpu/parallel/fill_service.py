@@ -128,16 +128,27 @@ class _ServerCore:
         self.shape_b = dict(shape_b or DEFAULT_SHAPE_B)
         for b in self.buckets:  # every bucket needs a dispatch shape
             self.shape_b.setdefault(b, 256)
+        # banded pseudo-buckets (round 4): band-eligible fill jobs route
+        # to the banded kernel (T x 128 cells instead of T x T); jobs it
+        # flags (band-edge escalation) bounce to the requester's host
+        # fill path via the "host" slot
+        self.band_ids = ()
+        if getattr(aligner, "banded", False):
+            from ..ops.affine_pallas import BANDED
+
+            self.band_ids = tuple(b | BANDED for b in self.buckets)
+            for bid in self.band_ids:
+                self.shape_b.setdefault(bid, self.shape_b[bid & ~BANDED])
         self.max_jobs = max_jobs
         self.max_wait = max_wait_ms / 1e3
         self.inflight: "queue.Queue" = queue.Queue(maxsize=depth)
         self.stopping = False
         self._stats_lock = threading.Lock()
         self._stats = {"calls": 0, "reqs": 0, "jobs": 0, "fetch_s": 0.0,
-                       "disp_cpu": 0.0, "dl_cpu": 0.0}
+                       "disp_cpu": 0.0, "dl_cpu": 0.0, "escal": 0}
         # rungs whose compiles have landed (per bucket); the dispatcher
         # never dispatches a shape that would compile mid-traffic
-        self.ready_rungs = {b: set() for b in self.buckets}
+        self.ready_rungs = {b: set() for b in self.buckets + self.band_ids}
 
     def _ladder(self, b: int):
         try:
@@ -156,7 +167,7 @@ class _ServerCore:
         Returns the calibrated go/no-go: False means the device cannot
         beat the host's own fill kernels on this attachment and the
         deployment should stay on host fills (unless forced)."""
-        for b in self.buckets:
+        for b in self.band_ids + self.buckets:  # banded first: hot route
             self.aligner.prewarm(batch_sizes=(self.shape_b[b],),
                                  buckets=(b,))
             self.ready_rungs[b] = {self.shape_b[b]}
@@ -168,7 +179,7 @@ class _ServerCore:
 
         def rest():
             try:
-                for b in self.buckets:
+                for b in self.band_ids + self.buckets:
                     for r in self._ladder(b):
                         if r in self.ready_rungs[b]:
                             continue
@@ -204,8 +215,10 @@ class _ServerCore:
 
         from .. import native
 
-        b = self.buckets[0]
-        B = self.shape_b[b]  # the top rung compiled just above
+        # calibrate the PRODUCTION route: banded when available
+        b_id = self.band_ids[0] if self.band_ids else self.buckets[0]
+        b = b_id & 0xFFFFF
+        B = self.shape_b[b_id]  # the top rung compiled just above
         n = max(b * 3 // 4, 16)
         rng = np.random.default_rng(0)
         t_plane = rng.integers(0, 4, (B, b)).astype(np.uint8)
@@ -219,10 +232,10 @@ class _ServerCore:
         def dispatch():
             try:
                 return self.aligner.dispatch_padded(
-                    t_plane, q_plane, lens, lens, b, n_used=B)
+                    t_plane, q_plane, lens, lens, b_id, n_used=B)
             except TypeError:
                 return self.aligner.dispatch_padded(
-                    t_plane, q_plane, lens, lens, b)
+                    t_plane, q_plane, lens, lens, b_id)
 
         fetch = getattr(self.aligner, "fetch", np.asarray)
         fetch(dispatch())  # warm
@@ -328,6 +341,11 @@ class _ServerCore:
             amb = np.zeros(len(mx), bool)
             amb[nz] = seg_max >= 4
             bucket_arr[amb] = -1
+        if self.band_ids:
+            from ..ops.affine_pallas import BANDED, band_eligible
+
+            elig = band_eligible(t_lens, q_lens) & (bucket_arr > 0)
+            bucket_arr[elig] |= BANDED
         handles = []  # (bucket, handle, job_keys [, kind])
         # ---- edit-distance jobs (exact Myers kernel) ------------------
         edit_unrouted = np.zeros(len(mx), bool)
@@ -361,12 +379,13 @@ class _ServerCore:
                         handles.append(((T, Wd), h, chunk, "edit"))
         overflow = np.flatnonzero((bucket_arr < 0) & (job_kind == 0)
                                   | edit_unrouted)
-        for b in self.buckets:
+        for b in self.band_ids + tuple(self.buckets):
             idxs = np.flatnonzero(bucket_arr == b)
             if not len(idxs):
                 continue
             Bmax = self.shape_b[b]
             ladder = self._ladder(b)
+            w = b & 0xFFFFF  # plane width (mask the BANDED flag)
             for cs in range(0, len(idxs), Bmax):
                 chunk = idxs[cs : cs + Bmax]
                 # snuggest COMPILED rung: device compute scales with the
@@ -376,8 +395,8 @@ class _ServerCore:
                 avail = self.ready_rungs.get(b) or {Bmax}
                 B = next((r for r in ladder if r >= len(chunk)
                           and r in avail), Bmax)
-                tT = np.full((B, b), 4, np.uint8)
-                tQ = np.full((B, b), 4, np.uint8)
+                tT = np.full((B, w), 4, np.uint8)
+                tQ = np.full((B, w), 4, np.uint8)
                 t_len = np.ones(B, np.int32)
                 q_len = np.ones(B, np.int32)
                 tl = t_lens[chunk]
@@ -438,18 +457,21 @@ class _ServerCore:
                         fh.write(
                             "calls=%d reqs=%d jobs=%d jobs/call=%.1f "
                             "fetch_ms/call=%.1f wall_s=%.1f cpu_s=%.1f "
-                            "disp_cpu=%.1f dl_cpu=%.1f\n"
+                            "disp_cpu=%.1f dl_cpu=%.1f escal=%d\n"
                             % (st["calls"], st["reqs"], st["jobs"],
                                st["jobs"] / max(st["calls"], 1),
                                st["fetch_s"] * 1e3 / max(st["calls"], 1),
                                dt, ru.ru_utime + ru.ru_stime,
-                               st["disp_cpu"], st["dl_cpu"]))
+                               st["disp_cpu"], st["dl_cpu"],
+                               st.get("escal", 0)))
                 break
             pending, (job_req, job_ji), handles, overflow, resp_put = item
             _dlcpu0 = _time.thread_time()
             # per-request routing tables: req -> {(bucket, chunk#): slot}
             # (chunk# keys stop two same-bucket chunks from merging)
             per_req = [dict() for _ in pending]
+            host_extra = {}
+            n_escal = 0
             fetch = getattr(self.aligner, "fetch", None)
             n_calls = n_jobs_t = 0
             fetch_s = 0.0
@@ -484,7 +506,24 @@ class _ServerCore:
                 else:
                     res = ("packed", np.asarray(h))
                 fetch_s += _time.monotonic() - _t0
-                if res[0] == "rr":
+                if res[0] == "rrb":
+                    # banded planes + escalation flags: flagged jobs go
+                    # back to the requester's host fill path
+                    lo, ex, flags = res[1], res[2], res[3]
+                    for ri, rows in req_groups(chunk):
+                        fl = flags[rows]
+                        okr = rows[~fl]
+                        if len(okr):
+                            per_req[ri][(b, ci)] = (
+                                "rrB", lo[okr], ex[okr],
+                                job_ji[chunk[okr]].tolist(),
+                            )
+                        bad = rows[fl]
+                        if len(bad):
+                            host_extra.setdefault(ri, []).extend(
+                                job_ji[chunk[bad]].tolist())
+                            n_escal += len(bad)
+                elif res[0] == "rr":
                     lo, ex = res[1], res[2]
                     for ri, rows in req_groups(chunk):
                         per_req[ri][(b, ci)] = (
@@ -500,9 +539,10 @@ class _ServerCore:
                         )
             if len(overflow):
                 for ri, rows in req_groups(np.asarray(overflow)):
-                    per_req[ri][(-1, 0)] = (
-                        "host", job_ji[np.asarray(overflow)[rows]].tolist()
-                    )
+                    host_extra.setdefault(ri, []).extend(
+                        job_ji[np.asarray(overflow)[rows]].tolist())
+            for ri, extra in host_extra.items():
+                per_req[ri][(-1, 0)] = ("host", extra)
             for ri, (client_id, req_id, *_rest) in enumerate(pending):
                 resp_put(client_id, (req_id, per_req[ri]))
             with self._stats_lock:
@@ -511,6 +551,7 @@ class _ServerCore:
                     self._stats["jobs"] += n_jobs_t
                     self._stats["reqs"] += len(pending)
                     self._stats["fetch_s"] += fetch_s
+                    self._stats["escal"] += n_escal
                     self._stats["dl_cpu"] += _time.thread_time() - _dlcpu0
 
 
@@ -540,7 +581,8 @@ def decode_response(msg, pairs, eqx: bool):
             for ji, r in zip(slot[1], _host_global_batch(sub, eqx)):
                 results[ji] = r
             continue
-        if slot[0] == "rr":
+        if slot[0] in ("rr", "rrB"):  # rrB = banded (edge-flagged jobs
+            # were already routed to the "host" slot by the downloader)
             _, lo, ex, jidxs = slot
             sub = [pairs[ji] for ji in jidxs]
             decoded = native.decode_rowruns(lo, ex, sub, eqx=eqx)

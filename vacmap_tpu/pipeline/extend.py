@@ -12,6 +12,8 @@ segments are lists of anchors in ASCENDING read order.
 
 from __future__ import annotations
 
+import os
+
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -794,6 +796,17 @@ def _host_global_batch(pairs, eqx):
                 cigs = native.ops_to_cigars_plane(res[0], res[1])
                 if cigs is not None:
                     # n_del/n_ins left 0: refine_chain only consumes .cigar
+                    # NOTE (characterized, round 4): on near-random pairs
+                    # the striped R=16 band can return a ~1%-score-
+                    # suboptimal path without its escalate-on-edge rule
+                    # firing (staircase optima; adversarial test in
+                    # test_affine_pallas).  No content statistic separates
+                    # that class (X/EQ and NM guards were measured: 8-12%
+                    # host cost, zero true positives on pipeline corpora),
+                    # and pipeline exposure is nil: divergence-bound NM
+                    # stays a valid upper bound (decisions exact) and kept
+                    # segments' windows are anchor-bounded similar content
+                    # (round-3b: SAM-identical on SV corpora at R=16).
                     return [
                         AlignResult(c, False, len(q), len(t), 0, 0, 0)
                         for c, (t, q) in zip(cigs, pairs)
