@@ -360,7 +360,7 @@ def test_banded_kernel_exact_interpret(rng):
         assert native.ops_to_cigar(dec[i]) == want.cigar, i
 
 
-def test_banded_kernel_edge_escalation_flag(rng):
+def test_banded_kernel_edge_escalation_flag():
     """An out-of-band optimum that presses against the band edge (a
     26 bp tandem duplication under a narrow W=32 test band: the dup
     insertion walks the traceback across the upper band edge) must set
@@ -371,9 +371,12 @@ def test_banded_kernel_edge_escalation_flag(rng):
         _fill_and_rowruns_banded, make_qshift, pack_plane,
     )
 
+    # local fixed rng: whether a given random 26bp dup fires depends on
+    # content, and the shared session rng's state depends on test order
+    lrng = np.random.default_rng(0)
     T, W, R, tb = 256, 32, 2, 8
-    A = rng.integers(0, 4, 40).astype(np.uint8)
-    C = rng.integers(0, 4, 40).astype(np.uint8)
+    A = lrng.integers(0, 4, 40).astype(np.uint8)
+    C = lrng.integers(0, 4, 40).astype(np.uint8)
     t = np.concatenate([A, C])
     q = np.concatenate([A, C[:26], C[:26], C[26:]]).astype(np.uint8)
     tT = np.zeros((tb, T), np.uint8)
