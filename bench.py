@@ -386,7 +386,7 @@ def _asm_section(gcodes):
     }
 
 
-def probe_device(timeout: float = 150.0) -> bool:
+def probe_device(timeout: float = 420.0) -> bool:
     """True when the accelerator answers a trivial computation in time.
 
     Runs in a subprocess because a dead relay blocks jax backend init
@@ -499,7 +499,7 @@ def main():
         for attempt in (1, 2):
             try:
                 fill_handle = start_fill_server(
-                    n_workers, wait_ready=True, ready_timeout=420,
+                    n_workers, wait_ready=True, ready_timeout=600,
                     force=True)
             except Exception:
                 fill_srv["error"] = traceback.format_exc(limit=2)

@@ -60,6 +60,12 @@ MAX_WAIT_MS = float(os.environ.get("VACMAP_TPU_FILL_WAIT_MS", "3.0"))
 # 3 downloader threads turned 32 ms/call into 99), so one downloader.
 DEPTH = int(os.environ.get("VACMAP_TPU_FILL_DEPTH", "2"))
 N_DOWNLOADERS = 1
+# background ladder-rung compiles run only in traffic idle gaps: the
+# relay serializes device calls per process, so a rung compile issued
+# while fills are in flight parks every worker behind a minutes-long
+# RPC (observed as the round-4 bench "deadlock": 4 workers futex-idle
+# for >10 min while the service compiled rungs after going ready)
+IDLE_COMPILE_S = float(os.environ.get("VACMAP_TPU_FILL_IDLE_COMPILE_S", "8"))
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +149,7 @@ class _ServerCore:
         self.max_wait = max_wait_ms / 1e3
         self.inflight: "queue.Queue" = queue.Queue(maxsize=depth)
         self.stopping = False
+        self.last_traffic = 0.0  # monotonic time of the last request seen
         self._stats_lock = threading.Lock()
         self._stats = {"calls": 0, "reqs": 0, "jobs": 0, "fetch_s": 0.0,
                        "disp_cpu": 0.0, "dl_cpu": 0.0, "escal": 0}
@@ -177,12 +184,27 @@ class _ServerCore:
             except Exception:
                 pass  # calibration is advisory; default stays engaged
 
+        def _wait_idle() -> bool:
+            """Block until no request arrived for IDLE_COMPILE_S (False =
+            service stopping).  Keeps background rung compiles off the
+            relay while fills are in flight — one rung compile issued
+            mid-traffic parks every client behind a minutes-long RPC."""
+            import time as _time
+
+            while not self.stopping:
+                if _time.monotonic() - self.last_traffic >= IDLE_COMPILE_S:
+                    return True
+                _time.sleep(0.5)
+            return False
+
         def rest():
             try:
                 for b in self.band_ids + self.buckets:
                     for r in self._ladder(b):
                         if r in self.ready_rungs[b]:
                             continue
+                        if not _wait_idle():
+                            return
                         self.aligner.prewarm(batch_sizes=(r,), buckets=(b,))
                         self.ready_rungs[b] = self.ready_rungs[b] | {r}
             except Exception:
@@ -191,6 +213,8 @@ class _ServerCore:
             if ea is not None:
                 for bk in ea.buckets:
                     try:
+                        if not _wait_idle():
+                            return
                         ea.prewarm(buckets=(bk,))
                         self.edit_ready = self.edit_ready | {bk}
                     except Exception:
@@ -277,6 +301,7 @@ class _ServerCore:
                 break
             pending.append(item)
             # accumulation window: let peers pile on
+            self.last_traffic = time.monotonic()
             deadline = time.monotonic() + self.max_wait
             njobs = len(pending[0][2])
             stop = False
@@ -290,14 +315,37 @@ class _ServerCore:
                     break
                 pending.append(item)
                 njobs += len(item[2])
+            self.last_traffic = time.monotonic()
             self._dispatch_batch(pending, resp_put)
             pending = []
             if stop:
                 break
         # drain the in-flight queue, then wake the downloader
+        self.stopping = True
         self.inflight.put(None)
 
     def _dispatch_batch(self, pending, resp_put):
+        """Exception-proof wrapper: a dispatch failure (bad request, relay
+        error, device OOM) must degrade THAT batch to host fills — loudly
+        — never kill the dispatcher thread (clients would hang forever)."""
+        try:
+            self._dispatch_batch_inner(pending, resp_put)
+        except Exception:
+            import sys
+            import traceback
+
+            print("vacmap fill service: dispatch failed; batch degraded "
+                  "to host fills:\n" + traceback.format_exc(limit=6),
+                  file=sys.stderr, flush=True)
+            for p in pending:
+                client_id, req_id, lens = p[0], p[1], p[2]
+                try:
+                    resp_put(client_id, (
+                        req_id, {(-1, 0): ("host", list(range(len(lens))))}))
+                except Exception:
+                    pass
+
+    def _dispatch_batch_inner(self, pending, resp_put):
         """Flatten requests -> bucket groups -> padded device dispatches.
 
         Fully vectorized (bulk numpy over the concatenated request
@@ -466,93 +514,121 @@ class _ServerCore:
                                st.get("escal", 0)))
                 break
             pending, (job_req, job_ji), handles, overflow, resp_put = item
-            _dlcpu0 = _time.thread_time()
-            # per-request routing tables: req -> {(bucket, chunk#): slot}
-            # (chunk# keys stop two same-bucket chunks from merging)
-            per_req = [dict() for _ in pending]
-            host_extra = {}
-            n_escal = 0
-            fetch = getattr(self.aligner, "fetch", None)
-            n_calls = n_jobs_t = 0
-            fetch_s = 0.0
+            try:
+                self._download_item(pending, job_req, job_ji, handles,
+                                    overflow, resp_put)
+            except Exception:
+                import sys
+                import traceback
 
-            def req_groups(chunk):
-                # chunk rows grouped by requester: [(ri, rows)] — bulk
-                # argsort instead of a per-job Python loop
-                rks = job_req[chunk]
-                order = np.argsort(rks, kind="stable")
-                srk = rks[order]
-                cuts = np.flatnonzero(srk[1:] != srk[:-1]) + 1
-                for g in np.split(order, cuts):
-                    yield int(srk[0] if not len(g) else rks[g[0]]), g
+                # a fetch/routing failure must degrade THIS batch to host
+                # fills — loudly — never kill the downloader (the bounded
+                # inflight queue would fill and wedge the dispatcher, and
+                # with it every client)
+                print("vacmap fill service: download failed; batch "
+                      "degraded to host fills:\n"
+                      + traceback.format_exc(limit=6),
+                      file=sys.stderr, flush=True)
+                for p in pending:
+                    client_id, req_id, lens = p[0], p[1], p[2]
+                    try:
+                        resp_put(client_id, (
+                            req_id,
+                            {(-1, 0): ("host", list(range(len(lens))))}))
+                    except Exception:
+                        pass
 
-            for ci, hrec in enumerate(handles):
-                b, h, chunk = hrec[0], hrec[1], hrec[2]
-                kind = hrec[3] if len(hrec) > 3 else "fill"
-                n_calls += 1
-                n_jobs_t += len(chunk)
-                _t0 = _time.monotonic()
-                if kind == "edit":
-                    dists = self.edit_aligner.fetch(h)
-                    fetch_s += _time.monotonic() - _t0
-                    for ri, rows in req_groups(chunk):
-                        per_req[ri][(b, ci)] = (
-                            "edist", dists[rows], job_ji[chunk[rows]].tolist()
-                        )
-                    continue
-                # blocking device->host fetch
-                if fetch is not None:
-                    res = fetch(h)
-                else:
-                    res = ("packed", np.asarray(h))
+    def _download_item(self, pending, job_req, job_ji, handles, overflow,
+                       resp_put):
+        import time as _time
+
+        _dlcpu0 = _time.thread_time()
+        # per-request routing tables: req -> {(bucket, chunk#): slot}
+        # (chunk# keys stop two same-bucket chunks from merging)
+        per_req = [dict() for _ in pending]
+        host_extra = {}
+        n_escal = 0
+        fetch = getattr(self.aligner, "fetch", None)
+        n_calls = n_jobs_t = 0
+        fetch_s = 0.0
+
+        def req_groups(chunk):
+            # chunk rows grouped by requester: [(ri, rows)] — bulk
+            # argsort instead of a per-job Python loop
+            rks = job_req[chunk]
+            order = np.argsort(rks, kind="stable")
+            srk = rks[order]
+            cuts = np.flatnonzero(srk[1:] != srk[:-1]) + 1
+            for g in np.split(order, cuts):
+                yield int(srk[0] if not len(g) else rks[g[0]]), g
+
+        for ci, hrec in enumerate(handles):
+            b, h, chunk = hrec[0], hrec[1], hrec[2]
+            kind = hrec[3] if len(hrec) > 3 else "fill"
+            n_calls += 1
+            n_jobs_t += len(chunk)
+            _t0 = _time.monotonic()
+            if kind == "edit":
+                dists = self.edit_aligner.fetch(h)
                 fetch_s += _time.monotonic() - _t0
-                if res[0] == "rrb":
-                    # banded planes + escalation flags: flagged jobs go
-                    # back to the requester's host fill path
-                    lo, ex, flags = res[1], res[2], res[3]
-                    for ri, rows in req_groups(chunk):
-                        fl = flags[rows]
-                        okr = rows[~fl]
-                        if len(okr):
-                            per_req[ri][(b, ci)] = (
-                                "rrB", lo[okr], ex[okr],
-                                job_ji[chunk[okr]].tolist(),
-                            )
-                        bad = rows[fl]
-                        if len(bad):
-                            host_extra.setdefault(ri, []).extend(
-                                job_ji[chunk[bad]].tolist())
-                            n_escal += len(bad)
-                elif res[0] == "rr":
-                    lo, ex = res[1], res[2]
-                    for ri, rows in req_groups(chunk):
+                for ri, rows in req_groups(chunk):
+                    per_req[ri][(b, ci)] = (
+                        "edist", dists[rows], job_ji[chunk[rows]].tolist()
+                    )
+                continue
+            # blocking device->host fetch
+            if fetch is not None:
+                res = fetch(h)
+            else:
+                res = ("packed", np.asarray(h))
+            fetch_s += _time.monotonic() - _t0
+            if res[0] == "rrb":
+                # banded planes + escalation flags: flagged jobs go
+                # back to the requester's host fill path
+                lo, ex, flags = res[1], res[2], res[3]
+                for ri, rows in req_groups(chunk):
+                    fl = flags[rows]
+                    okr = rows[~fl]
+                    if len(okr):
                         per_req[ri][(b, ci)] = (
-                            "rr", lo[rows], ex[rows],
-                            job_ji[chunk[rows]].tolist(),
+                            "rrB", lo[okr], ex[okr],
+                            job_ji[chunk[okr]].tolist(),
                         )
-                else:
-                    packed = res[1]
-                    for ri, rows in req_groups(chunk):
-                        per_req[ri][(b, ci)] = (
-                            "packed", packed[:, rows],
-                            job_ji[chunk[rows]].tolist(),
-                        )
-            if len(overflow):
-                for ri, rows in req_groups(np.asarray(overflow)):
-                    host_extra.setdefault(ri, []).extend(
-                        job_ji[np.asarray(overflow)[rows]].tolist())
-            for ri, extra in host_extra.items():
-                per_req[ri][(-1, 0)] = ("host", extra)
-            for ri, (client_id, req_id, *_rest) in enumerate(pending):
-                resp_put(client_id, (req_id, per_req[ri]))
-            with self._stats_lock:
-                if self._stats is not None:
-                    self._stats["calls"] += n_calls
-                    self._stats["jobs"] += n_jobs_t
-                    self._stats["reqs"] += len(pending)
-                    self._stats["fetch_s"] += fetch_s
-                    self._stats["escal"] += n_escal
-                    self._stats["dl_cpu"] += _time.thread_time() - _dlcpu0
+                    bad = rows[fl]
+                    if len(bad):
+                        host_extra.setdefault(ri, []).extend(
+                            job_ji[chunk[bad]].tolist())
+                        n_escal += len(bad)
+            elif res[0] == "rr":
+                lo, ex = res[1], res[2]
+                for ri, rows in req_groups(chunk):
+                    per_req[ri][(b, ci)] = (
+                        "rr", lo[rows], ex[rows],
+                        job_ji[chunk[rows]].tolist(),
+                    )
+            else:
+                packed = res[1]
+                for ri, rows in req_groups(chunk):
+                    per_req[ri][(b, ci)] = (
+                        "packed", packed[:, rows],
+                        job_ji[chunk[rows]].tolist(),
+                    )
+        if len(overflow):
+            for ri, rows in req_groups(np.asarray(overflow)):
+                host_extra.setdefault(ri, []).extend(
+                    job_ji[np.asarray(overflow)[rows]].tolist())
+        for ri, extra in host_extra.items():
+            per_req[ri][(-1, 0)] = ("host", extra)
+        for ri, (client_id, req_id, *_rest) in enumerate(pending):
+            resp_put(client_id, (req_id, per_req[ri]))
+        with self._stats_lock:
+            if self._stats is not None:
+                self._stats["calls"] += n_calls
+                self._stats["jobs"] += n_jobs_t
+                self._stats["reqs"] += len(pending)
+                self._stats["fetch_s"] += fetch_s
+                self._stats["escal"] += n_escal
+                self._stats["dl_cpu"] += _time.thread_time() - _dlcpu0
 
 
 # ---------------------------------------------------------------------------

@@ -22,16 +22,27 @@ import sys
 import time
 
 
-def prewarm_fills() -> None:
-    from .ops.affine_pallas import PallasFillAligner
+def prewarm_fills(full: bool = True) -> None:
+    """Compile the fill service's WHOLE dispatch-shape universe: both
+    buckets x (banded + full-width) x every ladder rung.  The service
+    itself compiles only the top rung per bucket before going ready and
+    fills in the rest during traffic idle gaps — running this once per
+    machine makes those background compiles (and any later service
+    start) pure persistent-cache hits."""
+    from .ops.affine_pallas import BANDED, PallasFillAligner, batch_ladder
     from .parallel.fill_service import DEFAULT_SHAPE_B
 
     pa = PallasFillAligner()
-    for bucket, B in sorted(DEFAULT_SHAPE_B.items()):
-        t0 = time.time()
-        pa.prewarm(batch_sizes=(B,), buckets=(bucket,))
-        print(f"fill kernel (B={B}, N={bucket}): {time.time() - t0:.1f}s",
-              flush=True)
+    for bucket, Bmax in sorted(DEFAULT_SHAPE_B.items()):
+        ids = ([bucket | BANDED, bucket] if pa.banded else [bucket])
+        for bid in ids:
+            rungs = batch_ladder(bucket, Bmax) if full else [Bmax]
+            for B in sorted(rungs, reverse=True):
+                t0 = time.time()
+                pa.prewarm(batch_sizes=(B,), buckets=(bid,))
+                name = (f"banded {bucket}" if bid & BANDED else f"{bucket}")
+                print(f"fill kernel (B={B}, N={name}): "
+                      f"{time.time() - t0:.1f}s", flush=True)
 
 
 def prewarm_chain() -> None:
