@@ -292,3 +292,87 @@ def test_async_window_bound_stage_matches_sync(small_genome, rng):
     finally:
         svc.stop()
     assert got == want
+
+
+def test_backpressure_gate_bounces_to_host(rng, monkeypatch):
+    """With the in-flight cap tiny, overload submits host-fill instead of
+    queueing; accepted requests still resolve and the shared counter
+    drains back to zero (cross-process transport)."""
+    import vacmap_tpu.parallel.fill_service as fs
+
+    monkeypatch.delenv("VACMAP_TPU_NO_FILL_SERVER", raising=False)
+    monkeypatch.setenv("VACMAP_TPU_FILL_HOST", "1")
+    monkeypatch.setattr(fs, "MAX_INFLIGHT_JOBS", 8)
+    handle = start_fill_server(1, prewarm=False)
+    assert handle is not None
+    try:
+        c = handle.client(0)
+        batches = [[_rand_pair(rng) for _ in range(6)] for _ in range(5)]
+        handles = [c.submit(b, eqx=True) for b in batches]
+        # 8-job cap, 6-job batches: at most 2 admitted before any drain
+        assert sum(1 for h in handles if h[0] is None) >= 3
+        assert c.bounced_jobs >= 18
+        for h, b in zip(handles, batches):
+            got = c.wait(h)
+            want = _expected(b, True)
+            assert [g.cigar for g in got] == [w.cigar for w in want]
+        # counter drains once every admitted response lands
+        assert handle.pending_ctr.value == 0
+    finally:
+        handle.stop()
+
+
+def test_backpressure_gate_in_process(rng, monkeypatch):
+    import vacmap_tpu.parallel.fill_service as fs
+
+    monkeypatch.setattr(fs, "MAX_INFLIGHT_JOBS", 8)
+    svc = AsyncFillAligner(aligner=HostEmulFillAligner(), max_wait_ms=1.0)
+    try:
+        batches = [[_rand_pair(rng) for _ in range(6)] for _ in range(5)]
+        handles = [svc.submit(b, eqx=False) for b in batches]
+        assert sum(1 for h in handles if h[0] == "host") >= 3
+        for h, b in zip(handles, batches):
+            got = svc.wait(h)
+            want = _expected(b, False)
+            assert [g.cigar for g in got] == [w.cigar for w in want]
+        assert svc._pending_n == 0
+    finally:
+        svc.stop()
+
+
+_GEN_CLIENTS: list = []  # fork-inherited (mp queues cannot be pickled)
+
+
+def _gen_chunk(args):
+    """Top-level pool fn (fork ctx) for the two-generation test."""
+    idx, seeds = args
+    client = _GEN_CLIENTS[idx]
+    r = np.random.default_rng(seeds)
+    pairs = [_rand_pair(r) for _ in range(8)]
+    got = client.align_batch(pairs, eqx=True)
+    want = _expected(pairs, True)
+    return [g.cigar for g in got] == [w.cigar for w in want]
+
+
+def test_two_pool_generations_share_clients(rng, monkeypatch):
+    """Two sequential fork-pool generations reuse the SAME clients (the
+    bench's min-of-N pools; CLI re-runs).  A reader parked inside
+    mp.Queue.get holds the queue's cross-process _rlock at worker exit,
+    which deadlocked generation 2 before the poll-then-recv drain."""
+    import multiprocessing as mp_
+
+    monkeypatch.delenv("VACMAP_TPU_NO_FILL_SERVER", raising=False)
+    monkeypatch.setenv("VACMAP_TPU_FILL_HOST", "1")
+    handle = start_fill_server(2, prewarm=False)
+    assert handle is not None
+    try:
+        _GEN_CLIENTS[:] = [handle.client(i) for i in range(2)]
+        for gen in range(2):
+            with mp_.get_context("fork").Pool(2) as pool:
+                res = pool.map_async(
+                    _gen_chunk,
+                    [(i, 100 * gen + i) for i in range(2)])
+                assert all(res.get(timeout=60)), f"generation {gen}"
+    finally:
+        _GEN_CLIENTS.clear()
+        handle.stop()

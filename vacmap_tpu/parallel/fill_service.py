@@ -66,6 +66,15 @@ N_DOWNLOADERS = 1
 # RPC (observed as the round-4 bench "deadlock": 4 workers futex-idle
 # for >10 min while the service compiled rungs after going ready)
 IDLE_COMPILE_S = float(os.environ.get("VACMAP_TPU_FILL_IDLE_COMPILE_S", "8"))
+# adaptive partial offload: clients keep a SHARED count of jobs in
+# flight to the service and submit only while it is below this cap —
+# overflow jobs run on the host immediately instead of queueing behind
+# a saturated link.  On a direct-attached chip the service drains fast,
+# the cap never binds, and everything offloads; on a thin relay (~13k
+# jobs/s measured here) the cap splits the fill load at the device's
+# actual absorption rate instead of stalling every worker behind it.
+MAX_INFLIGHT_JOBS = int(os.environ.get("VACMAP_TPU_FILL_MAX_INFLIGHT",
+                                       "3072"))
 
 
 # ---------------------------------------------------------------------------
@@ -721,6 +730,7 @@ class AsyncFillAligner:
         self._events: Dict[int, dict] = {}
         self._lock = threading.Lock()
         self._next_id = 0
+        self._pending_n = 0  # in-flight jobs (backpressure, under _lock)
         # device engages only after the dispatcher thread finishes the
         # prewarm compiles; until then submit() routes to host fills so
         # small/cold runs never stall on Mosaic compilation
@@ -754,6 +764,8 @@ class AsyncFillAligner:
         req_id, msg = resp
         with self._lock:
             box = self._events.pop(req_id, None)
+            if box is not None:
+                self._pending_n -= box.get("n", 0)
         if box is not None:
             box["msg"] = msg
             box["event"].set()
@@ -769,14 +781,19 @@ class AsyncFillAligner:
     def submit(self, pairs, eqx: bool = False):
         """Enqueue a fill batch; returns an opaque handle for wait().
         The caller keeps processing other reads while the device works.
-        Until the prewarm compiles finish (or if the device failed), the
-        handle routes to host fills instead — never blocks on init."""
+        Until the prewarm compiles finish (or if the device failed) —
+        or while the in-flight backlog is above the backpressure cap —
+        the handle routes to host fills instead: never blocks on init,
+        never queues behind a saturated device link."""
         if not pairs:
             return (None, pairs, eqx)
         if self.failed or not self.ready.is_set():
             return ("host", pairs, eqx)
-        box = {"event": threading.Event(), "msg": None}
+        box = {"event": threading.Event(), "msg": None, "n": len(pairs)}
         with self._lock:
+            if self._pending_n >= MAX_INFLIGHT_JOBS:
+                return ("host", pairs, eqx)
+            self._pending_n += len(pairs)
             req_id = self._next_id
             self._next_id += 1
             self._events[req_id] = box
@@ -799,8 +816,11 @@ class AsyncFillAligner:
         """Exact edit distances on device; None entries = host fallback."""
         if not pairs or self.failed or not self.ready.is_set():
             return [None] * len(pairs)
-        box = {"event": threading.Event(), "msg": None}
+        box = {"event": threading.Event(), "msg": None, "n": len(pairs)}
         with self._lock:
+            if self._pending_n >= MAX_INFLIGHT_JOBS:
+                return [None] * len(pairs)
+            self._pending_n += len(pairs)
             req_id = self._next_id
             self._next_id += 1
             self._events[req_id] = box
@@ -980,16 +1000,19 @@ def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool,
 
 
 class FillServerHandle:
-    def __init__(self, proc, req_q, resp_qs, ready_evt, ok_val):
+    def __init__(self, proc, req_q, resp_qs, ready_evt, ok_val,
+                 pending_ctr=None):
         self.proc = proc
         self.req_q = req_q
         self.resp_qs = resp_qs
         self.ready_evt = ready_evt
         self.ok_val = ok_val
+        self.pending_ctr = pending_ctr
 
     def client(self, worker_id: int) -> "FillClient":
         return FillClient(worker_id, self.req_q, self.resp_qs[worker_id],
-                          ready_evt=self.ready_evt, ok_val=self.ok_val)
+                          ready_evt=self.ready_evt, ok_val=self.ok_val,
+                          pending_ctr=self.pending_ctr)
 
     def stop(self):
         try:
@@ -1026,6 +1049,7 @@ def start_fill_server(n_clients: int, buckets=DEFAULT_BUCKETS,
     resp_qs = [ctx.Queue() for _ in range(n_clients)]
     ready = ctx.Event()
     ok = ctx.Value("i", 0)
+    pending = ctx.Value("l", 0)  # jobs in flight, shared by all clients
     proc = ctx.Process(
         target=_server_main,
         args=(req_q, resp_qs, buckets, ready, ok, prewarm, force),
@@ -1037,29 +1061,64 @@ def start_fill_server(n_clients: int, buckets=DEFAULT_BUCKETS,
             proc.terminate()
             proc.join(timeout=10)
             return None
-    return FillServerHandle(proc, req_q, resp_qs, ready, ok)
+    return FillServerHandle(proc, req_q, resp_qs, ready, ok,
+                            pending_ctr=pending)
 
 
 class FillClient:
-    """Worker-side handle: thread-safe blocking ``align_batch``.  A
-    response-router thread per worker process routes by req_id so many
-    mapping threads can have fills in flight concurrently."""
+    """Worker-side handle: thread-safe blocking ``align_batch``; many
+    mapping threads can have fills in flight concurrently.
+
+    Response draining happens INSIDE ``wait()`` (one drainer at a time,
+    poll-then-recv), NOT in a parked reader thread: mp.Queue.get holds
+    the queue's cross-process _rlock while blocked in recv, so a daemon
+    router thread parked in get() at process exit leaves that shared
+    lock acquired FOREVER — the next fork generation of workers (bench
+    min-of-2 pools, CLI re-runs) then deadlocks on acquire.  The drain
+    pattern holds _rlock only across a short poll + one message read."""
 
     wants_window_jobs = True  # see AsyncFillAligner
 
     def __init__(self, worker_id: int, req_q, resp_q,
-                 ready_evt=None, ok_val=None):
+                 ready_evt=None, ok_val=None, pending_ctr=None):
         self.worker_id = worker_id
         self.req_q = req_q
         self.resp_q = resp_q
         self._events: Dict[int, dict] = {}
         self._lock = threading.Lock()
+        self._drain_lock = threading.Lock()  # one drainer at a time
         self._next_id = 0
-        self._router: Optional[threading.Thread] = None
         self.failed = False
         self._ready_evt = ready_evt
         self._ok_val = ok_val
         self._ready_cache = ready_evt is None  # no gate -> trust caller
+        self._pending = pending_ctr  # shared in-flight job counter
+        self.offloaded_jobs = 0  # accepted by the gate (this client)
+        self.bounced_jobs = 0    # host-filled by the gate (this client)
+
+    def _admit(self, n: int) -> bool:
+        """Backpressure gate: reserve n in-flight job slots, or report
+        the service saturated (caller host-fills instead of queueing)."""
+        ctr = self._pending
+        if ctr is None:
+            self.offloaded_jobs += n
+            return True
+        with ctr.get_lock():
+            if ctr.value >= MAX_INFLIGHT_JOBS:
+                self.bounced_jobs += n
+                return False
+            ctr.value += n
+        self.offloaded_jobs += n
+        return True
+
+    def _release(self, box) -> None:
+        ctr = self._pending
+        if ctr is not None and box is not None:
+            n = box.get("n", 0)
+            if n:
+                box["n"] = 0
+                with ctr.get_lock():
+                    ctr.value -= n
 
     def _server_ready(self) -> bool:
         """Non-blocking: host fills until the service finishes its prewarm
@@ -1074,19 +1133,53 @@ class FillClient:
         self._ready_cache = True
         return True
 
-    def _ensure_router(self):
-        if self._router is None or not self._router.is_alive():
-            self._router = threading.Thread(target=self._route, daemon=True)
-            self._router.start()
+    def _recv_one(self, poll_s: float) -> bool:
+        """Read + route at most one response message.  Replicates
+        mp.Queue.get's locked read but holds the cross-process _rlock
+        only while data is actually available — never parks on it (see
+        class docstring).  Returns True when a message was routed."""
+        q = self.resp_q
+        if not q._rlock.acquire(timeout=poll_s):
+            return False
+        try:
+            if not q._reader.poll(poll_s):
+                return False
+            buf = q._reader.recv_bytes()
+        finally:
+            q._rlock.release()
+        import pickle
 
-    def _route(self):
+        req_id, msg = pickle.loads(buf)
+        with self._lock:
+            box = self._events.pop(req_id, None)
+        if box is not None:
+            self._release(box)
+            box["msg"] = msg
+            box["event"].set()
+        return True
+
+    def _drain_until(self, box, timeout: float) -> bool:
+        """Drive response draining until ``box`` resolves (True) or the
+        deadline passes (False).  Concurrent waiters take turns: one
+        drains, the rest park briefly on their own events."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
         while True:
-            req_id, msg = self.resp_q.get()
-            with self._lock:
-                box = self._events.pop(req_id, None)
-            if box is not None:
-                box["msg"] = msg
-                box["event"].set()
+            if box["event"].is_set():
+                return True
+            if self._drain_lock.acquire(blocking=False):
+                try:
+                    if not box["event"].is_set():
+                        self._recv_one(0.05)
+                finally:
+                    self._drain_lock.release()
+            else:
+                box["event"].wait(0.02)
+            if box["event"].is_set():
+                return True
+            if _time.monotonic() >= deadline:
+                return False
 
     def __call__(self, pairs, eqx: bool = False):
         return self.align_batch(pairs, eqx)
@@ -1096,10 +1189,10 @@ class FillClient:
 
     # -- async interface ----------------------------------------------
     def submit(self, pairs, eqx: bool = False):
-        if not pairs or self.failed or not self._server_ready():
+        if (not pairs or self.failed or not self._server_ready()
+                or not self._admit(len(pairs))):
             return (None, None, pairs, eqx)
-        self._ensure_router()
-        box = {"event": threading.Event(), "msg": None}
+        box = {"event": threading.Event(), "msg": None, "n": len(pairs)}
         with self._lock:
             req_id = self._next_id
             self._next_id += 1
@@ -1111,28 +1204,30 @@ class FillClient:
         box, req_id, pairs, eqx = handle
         if box is None:
             return self._host(pairs, eqx) if pairs else []
-        if not box["event"].wait(timeout=timeout):
+        if not self._drain_until(box, timeout):
             # service dead/wedged: degrade to host fills permanently
             with self._lock:
-                self._events.pop(req_id, None)
+                stale = self._events.pop(req_id, None)
+            self._release(stale)
             self.failed = True
             return self._host(pairs, eqx)
         return decode_response(box["msg"], pairs, eqx)
 
     def edit_batch(self, pairs, timeout: float = 600.0):
         """Exact edit distances on device; None entries = host fallback."""
-        if not pairs or self.failed or not self._server_ready():
+        if (not pairs or self.failed or not self._server_ready()
+                or not self._admit(len(pairs))):
             return [None] * len(pairs)
-        self._ensure_router()
-        box = {"event": threading.Event(), "msg": None}
+        box = {"event": threading.Event(), "msg": None, "n": len(pairs)}
         with self._lock:
             req_id = self._next_id
             self._next_id += 1
             self._events[req_id] = box
         self.req_q.put((self.worker_id, req_id, *pack_pairs(pairs), "edit"))
-        if not box["event"].wait(timeout=timeout):
+        if not self._drain_until(box, timeout):
             with self._lock:
-                self._events.pop(req_id, None)
+                stale = self._events.pop(req_id, None)
+            self._release(stale)
             self.failed = True
             return [None] * len(pairs)
         return decode_edit_response(box["msg"], len(pairs))
