@@ -310,7 +310,8 @@ def test_backpressure_gate_bounces_to_host(rng, monkeypatch):
         batches = [[_rand_pair(rng) for _ in range(6)] for _ in range(5)]
         handles = [c.submit(b, eqx=True) for b in batches]
         # 8-job cap, 6-job batches: at most 2 admitted before any drain
-        assert sum(1 for h in handles if h[0] is None) >= 3
+        # (bounced submits return cross-read host-batch handles)
+        assert sum(1 for h in handles if h[0] == "hostq") >= 3
         assert c.bounced_jobs >= 18
         for h, b in zip(handles, batches):
             got = c.wait(h)

@@ -224,7 +224,7 @@ def _probe_accelerator(timeout: float = 120.0) -> bool:
     """True when an accelerator answers a trivial computation in time.
     Runs in a subprocess: a dead compile relay hangs jax backend init
     uninterruptibly, and the CLI must degrade to the host deployment
-    instead of freezing (same rationale as bench.probe_device)."""
+    instead of freezing (a dead relay blocks jax init in C land)."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp; "

@@ -50,7 +50,13 @@ DEFAULT_BUCKETS = (256, 512)
 # and never grown by traffic (sub-full batches pad; over-full chunk)
 DEFAULT_SHAPE_B = {256: 1024, 512: 256}
 MAX_JOBS = 4096
-MAX_WAIT_MS = float(os.environ.get("VACMAP_TPU_FILL_WAIT_MS", "3.0"))
+# accumulation window: under sustained load the dispatcher batches up
+# to this long (bigger calls amortize the per-call pad/dispatch CPU the
+# service steals from the mapping cores — measured 4.4 ms/call at 55
+# jobs/call on a fast relay); a quiescence check (no new request for
+# ~4 ms) dispatches early so trickle traffic keeps low latency.
+MAX_WAIT_MS = float(os.environ.get("VACMAP_TPU_FILL_WAIT_MS", "15.0"))
+QUIESCENT_S = 0.004
 # in-flight pipeline: depth 2 makes the batcher SELF-CLOCKING -- the
 # dispatcher blocks on inflight.put while the device works, so incoming
 # requests pile into ONE next batch (batch-while-busy): occupancy rises
@@ -75,6 +81,14 @@ IDLE_COMPILE_S = float(os.environ.get("VACMAP_TPU_FILL_IDLE_COMPILE_S", "8"))
 # actual absorption rate instead of stalling every worker behind it.
 MAX_INFLIGHT_JOBS = int(os.environ.get("VACMAP_TPU_FILL_MAX_INFLIGHT",
                                        "3072"))
+# latency governor: clients keep an EMA of request round-trip time and
+# stop admitting new work while it exceeds this bound.  The deferred
+# window (32 reads x ~10 ms host work) hides ~300 ms of device latency;
+# beyond that admitted reads stall their worker.  The job cap above
+# bounds MEMORY/queue growth; this bounds WAITING — on a slow relay the
+# EMA rises, submits divert to the host path, the backlog drains, and
+# the EMA recovers (self-balancing partial offload).
+MAX_LAT_S = float(os.environ.get("VACMAP_TPU_FILL_LAT_S", "0.25"))
 
 
 # ---------------------------------------------------------------------------
@@ -124,8 +138,10 @@ class _ServerCore:
 
     def __init__(self, aligner, buckets=DEFAULT_BUCKETS, depth=DEPTH,
                  max_jobs=MAX_JOBS, max_wait_ms=MAX_WAIT_MS, shape_b=None,
-                 edit_aligner=None, force: bool = False, n_clients: int = 1):
+                 edit_aligner=None, force: bool = False, n_clients: int = 1,
+                 edit_ready_cb=None):
         self.aligner = aligner
+        self._edit_ready_cb = edit_ready_cb  # called when edit shapes land
         # calibrated auto (VERDICT round-2 item 1): offload pays only when
         # the device's best-case PIPELINED fill rate beats the whole
         # host's striped-kernel rate; measured at startup, not assumed.
@@ -226,6 +242,8 @@ class _ServerCore:
                             return
                         ea.prewarm(buckets=(bk,))
                         self.edit_ready = self.edit_ready | {bk}
+                        if self._edit_ready_cb is not None:
+                            self._edit_ready_cb()
                     except Exception:
                         pass  # edit offload is an optimization only
 
@@ -309,20 +327,25 @@ class _ServerCore:
             if item is None:
                 break
             pending.append(item)
-            # accumulation window: let peers pile on
+            # accumulation window: let peers pile on (quiescence check:
+            # dispatch early when no new request arrives for a while)
             self.last_traffic = time.monotonic()
             deadline = time.monotonic() + self.max_wait
+            last_new = time.monotonic()
             njobs = len(pending[0][2])
             stop = False
             while njobs < self.max_jobs and time.monotonic() < deadline:
                 try:
-                    item = req_get(0.001)
+                    item = req_get(0.002)
                 except queue.Empty:
+                    if time.monotonic() - last_new >= QUIESCENT_S:
+                        break
                     continue
                 if item is None:
                     stop = True
                     break
                 pending.append(item)
+                last_new = time.monotonic()
                 njobs += len(item[2])
             self.last_traffic = time.monotonic()
             self._dispatch_batch(pending, resp_put)
@@ -777,6 +800,12 @@ class AsyncFillAligner:
     def align_batch(self, pairs, eqx: bool = False):
         return self.wait(self.submit(pairs, eqx))
 
+    def accepting(self) -> bool:
+        """Non-reserving saturation peek (see FillClient.accepting)."""
+        if self.failed or not self.ready.is_set():
+            return False
+        return self._pending_n < MAX_INFLIGHT_JOBS
+
     # -- async interface: refine defers the wait to record assembly ----
     def submit(self, pairs, eqx: bool = False):
         """Enqueue a fill batch; returns an opaque handle for wait().
@@ -813,8 +842,11 @@ class AsyncFillAligner:
         return decode_response(box["msg"], pairs, eqx)
 
     def edit_batch(self, pairs, timeout: float = 600.0):
-        """Exact edit distances on device; None entries = host fallback."""
-        if not pairs or self.failed or not self.ready.is_set():
+        """Exact edit distances on device; None entries = host fallback.
+        Short-circuits while the service has no LIVE edit kernel (see
+        FillClient.edit_batch)."""
+        if (not pairs or self.failed or not self.ready.is_set()
+                or not self.core.edit_ready):
             return [None] * len(pairs)
         box = {"event": threading.Event(), "msg": None, "n": len(pairs)}
         with self._lock:
@@ -952,7 +984,7 @@ def async_fill_aligner(buckets=DEFAULT_BUCKETS, force: bool = True,
 
 
 def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool,
-                 force: bool = False):
+                 force: bool = False, edit_val=None):
     """Entry point of the device-owning service process."""
     try:
         from . import runtime
@@ -962,9 +994,15 @@ def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool,
         if aligner is None:
             ready_evt.set()  # no accelerator: parent falls back to host
             return
+
+        def _edit_ready():
+            if edit_val is not None:
+                edit_val.value = 1
+
         core = _ServerCore(aligner, buckets=buckets,
                            edit_aligner=_make_edit_aligner(),
-                           force=force, n_clients=len(resp_qs))
+                           force=force, n_clients=len(resp_qs),
+                           edit_ready_cb=_edit_ready)
         if prewarm:
             core.prewarm()  # whole dispatch-shape universe, BEFORE ready
         if not core.competitive:
@@ -1001,18 +1039,21 @@ def _server_main(req_q, resp_qs, buckets, ready_evt, ok_val, prewarm: bool,
 
 class FillServerHandle:
     def __init__(self, proc, req_q, resp_qs, ready_evt, ok_val,
-                 pending_ctr=None):
+                 pending_ctr=None, lat_sh=None, edit_val=None):
         self.proc = proc
         self.req_q = req_q
         self.resp_qs = resp_qs
         self.ready_evt = ready_evt
         self.ok_val = ok_val
         self.pending_ctr = pending_ctr
+        self.lat_sh = lat_sh
+        self.edit_val = edit_val
 
     def client(self, worker_id: int) -> "FillClient":
         return FillClient(worker_id, self.req_q, self.resp_qs[worker_id],
                           ready_evt=self.ready_evt, ok_val=self.ok_val,
-                          pending_ctr=self.pending_ctr)
+                          pending_ctr=self.pending_ctr, lat_sh=self.lat_sh,
+                          edit_val=self.edit_val)
 
     def stop(self):
         try:
@@ -1050,9 +1091,13 @@ def start_fill_server(n_clients: int, buckets=DEFAULT_BUCKETS,
     ready = ctx.Event()
     ok = ctx.Value("i", 0)
     pending = ctx.Value("l", 0)  # jobs in flight, shared by all clients
+    edit_val = ctx.Value("i", 0)  # 1 once the service's edit kernel is live
+    lat_sh = ctx.Value("d", -1.0)  # shared round-trip EMA (<0 = no data);
+    # shared (not per-client) so it survives worker fork generations —
+    # a fresh pool otherwise admits its whole deferred window blind
     proc = ctx.Process(
         target=_server_main,
-        args=(req_q, resp_qs, buckets, ready, ok, prewarm, force),
+        args=(req_q, resp_qs, buckets, ready, ok, prewarm, force, edit_val),
         daemon=True,
     )
     proc.start()
@@ -1062,7 +1107,8 @@ def start_fill_server(n_clients: int, buckets=DEFAULT_BUCKETS,
             proc.join(timeout=10)
             return None
     return FillServerHandle(proc, req_q, resp_qs, ready, ok,
-                            pending_ctr=pending)
+                            pending_ctr=pending, lat_sh=lat_sh,
+                            edit_val=edit_val)
 
 
 class FillClient:
@@ -1080,7 +1126,8 @@ class FillClient:
     wants_window_jobs = True  # see AsyncFillAligner
 
     def __init__(self, worker_id: int, req_q, resp_q,
-                 ready_evt=None, ok_val=None, pending_ctr=None):
+                 ready_evt=None, ok_val=None, pending_ctr=None,
+                 lat_sh=None, edit_val=None):
         self.worker_id = worker_id
         self.req_q = req_q
         self.resp_q = resp_q
@@ -1093,12 +1140,47 @@ class FillClient:
         self._ok_val = ok_val
         self._ready_cache = ready_evt is None  # no gate -> trust caller
         self._pending = pending_ctr  # shared in-flight job counter
+        self._lat_sh = lat_sh  # shared round-trip EMA (survives forks)
+        self._edit_val = edit_val  # shared flag: edit kernel live
         self.offloaded_jobs = 0  # accepted by the gate (this client)
         self.bounced_jobs = 0    # host-filled by the gate (this client)
+        self.pop_timeouts = 0    # tail-latency host fallbacks
+        self._timeout_streak = 0
+        # gate-bounced jobs join a CROSS-READ host batch (the host
+        # deployment's HostBatchFillAligner) instead of filling per read:
+        # per-read residue batches lose the striped kernel's cross-read
+        # lane packing and big-job 16-lane amortization (measured
+        # +2.3 ms/read)
+        self._hb = None
+        self._hb_lock = threading.Lock()
+
+    def _gate_open(self) -> bool:
+        """Latency-governor half of the admission gate (no reservation):
+        False while the round-trip EMA says responses come back slower
+        than the deferred window can hide.  Shared across forks/workers;
+        decays on rejected peeks so a recovered service gets retried."""
+        v = self._lat_sh.value if self._lat_sh is not None else -1.0
+        if 0 <= v <= MAX_LAT_S:
+            return True
+        if v > MAX_LAT_S:
+            with self._lat_sh.get_lock():
+                self._lat_sh.value *= 0.995
+            return False
+        # no estimate yet (service fresh): admit conservatively so the
+        # first deferred windows cannot pile a seconds-deep backlog
+        # before the first round-trip measurement lands
+        ctr = self._pending
+        return ctr is None or ctr.value < min(512, MAX_INFLIGHT_JOBS)
 
     def _admit(self, n: int) -> bool:
         """Backpressure gate: reserve n in-flight job slots, or report
-        the service saturated (caller host-fills instead of queueing)."""
+        the service saturated (caller host-fills instead of queueing).
+        Applies BOTH halves — the latency governor and the in-flight
+        cap — so every submit path (window batch, final fills, edit
+        spans) is governed uniformly."""
+        if not self._gate_open():
+            self.bounced_jobs += n
+            return False
         ctr = self._pending
         if ctr is None:
             self.offloaded_jobs += n
@@ -1119,6 +1201,19 @@ class FillClient:
                 box["n"] = 0
                 with ctr.get_lock():
                     ctr.value -= n
+
+    def accepting(self) -> bool:
+        """Non-reserving saturation peek: False means a submit would be
+        bounced by the in-flight cap — or is likely to come back slower
+        than the deferred window can hide (latency governor) — so the
+        caller should take its host path up-front (refine_chain's
+        window-branch gate)."""
+        if self.failed or not self._server_ready():
+            return False
+        if not self._gate_open():
+            return False
+        ctr = self._pending
+        return ctr is None or ctr.value < MAX_INFLIGHT_JOBS
 
     def _server_ready(self) -> bool:
         """Non-blocking: host fills until the service finishes its prewarm
@@ -1154,6 +1249,15 @@ class FillClient:
             box = self._events.pop(req_id, None)
         if box is not None:
             self._release(box)
+            t0 = box.get("t0")
+            if t0 is not None and self._lat_sh is not None:
+                import time as _time
+
+                lat = _time.monotonic() - t0
+                with self._lat_sh.get_lock():
+                    v = self._lat_sh.value
+                    self._lat_sh.value = (lat if v < 0
+                                          else 0.7 * v + 0.3 * lat)
             box["msg"] = msg
             box["event"].set()
         return True
@@ -1188,11 +1292,28 @@ class FillClient:
         return self.wait(self.submit(pairs, eqx), timeout=timeout)
 
     # -- async interface ----------------------------------------------
+    def _host_queue(self, pairs, eqx):
+        from ..pipeline.extend import HostBatchFillAligner
+
+        with self._hb_lock:
+            if self._hb is None:
+                self._hb = HostBatchFillAligner()
+            return self._hb.submit(pairs, eqx)
+
+    def _host_wait(self, hq):
+        with self._hb_lock:
+            return self._hb.wait(hq)
+
     def submit(self, pairs, eqx: bool = False):
         if (not pairs or self.failed or not self._server_ready()
                 or not self._admit(len(pairs))):
+            if pairs:
+                return ("hostq", self._host_queue(pairs, eqx), pairs, eqx)
             return (None, None, pairs, eqx)
-        box = {"event": threading.Event(), "msg": None, "n": len(pairs)}
+        import time as _time
+
+        box = {"event": threading.Event(), "msg": None, "n": len(pairs),
+               "t0": _time.monotonic()}
         with self._lock:
             req_id = self._next_id
             self._next_id += 1
@@ -1200,22 +1321,43 @@ class FillClient:
         self.req_q.put((self.worker_id, req_id, *pack_pairs(pairs)))
         return (box, req_id, pairs, eqx)
 
-    def wait(self, handle, timeout: float = 600.0):
+    def wait(self, handle, timeout: Optional[float] = None):
+        """Resolve a submit.  Default timeout is TAIL-BOUNDED: the relay's
+        per-call latency has a heavy tail (46 ms median, 1-2 s spikes
+        measured), and one spiked response stalls the whole worker at
+        window-pop time — so after ~3x the running latency estimate the
+        job recomputes on the host and the late response is dropped
+        (duplicated work for tail requests only; results identical).
+        A streak of timeouts with no successes marks the service dead."""
         box, req_id, pairs, eqx = handle
         if box is None:
             return self._host(pairs, eqx) if pairs else []
+        if box == "hostq":
+            return self._host_wait(req_id)
+        if timeout is None:
+            v = self._lat_sh.value if self._lat_sh is not None else -1.0
+            timeout = max(0.25, 3.0 * v) if v > 0 else 2.0
         if not self._drain_until(box, timeout):
-            # service dead/wedged: degrade to host fills permanently
             with self._lock:
                 stale = self._events.pop(req_id, None)
             self._release(stale)
-            self.failed = True
-            return self._host(pairs, eqx)
+            self.pop_timeouts += 1
+            self._timeout_streak += 1
+            if self._timeout_streak >= 8:
+                self.failed = True  # service dead/wedged: permanent host
+            return self._host_wait(self._host_queue(pairs, eqx))
+        self._timeout_streak = 0
         return decode_response(box["msg"], pairs, eqx)
 
     def edit_batch(self, pairs, timeout: float = 600.0):
-        """Exact edit distances on device; None entries = host fallback."""
-        if (not pairs or self.failed or not self._server_ready()
+        """Exact edit distances on device; None entries = host fallback.
+        Short-circuits unless the service reports a LIVE edit kernel:
+        this call is synchronous (not windowed), so a round trip that can
+        only answer all-None stalls its mapping thread for nothing —
+        measured as the round-4 device-deployment regression."""
+        if (not pairs or self.failed
+                or self._edit_val is None or not self._edit_val.value
+                or not self._server_ready()
                 or not self._admit(len(pairs))):
             return [None] * len(pairs)
         box = {"event": threading.Event(), "msg": None, "n": len(pairs)}

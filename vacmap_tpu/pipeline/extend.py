@@ -942,7 +942,7 @@ def refine_chain(
         return [], [], False
     win_cache: dict = {}
 
-    def _body(pre_bounds, defer):
+    def _body(pre_bounds, defer, force_host_fill=False):
         with trace.span("rf.diverg"):
             segs = divergence_filter(
                 segs0, read_codes, rc_read_codes, read_len, ref,
@@ -978,8 +978,14 @@ def refine_chain(
             fix_simple_inv(segs, read_codes, ref, full=simple_inv_full)
 
         # collect every inter-anchor gap of every segment and align them
-        # as ONE batch (the device aligner buckets by length internally)
-        gl_batch = global_aligner or _host_global_batch
+        # as ONE batch (the device aligner buckets by length internally).
+        # force_host_fill: the async-window continuation fills its small
+        # residue (~12 jobs/read) on host — a synchronous device round
+        # trip here would serialize every read's completion on the
+        # service latency (measured: capped the whole deployment at ~6
+        # reads/s/thread on the relay)
+        gl_batch = (_host_global_batch if force_host_fill
+                    else (global_aligner or _host_global_batch))
         seg_anchor_lists, seg_npairs = [], []
         all_pairs = []
         all_keys = []
@@ -1058,7 +1064,12 @@ def refine_chain(
     # aligners, whose win is moving the compute off-host, set the marker
     if (defer_fill and eqx and global_aligner is not None
             and getattr(global_aligner, "wants_window_jobs", False)
-            and hasattr(global_aligner, "submit")):
+            and hasattr(global_aligner, "submit")
+            # saturation peek: when the service's in-flight cap is
+            # reached, this read takes the HOST window-bound path (the
+            # native ops-plane pass) instead of submitting jobs that
+            # would only bounce back at finish time
+            and getattr(global_aligner, "accepting", lambda: True)()):
         with trace.span("rf.diverg"):
             seg_pairs, w_pairs, w_keys = _window_bound_jobs(
                 segs0, list(range(len(segs0))), read_codes, rc_read_codes,
@@ -1071,7 +1082,7 @@ def refine_chain(
                     bounds = _bounds_from_cigars(
                         seg_pairs, w_keys, [r.cigar for r in results],
                         win_cache)
-                return _body(bounds, False)
+                return _body(bounds, False, force_host_fill=True)
 
             return PendingRefine(global_aligner, handle, _after_windows,
                                  span="rf.diverg")
