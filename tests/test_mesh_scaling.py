@@ -59,3 +59,26 @@ def test_graft_dryrun_multichip_full_step():
     import jax
 
     dryrun_multichip(len(jax.devices()))
+
+
+def test_graft_dryrun_clean_environment():
+    """dryrun_multichip must self-provision its 8 virtual CPU devices in a
+    process with NO platform env vars set: this machine's sitecustomize
+    pre-registers the axon TPU plugin and pins jax_platforms, overriding
+    JAX_PLATFORMS/XLA_FLAGS from the environment — the entry pins the cpu
+    platform via jax.config itself (regression for the round-4 driver
+    dryrun failure)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
