@@ -554,9 +554,10 @@ def main():
         if len(parts) >= 5:
             totals[parts[0]] = float(parts[1])
     # (the traced sample maps synchronously, so rf.* are nested inside
-    # `refine` — top-level spans only)
+    # `refine` — top-level spans only; refine_cont/refine_redo/fill_wait
+    # cover the deferred-mode continuation, wait, and paired-indel redo)
     top = ("prep", "seed", "global_chain", "local_rechain", "refine",
-           "sam_emit")
+           "refine_cont", "refine_redo", "fill_wait", "sam_emit")
     wall = sum(totals.get(k, 0.0) for k in top) or 1.0
     shares = {
         k: round(v / wall * 100, 1)
@@ -655,8 +656,13 @@ def main():
     for _, tot in results:
         for k2, v2 in tot.items():
             mt_totals[k2] = mt_totals.get(k2, 0.0) + v2
+    # fill_wait is in-flight device time (overlapped by the sibling
+    # thread's compute) — the denominator is thread-seconds of traced
+    # top-level work, so rf.* child shares can no longer exceed their
+    # refine/refine_cont parents (round-4 weak point 5)
     top_stages = ("prep", "seed", "global_chain", "local_rechain",
-                  "refine", "sam_emit")
+                  "refine", "refine_cont", "refine_redo", "fill_wait",
+                  "sam_emit")
     mt_wall = sum(mt_totals.get(k2, 0.0) for k2 in top_stages) or 1.0
     mt_shares = {
         k2: round(v2 / mt_wall * 100, 1)

@@ -1146,7 +1146,15 @@ class PendingRefine:
     """A refine_chain whose device batch (window-bound pass or final
     fill) is in flight; ``finish()`` blocks on the results and runs the
     continuation (divergence decisions + rest of refine, or record
-    assembly)."""
+    assembly).
+
+    Trace accounting (round-5 fix): the blocking wait is its own
+    TOP-LEVEL span ``fill_wait`` (in-flight device time overlapped by
+    other reads — NOT refine compute), and the continuation runs under
+    the top-level span ``refine_cont`` so its nested rf.* child spans
+    have a parent in the stage-share denominator.  Round 4's capture
+    attributed continuation time to the bare rf.* names with no parent,
+    making rf.diverg read as 157% of the top-stage wall."""
 
     __slots__ = ("_aligner", "_handle", "_assemble", "_span")
 
@@ -1154,11 +1162,12 @@ class PendingRefine:
         self._aligner = aligner
         self._handle = handle
         self._assemble = assemble
-        self._span = span
+        self._span = span  # which batch kind is in flight (fill/diverg)
 
     def finish(self):
         from .. import trace
 
-        with trace.span(self._span):
+        with trace.span("fill_wait"):
             all_results = self._aligner.wait(self._handle)
-        return self._assemble(all_results)
+        with trace.span("refine_cont"):
+            return self._assemble(all_results)

@@ -218,7 +218,10 @@ class Mapper:
             if (not nodiscard and filtered
                     and paired_indel([r[-1] for r in records])):
                 redo = True
-                res2 = _refine(True, False)
+                # own top-level span: in deferred mode this runs in the
+                # continuation, outside the original `refine` span
+                with trace.span("refine_redo"):
+                    res2 = _refine(True, False)
                 segs, records, filtered = res2
             return records, redo
 
