@@ -354,12 +354,14 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
     }
 
 
-def _asm_section(gcodes):
-    """asm-mode contig throughput (VERDICT round-3 item 8: the streaming
-    path had correctness tests but no perf record).  One >=500 kb contig
-    (streaming out-of-core chain) + one 300 kb contig (normal path with
-    the cluster cap off), single worker.  Reference baseline: HG002 v1.0
-    diploid assembly (~6 Gbp, 48 contigs) in 2.3 h on 40 threads
+def _asm_section(gcodes, device_ok: bool):
+    """asm-mode contig throughput on a multi-Mb corpus (VERDICT round-4
+    weak 7: the 0.89 Mbp row was too thin).  One 12 Mb contig (streaming
+    out-of-core chain over ~120 frontier-carry blocks) + one 300 kb
+    contig (normal path, cluster cap off), single worker, host backend
+    AND --backend jax (the production JaxStreamChainBackend wiring,
+    round-5 item 3) when the device answers.  Reference baseline: HG002
+    v1.0 diploid assembly (~6 Gbp, 48 contigs) in 2.3 h on 40 threads
     (/root/reference/README.md:56) = ~0.018 Mbp/s per thread."""
     import shutil
     import tempfile
@@ -370,7 +372,7 @@ def _asm_section(gcodes):
 
     rng = np.random.default_rng(11)
     base = 40_000_000
-    g = {"chrA": codes_to_str(gcodes[base : base + 8_000_000])}
+    g = {"chrA": codes_to_str(gcodes[base : base + 24_000_000])}
     idx = ReferenceIndex.build(g, k=15, w=10)
 
     def carve(st, ln):
@@ -384,29 +386,51 @@ def _asm_section(gcodes):
         return codes_to_str(np.concatenate(
             [c[: ln // 2], c[ln // 2 + 5_000 :]]))
 
-    contigs = [("ctg600k", carve(1_000_000, 600_000)),
-               ("ctg300k", carve(3_000_000, 300_000))]
-    wd = tempfile.mkdtemp(prefix="vacmap_bench_asm_")
-    try:
-        cfg = AlignerConfig(mode="asm", workdir=wd)
-        m = Mapper(idx, cfg)
-        total = sum(len(s) for _, s in contigs)
-        n_rec = 0
-        t0 = time.time()
-        for name, seq in contigs:
-            lines = m.map_contig(name, seq)
-            n_rec += len(lines)
-        dt = time.time() - t0
-    finally:
-        shutil.rmtree(wd, ignore_errors=True)
+    contigs = [("ctg12m", carve(1_000_000, 12_000_000)),
+               ("ctg300k", carve(16_000_000, 300_000))]
+    total = sum(len(s) for _, s in contigs)
+
+    def run(backend):
+        wd = tempfile.mkdtemp(prefix="vacmap_bench_asm_")
+        try:
+            cfg = AlignerConfig(mode="asm", workdir=wd, backend=backend)
+            m = Mapper(idx, cfg)
+            n_rec = 0
+            t0 = time.time()
+            for name, seq in contigs:
+                lines = m.map_contig(name, seq)
+                n_rec += len(lines)
+            return time.time() - t0, n_rec, m
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+
+    dt, n_rec, _ = run("auto")
     mbp_s = total / dt / 1e6
-    return {
+    out = {
         "contigs": [n for n, _ in contigs],
         "total_mbp": round(total / 1e6, 2),
         "n_records": n_rec,
         "mbp_per_s_single_worker": round(mbp_s, 3),
         "vs_ref_per_thread": round(mbp_s / 0.018, 1),
     }
+    if device_ok:
+        try:
+            dt_d, n_rec_d, m_d = run("jax")
+            sb = m_d.stream_backend
+            out["device_stream"] = {
+                "mbp_per_s": round(total / dt_d / 1e6, 3),
+                "n_records": n_rec_d,
+                "blocks_offered": getattr(sb, "calls", 0),
+                "blocks_engaged": getattr(sb, "engaged", 0),
+                "device_s": round(getattr(sb, "device_s", 0.0), 2),
+            }
+        except Exception:
+            import traceback
+
+            print("bench: asm device run failed:\n"
+                  + traceback.format_exc(limit=3), file=sys.stderr,
+                  flush=True)
+    return out
 
 
 _T0 = time.time()
@@ -597,15 +621,6 @@ def main():
             print("bench: genome_scale section failed:\n"
                   + traceback.format_exc(limit=3), file=sys.stderr,
                   flush=True)
-        try:
-            _mark('asm section')
-            asm_res = _asm_section(gcodes)
-        except Exception:
-            import traceback
-
-            print("bench: asm section failed:\n"
-                  + traceback.format_exc(limit=3), file=sys.stderr,
-                  flush=True)
     _mark('host sections done; collecting probe + fill server')
     # collect the probe (it has been initializing since before the host
     # pools; grant the remaining share of a generous total budget)
@@ -651,6 +666,20 @@ def main():
         e2e_device_mbp_s = total_b / dt_dev / 1e6
         if dt_dev < dt_host:  # device deployment wins: headline + stats
             dt, results = dt_dev, results_dev
+    # asm section runs after the probe so its --backend jax leg knows
+    # whether the device answers (round-5 item 3: production device
+    # frontier-carry engagement is a published number)
+    if not (os.environ.get("VACMAP_TPU_BENCH_FAST")
+            or os.environ.get("VACMAP_TPU_BENCH_SMOKE")):
+        try:
+            _mark('asm section')
+            asm_res = _asm_section(gcodes, device_ok)
+        except Exception:
+            import traceback
+
+            print("bench: asm section failed:\n"
+                  + traceback.format_exc(limit=3), file=sys.stderr,
+                  flush=True)
     # workers return (per-read digests, per-stage trace totals)
     mt_totals = {}
     for _, tot in results:

@@ -107,3 +107,21 @@ def test_stream_chain_device_backend_matches_native(rng):
     )
     assert p_device == p_native
     assert len(p_device) > 50
+
+
+def test_streaming_contig_device_backend_production(rng):
+    """Production wiring (round-5, VERDICT item 3): a Mapper built with
+    --backend jax runs map_contig_streaming with JaxStreamChainBackend
+    engaged on the round-1 global blocks, records identical to the host
+    path.  (Sparse w keeps the CPU-mesh device DP small.)"""
+    genome = {"g3": random_dna(rng, 800_000)}
+    idx = ReferenceIndex.build(genome, k=15, w=64)
+    src = genome["g3"][50_000:650_000]
+    contig = src[:300_000] + src[302_000:]  # one 2 kb deletion
+    assert len(contig) >= STREAM_THRESHOLD
+    want = Mapper(idx, AlignerConfig(mode="asm")).map_contig("dctg", contig)
+    m_dev = Mapper(idx, AlignerConfig(mode="asm", backend="jax"))
+    assert m_dev.stream_backend is not None
+    got = m_dev.map_contig("dctg", contig)
+    assert m_dev.stream_backend.engaged > 0
+    assert got == want

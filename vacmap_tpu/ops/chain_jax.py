@@ -320,10 +320,14 @@ class JaxStreamChainBackend:
 
     def __init__(self, max_anchors: int = 1 << 20):
         self.max_anchors = max_anchors
+        self.calls = 0       # blocks offered to the device
+        self.engaged = 0     # blocks the device actually chained
+        self.device_s = 0.0  # wall spent in device calls (incl. transfer)
 
     def __call__(self, linked: np.ndarray, variant: str, kmersize: int,
                  skipcost: float, maxdiff: int, maxgap: int,
                  warm_S: np.ndarray, warm_P: np.ndarray):
+        self.calls += 1
         n = len(linked)
         if n == 0 or n > self.max_anchors:
             return None
@@ -335,6 +339,9 @@ class JaxStreamChainBackend:
             # int32 device anchors: >2^31 bp concatenated references must
             # use the host DP (reference: 64-bit twins, :23994)
             return None
+        import time as _time
+
+        t0 = _time.perf_counter()
         anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
             [linked.astype(np.int64)], variant, skipcost, maxdiff
         )
@@ -350,10 +357,13 @@ class JaxStreamChainBackend:
             kmersize=kmersize, maxdiff=maxdiff, maxgap=maxgap,
             skipcost=skipcost, variant=variant,
         )
-        return (
+        out = (
             np.asarray(S, np.float64)[0][:n],
             np.asarray(P, np.int64)[0][:n],
         )
+        self.engaged += 1
+        self.device_s += _time.perf_counter() - t0
+        return out
 
 
 # ---------------------------------------------------------------------------

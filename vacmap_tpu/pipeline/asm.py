@@ -289,8 +289,10 @@ def _map_contig_streaming(
 
     skip_g, maxdiff_g, _ = cfg.chain_params_global()
     wd1 = os.path.join(workdir, "r1") if workdir else None
+    stream_be = getattr(mapper, "stream_backend", None)
     path = stream_chain(
-        round1_batches(), idx.k, skip_g, maxdiff_g, 1000, "global_nocov", wd1
+        round1_batches(), idx.k, skip_g, maxdiff_g, 1000, "global_nocov",
+        wd1, chain_backend=stream_be,
     )
     if len(path) <= 1:
         return []
@@ -343,7 +345,7 @@ def _map_contig_streaming(
     wd2 = os.path.join(workdir, "r2") if workdir else None
     path2 = stream_chain(
         round2_batches(), cfg.local_kmersize, skip_l, maxdiff_l, maxgap_l,
-        "asm_fine", wd2,
+        "asm_fine", wd2, chain_backend=stream_be,
     )
     if len(path2) <= 1:
         return []

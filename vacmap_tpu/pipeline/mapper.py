@@ -72,15 +72,23 @@ class Mapper:
         )
         self.extension_aligner = extension_aligner
         self.global_aligner = global_aligner
+        self.stream_backend = None
         if config.backend == "jax":
             try:
                 from ..parallel import runtime
 
                 runtime.enable_compilation_cache()
-                from ..ops.chain_jax import JaxChainBackend
+                from ..ops.chain_jax import (
+                    JaxChainBackend, JaxStreamChainBackend,
+                )
 
                 if chain_backend is None:
                     chain_backend = JaxChainBackend()
+                # asm streaming: the warm-start frontier-carry device
+                # chain (reference linked_* DPs, mammap_asm.py:21687)
+                # engages per anchor block when --backend jax is the
+                # explicit deployment choice
+                self.stream_backend = JaxStreamChainBackend()
             except Exception:
                 pass
         # base-level alignment defaults to the native C++ kernels (per-read
