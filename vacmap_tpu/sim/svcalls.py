@@ -179,3 +179,29 @@ def score_events(truth, events, tol: int = 500):
     recall = found / len(truth) if truth else 1.0
     precision = true_events / len(events) if events else 1.0
     return recall, precision, len(truth), len(events)
+
+
+def score_events_per_class(truth, events, tol: int = 500):
+    """Per-kind {recall, precision, n_truth, n_called}: recall over the
+    truth rows of that kind; precision over the CALLED events of that
+    kind, where an event is true if it matches any truth row of any
+    kind (same aliasing as score_events — a DUP truth satisfied by an
+    INS call counts for DUP recall AND for INS precision)."""
+    out = {}
+    kinds = sorted({r[0] for r in truth} | {e[0] for e in events})
+    for kind in kinds:
+        t_k = [r for r in truth if r[0] == kind]
+        e_k = [e for e in events if e[0] == kind]
+        found = sum(
+            1 for ev in t_k if any(_near_truth(e, ev, tol) for e in events)
+        )
+        true_e = sum(
+            1 for e in e_k if any(_near_truth(e, ev, tol) for ev in truth)
+        )
+        out[kind] = {
+            "recall": round(found / len(t_k), 4) if t_k else None,
+            "precision": round(true_e / len(e_k), 4) if e_k else None,
+            "n_truth": len(t_k),
+            "n_called": len(e_k),
+        }
+    return out
