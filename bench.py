@@ -359,10 +359,6 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
     total_b = sum(len(s) for _, s in reads)
     _G["fill_clients"] = None
     _G["chunks"] = [reads[i::n_workers] for i in range(n_workers)]
-    # small-index run on the same subset (min-of-2)
-    dt_small, _ = run_pool_once()
-    dt2, _ = run_pool_once()
-    dt_small = min(dt_small, dt2)
 
     gb = float(os.environ.get("VACMAP_TPU_BENCH_GB", "3"))
     pad_unit = int(100e6)
@@ -377,15 +373,28 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
     idx3 = ReferenceIndex.build(contigs, k=15, w=10)
     dt_build = time.time() - t0
     del contigs
+    # INTERLEAVED small/big pool runs, min-of-3 each: this host's
+    # ambient memory-bandwidth throttling drifts over multi-second
+    # windows (round-3 notes), and round 4's sequential small-then-big
+    # ordering let the drift masquerade as a 2x scale gap — the
+    # interleave cancels it
     small_idx = _G["idx"]
-    _G["idx"] = idx3
+    dts = {"small": [], "big": []}
+    results = None
     try:
-        dt_big, results = run_pool_once()
-        dt2, res2 = run_pool_once()
-        if dt2 < dt_big:
-            dt_big, results = dt2, res2
+        for _ in range(3):
+            _G["idx"] = small_idx
+            dt_s, _res = run_pool_once()
+            dts["small"].append(dt_s)
+            _G["idx"] = idx3
+            dt_b, res_b = run_pool_once()
+            if not dts["big"] or dt_b < min(dts["big"]):
+                results = res_b
+            dts["big"].append(dt_b)
     finally:
         _G["idx"] = small_idx
+    dt_small = min(dts["small"])
+    dt_big = min(dts["big"])
     flat = [r for res, _ in results for r in res]
     return {
         "genome_gb": round(total_ref / 1e9, 2),

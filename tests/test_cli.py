@@ -324,3 +324,54 @@ def test_cli_multihost_file_sharding(cli_world, tmp_path):
     names = sorted(l.split("\t")[0] for l in out.read_text().splitlines()
                    if not l.startswith("@"))
     assert names == ["f0_0", "f0_1", "f1_0", "f1_1"]
+
+
+def test_cli_multihost_jax_distributed_boot(cli_world, tmp_path):
+    """Round-5 item 7: two REAL processes boot jax.distributed on CPU
+    via --coordinator, pass the cross-process device barrier
+    (parallel/mesh.initialize_distributed), map the corpus, and the
+    merged output's records are byte-identical to a single-process run
+    (headers differ only in the @PG command line)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    d, ref, reads, genome = cli_world
+    # single-process reference output
+    solo = d / "solo.sam"
+    rc = run_cli(["-ref", ref, "-read", reads, "-mode", "H", "-t", "1",
+                  "-o", solo, "--force"])
+    assert rc == 0
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = tmp_path / "dist.sam"
+    env = dict(os.environ)
+    env["VACMAP_TPU_PLATFORM"] = "cpu"
+    env["VACMAP_TPU_NO_FILL_SERVER"] = "1"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-m", "vacmap_tpu.cli", "-ref", str(ref),
+             "-read", str(reads), "-mode", "H", "-t", "1", "-o", str(out),
+             "--force", "--nowriteindex",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2000:]
+    body = [ln for ln in out.read_text().splitlines()
+            if not ln.startswith("@")]
+    want = [ln for ln in solo.read_text().splitlines()
+            if not ln.startswith("@")]
+    assert sorted(body) == sorted(want) and len(body) == 3
+    hdr = [ln.split("\t")[0] for ln in out.read_text().splitlines()
+           if ln.startswith("@")]
+    assert hdr.count("@HD") == 1 and hdr.count("@PG") == 1

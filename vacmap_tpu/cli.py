@@ -400,6 +400,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         from . import trace
 
         trace.enable()
+    if os.environ.get("VACMAP_TPU_PLATFORM"):
+        # deployment platform pin (e.g. cpu for multi-host CPU runs and
+        # the jax.distributed boot test): this environment's
+        # sitecustomize pre-registers accelerator plugins and ignores
+        # JAX_PLATFORMS, so pin via jax.config before backend init
+        import jax
+
+        jax.config.update("jax_platforms",
+                          os.environ["VACMAP_TPU_PLATFORM"])
     if getattr(args, "coordinator", None):
         from .parallel.mesh import initialize_distributed
 

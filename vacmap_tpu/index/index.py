@@ -526,7 +526,11 @@ class ReferenceIndex:
                     total = sum(a.nbytes for a in arr.values())
                     in_ram = total * 2 < cls._available_ram()
             if in_ram:
-                arr = {k: np.ascontiguousarray(a) for k, a in arr.items()}
+                # np.array (not ascontiguousarray: that is a NO-OP on an
+                # already-contiguous memmap and silently left the arrays
+                # on disk — round-5 fix) forces real RAM copies, shared
+                # COW across forked workers
+                arr = {k: np.array(a) for k, a in arr.items()}
             return cls(
                 k=int(meta["k"]),
                 w=int(meta["w"]),
@@ -601,10 +605,21 @@ class ReferenceIndex:
             # hashes are < 4^k: bucket by the top significant bits, sized
             # so buckets hold ~16 entries (probe chains shrink to ~4
             # levels on genome-scale tables; the table itself is what
-            # misses, so a few-MB pstarts is a good trade)
+            # misses, so a few-MB pstarts is a good trade).  At 3 Gb the
+            # 22-bit cap left 135-entry buckets (7 probe levels — the
+            # round-4 genome-scale seed tax); allow up to 26 bits when
+            # the direct-index table costs < 1/16 of free RAM (512 MB at
+            # 26 bits, fork-COW-shared across workers).
             bits = 2 * self.k
             want = max(16, int(len(self.mm_hash) / 16).bit_length())
-            pbits = min(bits, min(want, 22))
+            pbits = min(bits, min(want, 26))
+            if pbits > 22:
+                try:
+                    avail = self._available_ram()
+                except Exception:
+                    avail = 0
+                while pbits > 22 and (8 << pbits) > max(avail, 0) // 16:
+                    pbits -= 1
             self._prefix_shift = max(bits - pbits, 0)
             edges = (
                 np.arange(1 << min(bits, pbits), dtype=np.uint64)

@@ -2980,10 +2980,24 @@ extern "C" int64_t seeds_core_u32(
                 hi_v.data());
   if (prof) { g_sd_lookup += now_s() - t0; t0 = now_s(); }
   // ---- expansion ------------------------------------------------------
+  // each kept query gathers [lo, hi) from the genome-scale pos/strand
+  // tables — random misses that dominate at 3 Gb; prefetch a fixed
+  // query distance ahead (ranges are <= cutoff entries, 1-2 lines)
   struct Hit { int64_t r, y, s; };
   static thread_local std::vector<Hit> hits;
   hits.clear();
+  const int64_t PD = 24;  // prefetch distance (queries ahead): the
+  // per-query work is ~30 ns, so a deep distance is needed to cover
+  // DRAM latency; ranges are <= cutoff entries (1-2 lines each)
   for (int64_t i = 0; i < m; i++) {
+    if (i + PD < m) {
+      const int64_t plo = lo_v[i + PD], phi = hi_v[i + PD];
+      if (phi > plo && phi - plo <= cutoff) {
+        __builtin_prefetch(&mm_pos[plo]);
+        __builtin_prefetch(&mm_strand[plo]);
+        __builtin_prefetch(&mm_pos[phi - 1]);
+      }
+    }
     const int64_t occ = hi_v[i] - lo_v[i];
     if (occ <= 0 || occ > cutoff) continue;
     for (int64_t t = lo_v[i]; t < hi_v[i]; t++)
@@ -3003,10 +3017,38 @@ extern "C" int64_t seeds_core_u32(
   static thread_local std::vector<Hit> kept;
   kept.clear();
   if (check_num > 0) {
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int32_t a, int32_t b) {
-                       return hits[a].y < hits[b].y;
-                     });
+    if (n < (int64_t)1 << 24) {
+      // flat packed keys ((y << 24) | i) through an LSD radix sort:
+      // the 3 Gb bench expands ~25k scattered hits/read and the cap's
+      // indirect stable_sort was 1.5 ms/read; 11-bit-digit radix over
+      // packed words is ~10x.  Stability by construction (unique low
+      // bits); y < 2^40 (refs < 1 Tb).
+      static thread_local std::vector<uint64_t> keys, tmp;
+      keys.resize(n);
+      tmp.resize(n);
+      uint64_t mx = 0;
+      for (int64_t i = 0; i < n; i++) {
+        keys[i] = ((uint64_t)hits[i].y << 24) | (uint64_t)i;
+        mx |= keys[i];
+      }
+      uint64_t* src = keys.data();
+      uint64_t* dst = tmp.data();
+      for (int sh = 0; (mx >> sh) != 0; sh += 11) {
+        int64_t cnt[2048] = {0};
+        for (int64_t i = 0; i < n; i++) cnt[(src[i] >> sh) & 2047]++;
+        int64_t acc = 0;
+        for (int b = 0; b < 2048; b++) { int64_t c = cnt[b]; cnt[b] = acc; acc += c; }
+        for (int64_t i = 0; i < n; i++) dst[cnt[(src[i] >> sh) & 2047]++] = src[i];
+        std::swap(src, dst);
+      }
+      for (int64_t i = 0; i < n; i++)
+        order[i] = (int32_t)(src[i] & 0xFFFFFF);
+    } else {
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int32_t a, int32_t b) {
+                         return hits[a].y < hits[b].y;
+                       });
+    }
     static thread_local std::vector<int32_t> cl_of;
     cl_of.resize(n);
     int64_t n_cl = 0;

@@ -152,7 +152,12 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host bring-up (jax.distributed); no-op single host."""
+    """Multi-host bring-up (jax.distributed); no-op single host.
+
+    After initialize, a cross-process device barrier proves the cluster
+    is actually functional (collectives route) rather than merely
+    RPC-connected — the reference has no multi-host analog to compare
+    against (its parallelism is one host's process pool, vacmap:390)."""
     if coordinator is None:
         return
     jax.distributed.initialize(
@@ -160,3 +165,6 @@ def initialize_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("vacmap_tpu_boot")
