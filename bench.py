@@ -629,10 +629,12 @@ def main():
     # which double-counts nested rf.* children inside `refine`; report
     # shares of the TOP-LEVEL wall instead so they add up to ~100.
     totals = {}
+    tcounts = {}
     for line in trace.summary().splitlines()[1:]:
         parts = line.split()
         if len(parts) >= 5:
             totals[parts[0]] = float(parts[1])
+            tcounts[parts[0]] = int(parts[2])
     # (the traced sample maps synchronously, so rf.* are nested inside
     # `refine` — top-level spans only; refine_cont/refine_redo/fill_wait
     # cover the deferred-mode continuation, wait, and paired-indel redo)
@@ -908,6 +910,36 @@ def main():
                         t0 = time.time()
                         r2 = pa.align_batch(fills, eqx=True)
                         dt_d = min(dt_d, time.time() - t0)
+                    # compute-only timing (dispatch + device sync, NO
+                    # result fetch): separates chip compute from the
+                    # relay transfer tax — the direct-attach projection
+                    # input (round-5 item 8)
+                    import jax as _jax
+
+                    b0 = 256
+                    elig = [(t, q) for t, q in fills
+                            if max(len(t), len(q)) <= b0]
+                    dt_c = None
+                    if elig:
+                        B = len(elig)
+                        tT = np.zeros((B, b0), np.uint8)
+                        tQ = np.zeros((B, b0), np.uint8)
+                        tl = np.zeros(B, np.int32)
+                        ql = np.zeros(B, np.int32)
+                        for i, (t, q) in enumerate(elig):
+                            tT[i, : len(t)] = t
+                            tQ[i, : len(q)] = q
+                            tl[i], ql[i] = len(t), len(q)
+                        pa_full = PallasFillAligner(banded=False)
+                        h = pa_full.dispatch_padded(tT, tQ, tl, ql, b0)
+                        _jax.block_until_ready(h[1])
+                        dt_c = float("inf")
+                        for _ in range(3):
+                            t0 = time.time()
+                            h = pa_full.dispatch_padded(tT, tQ, tl, ql, b0)
+                            _jax.block_until_ready(h[1])
+                            dt_c = min(dt_c, time.time() - t0)
+                        dt_c /= B  # seconds per job, compute only
                     host = _nat.align2p_batch_native(fills, eqx=True)
                     n_match = sum(
                         1 for a, b in zip(r2, host)
@@ -930,12 +962,80 @@ def main():
                         "useful_mcells_per_s": round(useful / dt_d / 1e6, 1),
                         "swept_mcells_per_s": round(swept / dt_d / 1e6, 1),
                         "useful_over_swept": round(useful / swept, 3),
+                        "t_job_compute_us": (
+                            round(dt_c * 1e6, 1) if dt_c else None),
                         "min_of_reps": 3,
                     }
 
                 dev_fill = _guarded(fill_section, 240)
     except Exception:
         dev_fill = None
+
+    # ---- direct-attach device projection (round-5 item 8) -------------
+    # Cost model from THIS round's measurements: per-job device compute
+    # (dispatch+sync, no fetch), per-job transfer bytes, jobs/read, and
+    # the host's offloadable fill+divergence seconds/read.  The
+    # projection swaps the relay's measured transfer tax for a
+    # PCIe/ICI-class link (12 GB/s, 0.2 ms/call at the service's
+    # measured aggregation depth) and reports the expected e2e.  The
+    # host-side half of the model is validated against the OBSERVED
+    # relay deployment: predicted relay e2e from the adaptive split vs
+    # the measured device-pool number.
+    device_projection = None
+    try:
+        n_sample = 48
+        h_ms = dt_host * n_workers * 1000.0 / N_READS
+        o_ms = (totals.get("rf.fill", 0.0)
+                + totals.get("rf.diverg", 0.0)) / n_sample * 1e3
+        jobs_per_read = tcounts.get("rf.fill_jobs", 0) / n_sample
+        tjc = (dev_fill or {}).get("t_job_compute_us")
+        if tjc and jobs_per_read > 0:
+            bucket = 256
+            bytes_per_job = bucket // 2 + 2 * bucket  # 2-bit up + rr down
+            jobs_per_call = 256.0
+            m = _re.search(r"jobs/call=([0-9.]+)",
+                           fill_srv.get("stats", "") or "")
+            if m:
+                jobs_per_call = max(float(m.group(1)), 1.0)
+            t_job_direct = (tjc * 1e-6 + bytes_per_job / 12e9
+                            + 0.2e-3 / jobs_per_call)
+            dev_reads_s = 1.0 / (jobs_per_read * t_job_direct)
+            host_after_ms = h_ms - o_ms + 0.3  # client dispatch residue
+            host_reads_s = n_workers / (host_after_ms / 1e3)
+            proj = min(dev_reads_s, host_reads_s) * READ_LEN / 1e6
+            device_projection = {
+                "inputs": {
+                    "t_job_compute_us": tjc,
+                    "bytes_per_job": bytes_per_job,
+                    "jobs_per_read": round(jobs_per_read, 1),
+                    "jobs_per_call": jobs_per_call,
+                    "host_ms_per_read": round(h_ms, 2),
+                    "offloadable_ms_per_read": round(o_ms, 2),
+                    "link_gb_s": 12, "call_latency_ms": 0.2,
+                },
+                "projected_direct_attach_mbp_per_s": round(proj, 2),
+                "bound": ("device" if dev_reads_s < host_reads_s
+                          else "host"),
+            }
+            # validation: predicted e2e of the RELAY deployment from the
+            # observed adaptive split (offloaded fraction of jobs)
+            offl = boun = 0.0
+            if e2e_device_mbp_s:
+                for _, tot in results_dev:
+                    offl += tot.get("gate_offloaded_jobs", 0.0)
+                    boun += tot.get("gate_bounced_jobs", 0.0)
+            if e2e_device_mbp_s and offl + boun > 0:
+                f = offl / (offl + boun)
+                pred_relay = (n_workers / ((h_ms - f * o_ms) / 1e3)
+                              * READ_LEN / 1e6)
+                device_projection["validation"] = {
+                    "observed_offload_frac": round(f, 3),
+                    "predicted_relay_mbp_per_s": round(pred_relay, 2),
+                    "observed_relay_mbp_per_s": round(
+                        e2e_device_mbp_s, 2),
+                }
+    except Exception:
+        device_projection = None
 
     # SV recall/precision on the shared vacsim truth corpus
     # (sim/benchcorpus: DEL/INS/INV/DUP + small near-noise-floor indels +
@@ -982,6 +1082,8 @@ def main():
         out["chain_kernel_sol"] = chain_sol
     if dev_fill is not None:
         out["device_fill"] = dev_fill
+    if device_projection is not None:
+        out["device_projection"] = device_projection
     if sv_acc is not None:
         out["sv_accuracy"] = sv_acc
 
@@ -1017,6 +1119,9 @@ def main():
     }
     if dev_fill:
         summary["dev_fill_jobs_per_s"] = dev_fill.get("jobs_per_s")
+    if device_projection:
+        summary["proj_direct_mbp_s"] = device_projection[
+            "projected_direct_attach_mbp_per_s"]
     if asm_res:
         summary["asm_mbp_per_s"] = asm_res.get("mbp_per_s_single_worker")
         ds = asm_res.get("device_stream") or {}
