@@ -151,8 +151,20 @@ def _near_truth(event, ev, tol):
 
     vacsim INS truth rows are (INS, contig, st, LENGTH) — ev[3] is a
     size, not a second breakpoint, so it is never used as a coordinate
-    (an INS has a single breakpoint anyway)."""
+    (an INS has a single breakpoint anyway).
+
+    vacsim TRA truth rows are (TRA, c1, st1, en1, c2, st2, en2, rev):
+    a BALANCED swap of the two segments — reads produce correct TRA
+    junction calls at both loci, so either side's breakpoints match."""
     if event[0] not in _TRUTH_ALIASES.get(ev[0], (ev[0],)):
+        return False
+    if ev[0] == "TRA" and len(ev) >= 7:
+        for contig, a, b in ((ev[1], ev[2], ev[3]), (ev[4], ev[5], ev[6])):
+            if event[1] == contig and (
+                abs(event[2] - int(a)) <= tol
+                or abs(event[2] - int(b)) <= tol
+            ):
+                return True
         return False
     if event[1] != ev[1]:
         return False
