@@ -1,7 +1,7 @@
 """On-hardware decision for the banded score-only Myers redesign
 (round-5 item 9; VERDICT round-4 weak 8).
 
-The full-width Pallas Myers (ops/myers_pallas.py) measured a 7.8x e2e
+The full-width Pallas Myers (examples/myers_pallas_device.py) measured a 7.8x e2e
 LOSS as a divergence-filter offload (round-3).  The proposed redesign
 keeps a compact sliding band of ceil(band/32) words instead of
 ceil(m/32) — per-step vector cost scales with 128-lane register ROWS,
@@ -24,11 +24,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
     from vacmap_tpu import native
-    from vacmap_tpu.ops.myers_pallas import PallasMyersAligner
+    from myers_pallas_device import PallasMyersAligner
     from vacmap_tpu.parallel import runtime
 
     runtime.enable_compilation_cache()

@@ -1,3 +1,10 @@
+# MOVED from vacmap_tpu/ops/myers_pallas.py (round 5): the edit-distance
+# device offload is a documented negative result — 7.8x e2e loss measured
+# round 3, and round 5 found the host ladder it would replace has ~zero
+# production traffic since the window-bound divergence pass.  Kept here as
+# a working reference kernel (multi-word bit-parallel Myers on the VPU with
+# a Kogge-Stone carry chain); see examples/measure_myers_banded_projection.py
+# for the banded-redesign decision numbers.
 """Pallas TPU kernel: bit-parallel Myers global edit distance.
 
 Device counterpart of the host's blocked Myers kernel

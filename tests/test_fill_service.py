@@ -171,15 +171,14 @@ def test_deferred_mapper_matches_sync(small_genome, rng):
         svc.stop()
 
 
-def test_edit_route_exact_and_divergence_parity(monkeypatch, rng):
-    """The service's edit kind returns EXACT distances (Myers kernel,
-    interpret mode here) and divergence_filter with an edit client makes
-    byte-identical keep/drop decisions to the host ladder."""
-    import time
-
-    import jax
-
-    from vacmap_tpu.ops.edit import edit_distance, divergence_exceeds
+def test_edit_kind_stubbed_falls_back_to_host(monkeypatch, rng):
+    """The edit job kind is PERMANENTLY STUBBED (round 5: the host
+    stage it would replace measured ~zero production traffic since the
+    window-bound pass; kernel lives in examples/myers_pallas_device.py).
+    Clients must short-circuit edit_batch to all-None — the host ladder
+    fallback — without a service round trip, and the pipeline's
+    divergence decisions must be unaffected by an edit-capable-looking
+    client."""
     from vacmap_tpu.parallel.fill_service import (
         AsyncFillAligner, HostEmulFillAligner,
     )
@@ -187,32 +186,15 @@ def test_edit_route_exact_and_divergence_parity(monkeypatch, rng):
     monkeypatch.setenv("VACMAP_TPU_FILL_HOST", "1")
     al = AsyncFillAligner(aligner=HostEmulFillAligner(), prewarm=True)
     assert al.ready.wait(30)
-    # wait for the background edit prewarm
-    for _ in range(100):
-        if al.core.edit_ready:
-            break
-        time.sleep(0.2)
-    assert al.core.edit_ready
+    assert not al.core.edit_ready  # no edit kernel is ever live
     pairs = []
-    for k in range(6):
+    for k in range(4):
         t = rng.integers(0, 4, int(rng.integers(40, 450))).astype(np.uint8)
         q = t.copy()
-        step = [3, 9, 31][k % 3]
-        q[::step] = (q[::step] + 1) % 4
+        q[::7] = (q[::7] + 1) % 4
         pairs.append((t, q))
-    pairs.append((pairs[0][0], np.empty(0, np.uint8)))  # empty side
-    pairs.append((rng.integers(0, 4, 600).astype(np.uint8),) * 2)  # >bucket
     res = al.edit_batch(pairs)
-    for (t, q), r in zip(pairs, res):
-        if r is not None:
-            assert r == edit_distance(t, q, cap=10**7)
-    assert res[-1] is None  # oversized: host fallback
-    # decision parity through the filter-level comparison
-    for (t, q), r in zip(pairs[:6], res[:6]):
-        cap = int(0.4 * min(len(t), len(q)))
-        host = divergence_exceeds(t, q, 0.4)
-        if r is not None:
-            assert (r > cap) == host
+    assert res == [None] * len(pairs)
     al.stop()
 
 

@@ -914,35 +914,25 @@ class HostEmulFillAligner:
 
 
 def _make_edit_aligner():
-    """Myers edit-distance device aligner (or None).
+    """Edit-distance device offload: PERMANENTLY STUBBED (round 5).
 
-    DEFAULT OFF (`VACMAP_TPU_EDIT_OFFLOAD=1` opts in): measured on the
-    relay-attached chip (bench 1000x20kb, 4 workers), routing the
-    divergence spans to the device Myers kernel was a 7.8x e2e LOSS —
-    ~30k edit jobs/run at 0.8-6.3 ms/job swamp the chip while the host
-    adaptive cap ladder settles the same decisions in <1 core-second
-    total (most spans exit at half-cap).  Per-job device offload only
-    pays when device-time/job << host-time/job or the host is the
-    bottleneck and the device idle; neither holds for this job class.
-    Host-emulation mode keeps the interpret-mode aligner so the routing
-    stays covered by tests."""
-    if os.environ.get("VACMAP_TPU_FILL_HOST"):
-        from ..ops.myers_pallas import PallasMyersAligner
-
-        return PallasMyersAligner(interpret=True, buckets=((512, 128),),
-                                  shape_b={512: 8}, tb={512: 8})
-    if not os.environ.get("VACMAP_TPU_EDIT_OFFLOAD"):
-        return None
-    try:
-        import jax
-
-        if jax.default_backend() in ("cpu",):
-            return None
-        from ..ops.myers_pallas import PallasMyersAligner
-
-        return PallasMyersAligner()
-    except Exception:
-        return None
+    Two rounds of on-hardware measurement killed this job kind:
+    round 3 measured routing divergence spans to the device Myers
+    kernel as a 7.8x e2e LOSS (~30k jobs/run at 0.8-6.3 ms/job vs the
+    host cap ladder's <1 core-second total), and round 5 found the
+    host stage it would replace has ~ZERO production traffic — since
+    the round-4 window-bound pass, every divergence span on realistic
+    corpora (bench reads, SV reads, junk-middle reads) is settled by
+    the window-fill NM bound, whose fills already route to THIS
+    service's fill kind; the exact Myers ladder is a fallback that
+    measured 0 calls per 264 reads.  A banded score-only redesign was
+    projected from the measured per-(row*step) Mosaic cost (26 ns) at
+    0.05-0.5 ms/job — still far above the ~0 host cost it would
+    displace (examples/measure_myers_banded_projection.py).  The
+    kernel lives on as examples/myers_pallas_device.py; clients'
+    edit_batch short-circuits to all-None (host fallback) since no
+    live edit kernel is ever reported."""
+    return None
 
 
 def _make_aligner(buckets):

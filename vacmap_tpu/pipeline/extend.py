@@ -273,7 +273,7 @@ def divergence_filter(
 
     With ``edit_client`` (a fill-service client exposing ``edit_batch``)
     the whole batch of span pairs is resolved as EXACT device edit
-    distances (ops/myers_pallas.py) — decisions identical to the host
+    distances — decisions identical to the host
     ladder; unrouted pairs fall back per pair.
 
     With ``window_cache`` (host path), each span first tries the
