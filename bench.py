@@ -470,22 +470,40 @@ def _asm_section(gcodes, device_ok: bool):
         "vs_ref_per_thread": round(mbp_s / 0.018, 1),
     }
     if device_ok:
-        try:
-            dt_d, n_rec_d, m_d = run("jax")
-            sb = m_d.stream_backend
-            out["device_stream"] = {
-                "mbp_per_s": round(total / dt_d / 1e6, 3),
-                "n_records": n_rec_d,
-                "blocks_offered": getattr(sb, "calls", 0),
-                "blocks_engaged": getattr(sb, "engaged", 0),
-                "device_s": round(getattr(sb, "device_s", 0.0), 2),
-            }
-        except Exception:
-            import traceback
+        # daemon thread + hard timeout: the warm-chain shape compile
+        # goes through the relay's (shared, sometimes minutes-deep)
+        # compile queue and must never wedge the whole bench
+        import threading
 
-            print("bench: asm device run failed:\n"
-                  + traceback.format_exc(limit=3), file=sys.stderr,
-                  flush=True)
+        box = {}
+
+        def dev_leg():
+            try:
+                dt_d, n_rec_d, m_d = run("jax")
+                sb = m_d.stream_backend
+                box["v"] = {
+                    "mbp_per_s": round(total / dt_d / 1e6, 3),
+                    "n_records": n_rec_d,
+                    "blocks_offered": getattr(sb, "calls", 0),
+                    "blocks_engaged": getattr(sb, "engaged", 0),
+                    "device_s": round(getattr(sb, "device_s", 0.0), 2),
+                }
+            except Exception:
+                import traceback
+
+                print("bench: asm device run failed:\n"
+                      + traceback.format_exc(limit=3), file=sys.stderr,
+                      flush=True)
+
+        t = threading.Thread(target=dev_leg, daemon=True)
+        t.start()
+        t.join(420)
+        if "v" in box:
+            out["device_stream"] = box["v"]
+        elif t.is_alive():
+            out["device_stream"] = {"error": "timeout (relay compile queue)"}
+            print("bench: asm device leg timed out; continuing",
+                  file=sys.stderr, flush=True)
     return out
 
 
