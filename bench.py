@@ -806,7 +806,29 @@ def main():
     chain_mbp_s = None
     chain_sol = None
     reps = 10
-    if device_ok:
+
+    # Device sections run in daemon threads with hard timeouts: a
+    # congested compile relay must never hang the bench (the JSON line
+    # always prints).  (The hand-written Pallas CHAIN kernel is gone:
+    # measured 52x slower than the scan at N=512 on v5e and VMEM-OOM at
+    # N=2048 — the fused scan below IS the TPU chain kernel.)
+    import threading
+
+    def _guarded(fn, seconds):
+        box = {}
+
+        def run():
+            try:
+                box["v"] = fn()
+            except Exception:
+                box["v"] = None
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(seconds)
+        return box.get("v")
+
+    def chain_section():
         # min-of-reps (VERDICT round-3 weak point 3: the 714->309 Mbp/s
         # swing between rounds was relay-load noise on a mean-of-reps),
         # plus speed-of-light accounting: the scan evaluates B*N*N
@@ -827,7 +849,6 @@ def main():
             S, P = chain_scores_batch(batch[0], batch[1], batch[2], batch[3])
             S.block_until_ready()
             best = min(best, time.time() - t0)
-        chain_mbp_s = kbases / best / 1e6
         B_, N_ = batch[0].shape[0], batch[0].shape[1]
         pair_evals_s = B_ * N_ * N_ / best
 
@@ -858,7 +879,7 @@ def main():
 
         try:
             vpu_ops_s = _probe()
-            chain_sol = {
+            return kbases / best / 1e6, {
                 "pair_evals_per_s": round(pair_evals_s / 1e9, 2),
                 "unit": "G/s",
                 "est_ops_per_eval": 70,
@@ -868,28 +889,12 @@ def main():
                 "min_of_reps": reps,
             }
         except Exception:
-            chain_sol = None
+            return kbases / best / 1e6, None
 
-    # Device sections run in daemon threads with hard timeouts: a
-    # congested compile relay must never hang the bench (the JSON line
-    # always prints).  (The hand-written Pallas CHAIN kernel is gone:
-    # measured 52x slower than the scan at N=512 on v5e and VMEM-OOM at
-    # N=2048 — the fused scan above IS the TPU chain kernel.)
-    import threading
-
-    def _guarded(fn, seconds):
-        box = {}
-
-        def run():
-            try:
-                box["v"] = fn()
-            except Exception:
-                box["v"] = None
-
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        t.join(seconds)
-        return box.get("v")
+    if device_ok:
+        res_cs = _guarded(chain_section, 420)
+        if res_cs is not None:
+            chain_mbp_s, chain_sol = res_cs
 
     # device base-level alignment (Pallas fill kernel + aggregation):
     # capture real fill jobs from a few reads and run them on-hardware

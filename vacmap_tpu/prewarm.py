@@ -13,6 +13,9 @@ on-disk artifact shared by all processes.
 Shapes compiled:
   fills  — the fill service's dispatch shapes (fill_service.DEFAULT_SHAPE_B)
   chain  — the batched executor's chain-scan buckets (executor.N_BUCKETS)
+  asm    — the asm streaming warm-start chain buckets (global_nocov,
+           N=1024..32768; cold compiles stall deploys on congested
+           relay compile queues)
 """
 
 from __future__ import annotations
@@ -65,14 +68,55 @@ def prewarm_chain() -> None:
         print(f"chain scan (N={n}): {time.time() - t0:.1f}s", flush=True)
 
 
+def prewarm_asm_stream(max_n: int = 1 << 15) -> None:
+    """asm streaming chain shapes: the warm-start frontier-carry kernel
+    (chain_scores_batch_warm, variant global_nocov) compiles per anchor-
+    block bucket at first contact — on a congested relay compile queue
+    that is minutes of deploy stall (measured round 5: a cold 12 Mb
+    contig run sat >15 min behind the queue).  100 kb blocks at w=10
+    produce ~16-33k anchors, so buckets up to 32768 are the production
+    set."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from .ops.chain_jax import chain_scores_batch_warm, prepare_batch
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    while n <= max_n:
+        t0 = time.time()
+        a = np.zeros((n, 4), np.int64)
+        a[:, 0] = np.sort(rng.integers(0, 100_000, n))
+        a[:, 1] = rng.integers(0, 1_000_000, n)
+        a[:, 3] = 15
+        anchors, n_valid, skip_i, maxdiff_i = prepare_batch(
+            [a], "global_nocov", 40.0, 50)
+        N = anchors.shape[1]
+        w_S = np.zeros((1, N), np.float32)
+        w_P = np.zeros((1, N), np.int32)
+        S, P = chain_scores_batch_warm(
+            anchors, n_valid, skip_i, maxdiff_i,
+            jnp.asarray(w_S), jnp.asarray(w_P),
+            jnp.asarray([0], np.int32),
+            kmersize=15, maxdiff=50, maxgap=1000, skipcost=40.0,
+            variant="global_nocov",
+        )
+        S.block_until_ready()
+        print(f"asm stream chain (N={N}): {time.time() - t0:.1f}s",
+              flush=True)
+        n *= 2
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vacmap-tpu prewarm",
                                 description=__doc__.splitlines()[0])
     p.add_argument("--fills", action="store_true")
     p.add_argument("--chain", action="store_true")
+    p.add_argument("--asm", action="store_true")
     p.add_argument("--all", action="store_true")
     args = p.parse_args(argv)
-    if not (args.fills or args.chain):
+    if not (args.fills or args.chain or args.asm):
         args.all = True
     import jax
 
@@ -90,6 +134,8 @@ def main(argv=None) -> int:
             prewarm_fills()
     if args.all or args.chain:
         prewarm_chain()
+    if args.all or args.asm:
+        prewarm_asm_stream()
     print(f"cache warm in {time.time() - t0:.1f}s")
     return 0
 
