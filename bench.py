@@ -357,6 +357,12 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
         return time.time() - t0, results
 
     total_b = sum(len(s) for _, s in reads)
+    # this section swaps the worker inputs to its 300-read subset; the
+    # originals MUST be restored — round 5's first full run left the
+    # subset in place and the later device pools silently mapped 300 of
+    # 1000 reads, "winning" the headline at aligned_frac 0.3
+    saved_chunks = _G.get("chunks")
+    saved_clients = _G.get("fill_clients")
     _G["fill_clients"] = None
     _G["chunks"] = [reads[i::n_workers] for i in range(n_workers)]
 
@@ -393,6 +399,8 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
             dts["big"].append(dt_b)
     finally:
         _G["idx"] = small_idx
+        _G["chunks"] = saved_chunks
+        _G["fill_clients"] = saved_clients
     dt_small = min(dts["small"])
     dt_big = min(dts["big"])
     flat = [r for res, _ in results for r in res]
@@ -740,7 +748,19 @@ def main():
             pass
         total_b = sum(len(s) for _, s in reads)
         e2e_device_mbp_s = total_b / dt_dev / 1e6
-        if dt_dev < dt_host:  # device deployment wins: headline + stats
+        # device wins the headline only on wall time AND matching output
+        # volume: a degraded run (dropped reads, short chunks) must
+        # never be rewarded for the work it skipped
+        def _counts(rr):
+            return (sum(len(res) for res, _ in rr),
+                    sum(v[0] for res, _ in rr for v in res))
+        n_dev, al_dev = _counts(results_dev)
+        n_host, al_host = _counts(results)
+        if n_dev != n_host or al_dev < al_host:
+            fill_srv["device_pool_degraded"] = {
+                "reads": [n_dev, n_host], "aligned": [al_dev, al_host]}
+            e2e_device_mbp_s = None
+        elif dt_dev < dt_host:  # device deployment wins: headline + stats
             dt, results = dt_dev, results_dev
     # asm section runs after the probe so its --backend jax leg knows
     # whether the device answers (round-5 item 3: production device
