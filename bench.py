@@ -117,7 +117,15 @@ def _map_chunk(chunk_id):
     trace.enable()
 
     def run_thread(tid):
-        m = Mapper(_G["idx"], _G["cfg"])
+        cfg = _G["cfg"]
+        if clients is not None:
+            # device deployment: per-read failures must be LOUD (the
+            # round-5 guard caught 3/1000 reads silently dropped under
+            # relay congestion; debug surfaces the swallowed exception)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, debug=True)
+        m = Mapper(_G["idx"], cfg)
         if clients is not None:
             m.global_aligner = clients[chunk_id]
         else:
