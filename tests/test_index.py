@@ -249,3 +249,20 @@ def test_seeds_native_tail_matches_numpy(rng):
             want = numpy_seeds(read, check_num, mid_occ)
             got = idx.seeds(read, check_num=check_num, mid_occ=mid_occ)
             assert np.array_equal(got, want), (i, check_num, mid_occ)
+
+
+def test_index_load_in_ram_materializes(tmp_path, small_genome):
+    """in_ram=True must produce REAL RAM copies (round-5 regression:
+    np.ascontiguousarray is a no-op on an already-contiguous memmap, so
+    genome-scale .vmi runs silently page-faulted tables from disk)."""
+    idx = ReferenceIndex.build(small_genome, k=15, w=10)
+    path = str(tmp_path / "ram.vmi")
+    idx.save(path)
+    hot = ReferenceIndex.load(path, in_ram=True)
+    cold = ReferenceIndex.load(path, in_ram=False)
+    for name in ("mm_hash", "mm_pos", "mm_strand", "seq_codes"):
+        a_hot, a_cold = getattr(hot, name), getattr(cold, name)
+        assert a_hot.flags.owndata and not isinstance(a_hot, np.memmap), name
+        base = a_cold if isinstance(a_cold, np.memmap) else a_cold.base
+        assert isinstance(base, np.memmap), name
+        assert np.array_equal(a_hot, a_cold)
