@@ -19,7 +19,11 @@ log = logging.getLogger(__name__)
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "vacmap_native.cpp")
-_SO = os.path.join(_DIR, "libvacmap_native.so")
+# VACMAP_TPU_NATIVE_SO points at an alternative build (the sanitizer
+# runs use an ASan+UBSan .so with LD_PRELOAD=libasan)
+_SO = os.environ.get(
+    "VACMAP_TPU_NATIVE_SO", os.path.join(_DIR, "libvacmap_native.so")
+)
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False

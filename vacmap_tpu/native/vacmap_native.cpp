@@ -3033,7 +3033,10 @@ extern "C" int64_t seeds_core_u32(
       }
       uint64_t* src = keys.data();
       uint64_t* dst = tmp.data();
-      for (int sh = 0; (mx >> sh) != 0; sh += 11) {
+      // bound the digit loop by the key's bit count: `mx >> sh` with
+      // sh >= 64 is UB (found by UBSan at 3 Gb where keys use 56 bits)
+      const int key_bits = 64 - __builtin_clzll(mx | 1);
+      for (int sh = 0; sh < key_bits; sh += 11) {
         int64_t cnt[2048] = {0};
         for (int64_t i = 0; i < n; i++) cnt[(src[i] >> sh) & 2047]++;
         int64_t acc = 0;
