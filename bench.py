@@ -396,7 +396,7 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
     dts = {"small": [], "big": []}
     results = None
     try:
-        for _ in range(3):
+        for _ in range(4):
             _G["idx"] = small_idx
             dt_s, _res = run_pool_once()
             dts["small"].append(dt_s)
@@ -681,26 +681,16 @@ def main():
     }
     trace.enable(False)
 
-    _mark('sv accuracy section')
-    sv_acc = None
-    try:
-        if os.environ.get("VACMAP_TPU_BENCH_SMOKE"):
-            raise RuntimeError("smoke run: sv section skipped")
-        sv_acc = _sv_accuracy_section(n_workers)
-    except Exception:
-        import traceback
-
-        print("bench: sv_accuracy section failed:\n"
-              + traceback.format_exc(limit=3), file=sys.stderr, flush=True)
-        sv_acc = None
-
     genome_scale_res = asm_res = None
     # reference-scale mapping (VERDICT round-3 item 4): embed the bench
     # genome in a ~3 Gb multi-contig reference, rebuild the index at
     # genome scale, and re-map a read subset through the same pool
     # deployment — occ-cutoff quantile, prefix-bucket lookup, and cache
     # pressure at the size the reference's own baseline uses (HG002 vs
-    # GRCh38, /root/reference/README.md:47).
+    # GRCh38, /root/reference/README.md:47).  Runs BEFORE the sv section
+    # (the round-5 HEADLINE is this number; the pure-Python reference
+    # side of the sv section leaves the throttled host's memory system
+    # in its most degraded state).
     if not (os.environ.get("VACMAP_TPU_BENCH_FAST")
             or os.environ.get("VACMAP_TPU_BENCH_SMOKE")):
         try:
@@ -713,6 +703,19 @@ def main():
             print("bench: genome_scale section failed:\n"
                   + traceback.format_exc(limit=3), file=sys.stderr,
                   flush=True)
+
+    _mark('sv accuracy section')
+    sv_acc = None
+    try:
+        if os.environ.get("VACMAP_TPU_BENCH_SMOKE"):
+            raise RuntimeError("smoke run: sv section skipped")
+        sv_acc = _sv_accuracy_section(n_workers)
+    except Exception:
+        import traceback
+
+        print("bench: sv_accuracy section failed:\n"
+              + traceback.format_exc(limit=3), file=sys.stderr, flush=True)
+        sv_acc = None
     _mark('host sections done; collecting probe + fill server')
     # collect the probe (it has been initializing since before the host
     # pools; grant the remaining share of a generous total budget)
