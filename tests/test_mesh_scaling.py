@@ -82,3 +82,12 @@ def test_graft_dryrun_clean_environment():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_prewarm_asm_stream_shapes():
+    """prewarm --asm compiles the warm-start frontier-carry chain
+    buckets (round 5: cold asm deploys stalled minutes behind the relay
+    compile queue); on the CPU mesh a small max_n exercises the path."""
+    from vacmap_tpu.prewarm import prewarm_asm_stream
+
+    prewarm_asm_stream(max_n=2048)
