@@ -418,6 +418,32 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
     # across otherwise-identical bench runs)
     pair_ratios = sorted(s / b for s, b in zip(dts["small"], dts["big"]))
     ratio = pair_ratios[len(pair_ratios) // 2]
+    # single-thread paired ratio: the steadier secondary estimator —
+    # one mapper generates far less self-induced bandwidth pressure, so
+    # ST pairs cluster tightly (measured 0.876-0.926 across reps where
+    # the 4-proc pairs scattered 0.70-1.13)
+    st_ratio = None
+    try:
+        from vacmap_tpu.pipeline.extend import HostBatchFillAligner
+        from vacmap_tpu.pipeline.mapper import Mapper
+
+        st_reads = reads[:150]
+
+        def st_run(idx):
+            m = Mapper(idx, _G["cfg"])
+            m.global_aligner = HostBatchFillAligner()
+            t1 = time.time()
+            for nm_, sq_ in st_reads:
+                m.map_read(nm_, sq_)
+            return time.time() - t1
+
+        st_run(small_idx)
+        st_run(idx3)  # warm
+        st_ratios = sorted(
+            st_run(small_idx) / st_run(idx3) for _ in range(3))
+        st_ratio = round(st_ratios[len(st_ratios) // 2], 3)
+    except Exception:
+        pass
     flat = [r for res, _ in results for r in res]
     return {
         "genome_gb": round(total_ref / 1e9, 2),
@@ -429,6 +455,7 @@ def _genome_scale_section(gcodes, reads, n_workers: int):
             total_b / dt_small / 1e6, 3),
         "scale_ratio": round(ratio, 3),
         "scale_ratio_rounds": [round(r, 3) for r in pair_ratios],
+        "scale_ratio_singlethread": st_ratio,
         "aligned_frac": round(
             sum(v[0] for v in flat) / max(len(flat), 1), 4),
     }
